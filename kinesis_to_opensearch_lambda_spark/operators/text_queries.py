@@ -1,0 +1,117 @@
+"""Oracle-checked text-analysis queries (driver mandate: language-ID,
+quality scoring, token counting, fingerprinting over `documents`)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import HASH_PRIME, SQL_MD5_LONG
+from ..queries import register
+from ..sources.batch import load_table
+from . import text as TX
+
+_W = "string_split(text, ' ')"
+_SQL_STOP = "list_filter({w}, x -> x = 'the' OR x = 'a')"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_W}) AS n_tokens,
+           len(list_distinct({_W})) AS n_unique_tokens,
+           round(
+             list_reduce(list_prepend(0, list_transform({_W}, t -> length(t))),
+                         (a, x) -> a + x)::DOUBLE
+             / len({_W})::DOUBLE, 6) AS avg_token_len,
+           length(text) AS n_chars_len,
+           n_chars
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens, distinct tokens, mean token "
+    "length, char length (validated against the table's n_chars).",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    out = TX.token_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_unique_tokens",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        "n_chars_len",
+        "n_chars",
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(stop_ratio, 6) AS stop_ratio,
+           round(long_ratio, 6) AS long_ratio,
+           round(0.5 * (1.0 - stop_ratio) + 0.3 * long_ratio
+                 + 0.2 * least(n::DOUBLE / 200.0, 1.0), 6) AS quality_score
+    FROM (
+      SELECT doc_id,
+             len({_SQL_STOP.format(w=_W)})::DOUBLE / len({_W})::DOUBLE AS stop_ratio,
+             len(list_filter({_W}, t -> length(t) > 4))::DOUBLE
+               / len({_W})::DOUBLE AS long_ratio,
+             len({_W}) AS n
+      FROM documents
+    )
+    """,
+    doc="Quality scoring: stopword ratio + long-token ratio + length factor "
+    "blended to a [0,1] score (operators.text.quality_features).",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = TX.quality_features(docs)
+    return out.select(
+        "doc_id",
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        F.round("long_ratio", 6).alias("long_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    SELECT lang, lang_pred, count(*) AS n
+    FROM (
+      SELECT lang,
+             CASE WHEN len({_SQL_STOP.format(w=_W)})::DOUBLE
+                       / len({_W})::DOUBLE > 0.05
+                  THEN 'en' ELSE 'und' END AS lang_pred
+      FROM documents
+    )
+    GROUP BY lang, lang_pred
+    """,
+    doc="Language-ID heuristic (marker-stopword density) cross-tabulated "
+    "against the labeled lang column (operators.text.langid_heuristic).",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    out = TX.langid_heuristic(docs)
+    return out.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_W})), ' ')) AS fp_sorted,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform({_W}, w -> {SQL_MD5_LONG.format(x='w')} % {HASH_PRIME})),
+             (acc, x) -> (acc * 31 + x) % {HASH_PRIME}) AS fp_rolling
+    FROM documents
+    """,
+    doc="Document fingerprinting: order-insensitive sorted-token md5 + "
+    "order-sensitive polynomial rolling hash (operators.text.fingerprints).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.fingerprints(docs).select("doc_id", "fp_sorted", "fp_rolling")

@@ -1,0 +1,51 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local mode is a correctness harness; the config is chosen so the same
+logical plans are the ones we'd want on a 1000-executor cluster:
+
+- AQE on (runtime coalesce, skew-join splitting, dynamic join selection).
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster this is superseded by AQE's coalescing from a higher initial
+  partition count.
+- Session timezone pinned to UTC so event-time semantics are stable and
+  comparable with the DuckDB oracle (DuckDB timestamps are UTC-naive).
+- Arrow enabled for any pandas-interop path (vectorized UDF transfer).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "8")
+
+
+def get_session(
+    app_name: str = "kinesis_to_opensearch_lambda_spark",
+    cpus: str | int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    cpus = str(cpus or DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # testdata parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read as long nanos, loader converts to micros
+        # (matching DuckDB/Arrow truncation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,73 @@
+"""Batch Parquet sources for the driver-generated tables (TESTDATA.md).
+
+Parquet is the engine's canonical batch format: columnar, predicate
+pushdown, partition pruning, vectorized reads — all free via the
+DataSource V2 scan.  At 100 TB these would be partitioned/bucketed
+table roots; the loader API is path-based so the same code serves both.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The testdata parquet stores timestamps as TIMESTAMP(NANOS); Spark's
+# TimestampType is microseconds, so the session reads nanos as long
+# (spark.sql.legacy.parquet.nanosAsLong) and the loader converts with
+# integer division (truncation — identical to the Arrow/DuckDB µs cast).
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Defensive runtime confs for externally-created sessions (the
+    driver constructs its own SparkSession): nanos-timestamp parquet
+    reads and UTC temporal semantics are required for correctness."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf locked down — session factory defaults already apply
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Column pruning + filter pushdown reach the scan."""
+    _ensure_session_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NANO_TS_COLS.get(name, ()):
+        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,85 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs a registered Spark query and its oracle SQL side by side and
+compares row count, column names, and canonicalized values — strict
+(exact string equality after canonicalization), because the driver
+compares by value hash.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+
+import duckdb
+import pandas as pd
+
+from kinesis_to_opensearch_lambda_spark.sources.batch import TABLES
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<null>"  # pandas NULL-float
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))  # 3.0 vs 3 normalization
+        return f"{v:.12g}"
+    if isinstance(v, (datetime, date, pd.Timestamp)):
+        return str(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_canon(x)}" for k, x in sorted(v.items())) + "}"
+    if pd.isna(v):
+        return "<null>"
+    return str(v)
+
+
+def _rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return sorted(tuple(_canon(v) for v in row) for row in df.itertuples(index=False))
+
+
+def assert_parity(spark, name: str, sf_dir: str) -> None:
+    from kinesis_to_opensearch_lambda_spark.queries import REGISTRY
+
+    q = REGISTRY[name]
+    actual = q.spark(spark, sf_dir).toPandas()
+    if q.oracle is None:
+        assert len(actual) >= 0  # rows-only smoke
+        return
+    con = duck_con(sf_dir)
+    expected = con.execute(q.oracle).fetchdf()
+
+    assert sorted(actual.columns) == sorted(expected.columns), (
+        f"{name}: column mismatch\n spark={sorted(actual.columns)}\n "
+        f"duckdb={sorted(expected.columns)}"
+    )
+    assert len(actual) == len(expected), (
+        f"{name}: row count {len(actual)} (spark) != {len(expected)} (duckdb)"
+    )
+    a_rows, e_rows = _rows(actual), _rows(expected)
+    if a_rows != e_rows:
+        diffs = [
+            f"  spark  row {i}: {a}\n  duckdb row {i}: {e}"
+            for i, (a, e) in enumerate(zip(a_rows, e_rows))
+            if a != e
+        ][:5]
+        raise AssertionError(
+            f"{name}: value mismatch ({len(diffs)}+ differing rows shown)\n"
+            + "\n".join(diffs)
+        )
