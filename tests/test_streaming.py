@@ -1,0 +1,148 @@
+"""Streaming tests: envelope file source → foreachBatch dual-sink
+fan-out (R16), replay dedup within watermark (R9), event-time windowed
+aggregations with late-data policy (SURVEY.md §5 item 4)."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from kinesis_to_opensearch_lambda_spark.sinks import (
+    OpenSearchBulkSink,
+    SplunkHECSink,
+    SpoolDirTransport,
+)
+from kinesis_to_opensearch_lambda_spark.sources.kinesis import read_envelope_stream
+from kinesis_to_opensearch_lambda_spark.streaming.pipeline import (
+    decode_stream,
+    dual_sink_fanout,
+    hourly_counts,
+)
+
+from .test_transforms import FULL_RECORD
+
+
+def write_envelope_files(spark, path: str, records: list[dict], n_files: int = 2):
+    rows = [(base64.b64encode(json.dumps(r).encode()).decode(),) for r in records]
+    df = spark.createDataFrame(rows, "kinesis_data: string")
+    df.repartition(n_files).write.mode("append").parquet(path)
+
+
+@pytest.fixture
+def stream_records():
+    return [
+        dict(
+            FULL_RECORD,
+            random_id=f"s-{i}",
+            datetime=f"2026-02-18T1{i % 10}:30:00",
+            ip="" if i % 4 == 0 else FULL_RECORD["ip"],
+        )
+        for i in range(12)
+    ]
+
+
+def test_dual_sink_fanout(spark, tmp_path, stream_records):
+    src = str(tmp_path / "envelopes")
+    write_envelope_files(spark, src, stream_records)
+
+    es_spool, hec_spool = str(tmp_path / "es"), str(tmp_path / "hec")
+    es = OpenSearchBulkSink(transport_factory=lambda: SpoolDirTransport(es_spool))
+    hec = SplunkHECSink(transport_factory=lambda: SpoolDirTransport(hec_spool))
+
+    stream = decode_stream(read_envelope_stream(spark, src))
+    q = dual_sink_fanout(stream, es, hec, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    es_docs = SpoolDirTransport(es_spool).read_back()
+    hec_docs = SpoolDirTransport(hec_spool).read_back()
+    assert len(es_docs) == 12 and len(hec_docs) == 12
+    # projected vs full-record branches
+    assert all(set(d["_source"]) <= {
+        "random_id", "kind_id", "account_id", "performer_id",
+        "repository_id", "ip", "metadata", "datetime", "@timestamp",
+    } for d in es_docs)
+    assert all("request_url" in json.loads(d["event"]) for d in hec_docs)
+    # empty ip dropped before both sinks (R5 before fan-out)
+    ids_with_ip_dropped = {f"s-{i}" for i in range(12) if i % 4 == 0}
+    for d in es_docs:
+        if d["_id"] in ids_with_ip_dropped:
+            assert "ip" not in d["_source"]
+
+
+def test_restart_does_not_redeliver(spark, tmp_path, stream_records):
+    """Checkpointed offsets: a second run over the same source delivers
+    nothing new (the engine-side half of at-least-once; doc-id dedup
+    covers redelivery after crashes mid-batch)."""
+    src = str(tmp_path / "envelopes")
+    write_envelope_files(spark, src, stream_records)
+    spool = str(tmp_path / "es")
+    make = lambda: OpenSearchBulkSink(transport_factory=lambda: SpoolDirTransport(spool))
+    hec = SplunkHECSink(transport_factory=lambda: SpoolDirTransport(str(tmp_path / "hec")))
+
+    stream = decode_stream(read_envelope_stream(spark, src))
+    dual_sink_fanout(stream, make(), hec, str(tmp_path / "ckpt")).awaitTermination(120)
+    n_first = len(SpoolDirTransport(spool).read_back())
+
+    stream2 = decode_stream(read_envelope_stream(spark, src))
+    dual_sink_fanout(stream2, make(), hec, str(tmp_path / "ckpt")).awaitTermination(120)
+    n_second = len(SpoolDirTransport(spool).read_back())
+    assert n_first == 12 and n_second == 12  # no redelivery
+
+
+def test_replay_dedup_within_watermark(spark, tmp_path, stream_records):
+    """R9: duplicate doc ids arriving in new files are dropped by
+    dropDuplicatesWithinWatermark before the sinks."""
+    src = str(tmp_path / "envelopes")
+    write_envelope_files(spark, src, stream_records)
+    write_envelope_files(spark, src, stream_records)  # redelivered batch
+
+    spool = str(tmp_path / "es")
+    es = OpenSearchBulkSink(transport_factory=lambda: SpoolDirTransport(spool))
+    hec = SplunkHECSink(transport_factory=lambda: SpoolDirTransport(str(tmp_path / "hec")))
+
+    stream = decode_stream(read_envelope_stream(spark, src))
+    q = dual_sink_fanout(
+        stream, es, hec, str(tmp_path / "ckpt"), dedup_watermark="1 hour"
+    )
+    q.awaitTermination(180)
+    delivered = SpoolDirTransport(spool).read_back()
+    assert sorted({d["_id"] for d in delivered}) == sorted(
+        f"s-{i}" for i in range(12)
+    )
+    assert len(delivered) == 12  # duplicates suppressed
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    """Tumbling-window streaming agg over the events table driven to
+    completion with availableNow; late rows beyond the watermark are
+    dropped from the final state."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = hourly_counts(stream, watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hourly_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT sum(n) AS total FROM hourly_out"
+    ).collect()[0]
+    batch = (
+        events.groupBy(F.window("ts", "1 hour"), "event_type").count().count()
+    )
+    # append mode emits only windows sealed by the watermark; the last
+    # 2h of event-time remains open and unemitted.
+    assert got.total is not None and got.total <= events.count()
+    assert spark.sql("SELECT count(*) c FROM hourly_out").collect()[0].c <= batch
+    assert spark.sql("SELECT count(*) c FROM hourly_out").collect()[0].c > 0
