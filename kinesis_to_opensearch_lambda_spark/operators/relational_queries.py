@@ -672,3 +672,112 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@register(
+    "window_sliding_15min",
+    oracle="""
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM (
+      SELECT make_timestamp(CAST(((epoch_us(ts) // 900000000) - k.k) * 900000000 AS BIGINT))
+               AS win_start,
+             value
+      FROM events, (SELECT unnest(range(4)) AS k) k
+    )
+    GROUP BY 1
+    """,
+    doc="Sliding event-time windows (1h window, 15min slide): each event "
+    "lands in 4 overlapping windows. Batch twin of streaming.sliding_counts; "
+    "the oracle expands the window set arithmetically.",
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ), 2) AS rolling_1h_value,
+           lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+           ) AS next_type,
+           dense_rank() OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+           ) AS drnk
+    FROM events
+    """,
+    doc="RANGE-framed window (rolling 1h sum keyed on event-time micros) + "
+    "lead + dense_rank sharing one partitioning/exchange.",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    return ev.select(
+        "event_id",
+        F.round(
+            F.sum("value").over(w.rangeBetween(-3_600_000_000, 0)), 2
+        ).alias("rolling_1h_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    doc="EXCEPT ALL (multiset difference, preserves multiplicity).",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.exceptAll(buys)
+
+
+@register(
+    "dynamic_map_allowlist",
+    oracle="""
+    SELECT event_id,
+           2 AS n_kept_keys,
+           json_extract_string(props, '$.k') || '|' || event_type AS kept_values
+    FROM events
+    """,
+    doc="Dynamic-schema projection on map columns: map_filter allowlist over "
+    "a runtime-built map — the MapType twin of the ES field allowlist "
+    "(reference _filter_for_es, lambda_function.py:52-54; SURVEY §2B "
+    "'map_filter ≅ allowlist projection on dynamic maps').",
+)
+def dynamic_map_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("k"), F.get_json_object("props", "$.k"),
+        F.lit("type"), F.col("event_type"),
+        F.lit("dropme"), F.lit("x"),
+    )
+    kept = F.map_filter(m, lambda k, v: k.isin("k", "type"))
+    return ev.withColumn("_kept", kept).select(
+        "event_id",
+        F.size("_kept").alias("n_kept_keys"),
+        F.concat_ws(
+            "|", F.element_at("_kept", "k"), F.element_at("_kept", "type")
+        ).alias("kept_values"),
+    )

@@ -1,0 +1,86 @@
+"""Plan-discipline tests (SURVEY.md §4 / the 100 TB design rules):
+pushdown, pruning, broadcast choices, shuffle counts, and the
+no-row-Python ban are asserted properties of the physical plans."""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis_to_opensearch_lambda_spark.plans import (
+    broadcast_join_count,
+    has_broadcast_hash_join,
+    pushed_filters,
+    python_eval_nodes,
+    read_schemas,
+    shuffle_exchange_count,
+)
+from kinesis_to_opensearch_lambda_spark.queries import REGISTRY
+
+from .conftest import SF_DIR
+
+
+def q(spark, name):
+    return REGISTRY[name].spark(spark, SF_DIR)
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    df = q(spark, "tpch_q1_pricing_summary")
+    fs = pushed_filters(df)
+    assert any("l_shipdate" in f for f in fs), fs
+
+
+def test_q1_column_pruning(spark):
+    df = q(spark, "tpch_q1_pricing_summary")
+    schemas = read_schemas(df)
+    assert schemas, "no file scan found"
+    assert all("l_partkey" not in s for s in schemas), schemas
+    assert any("l_quantity" in s for s in schemas)
+
+
+def test_q1_single_shuffle(spark):
+    # partial agg map-side, one exchange on the group keys, final agg
+    assert shuffle_exchange_count(q(spark, "tpch_q1_pricing_summary")) == 1
+
+
+def test_q3_customer_broadcast(spark):
+    assert has_broadcast_hash_join(q(spark, "tpch_q3_shipping_priority"))
+
+
+def test_q5_dims_broadcast(spark):
+    assert broadcast_join_count(q(spark, "tpch_q5_local_supplier")) >= 3
+
+
+def test_windows_share_one_exchange(spark):
+    # running sum + lag + rank over the same partitioning: 1 shuffle
+    assert shuffle_exchange_count(q(spark, "window_running_lag")) == 1
+
+
+def test_sessionization_single_shuffle_before_agg(spark):
+    # lag window + running-sum window + final agg all hash on user_id:
+    # AQE may keep 1 exchange; never more than 2 (window + agg).
+    assert shuffle_exchange_count(q(spark, "window_sessionization")) <= 2
+
+
+def test_asof_join_single_shuffle(spark):
+    # union + running last(): exactly one exchange on the key — the
+    # whole point of avoiding the non-equi join (operators.relational).
+    assert shuffle_exchange_count(q(spark, "join_asof_last_order")) <= 2
+
+
+def test_pipeline_chain_shuffle_free_before_agg(spark):
+    # decode/normalize/project are narrow; only the final groupBy shuffles
+    assert shuffle_exchange_count(q(spark, "pipeline_daily_index")) == 1
+
+
+def test_minhash_signatures_shuffle_free(spark):
+    assert shuffle_exchange_count(q(spark, "dedup_minhash_signature")) == 0
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_row_python_anywhere(spark, name):
+    """Row-at-a-time Python UDFs are banned engine-wide; only
+    Arrow-batched nodes may appear, and only in the multimodal ops."""
+    nodes = python_eval_nodes(q(spark, name))
+    assert "BatchEvalPython" not in nodes, nodes
+    if name != "mm_frame_extract":
+        assert nodes == [], f"{name} unexpectedly runs Python: {nodes}"
