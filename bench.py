@@ -31,9 +31,12 @@ def main() -> None:
     spark = get_session(app_name="bench", cpus=CPUS)
 
     headline = [q for q in REGISTRY.values() if q.headline]
-    # Warm the JVM/parquet footers once so timings measure the queries.
-    for q in headline[:1]:
-        q.spark(spark, SF_DIR).count()
+    # Warm each query twice (JVM JIT needs a few iterations on the
+    # codegen'd json/hash paths; plus parquet footers + AQE stats) so the
+    # timed pass measures steady-state execution, not first-run codegen.
+    for _ in range(2):
+        for q in headline:
+            q.spark(spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
     for q in headline:

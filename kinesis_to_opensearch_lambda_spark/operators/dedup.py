@@ -88,26 +88,38 @@ def lsh_band_buckets(
 
 
 def lsh_candidate_pairs(
-    buckets: DataFrame, id_col: str = "doc_id"
+    buckets: DataFrame, id_col: str = "doc_id", max_bucket_size: int | None = None
 ) -> DataFrame:
-    """Self-join band buckets into distinct candidate pairs (a < b).
+    """Distinct candidate pairs (a < b) from band buckets.
 
-    The join key (band_idx, band_val) is the LSH bucket — at scale this
-    is a hash-partitioned equi-join whose fan-out is bounded by bucket
-    size, with AQE splitting any skewed mega-bucket.
+    One shuffle on the bucket key, ``collect_list`` per bucket, then
+    pair expansion inside the bucket array — the signature/bucket frame
+    is scanned ONCE (a self-join would recompute its whole lineage for
+    each side).  Per-bucket work is O(s²); ``max_bucket_size`` drops
+    degenerate mega-buckets (standard LSH practice at scale — a bucket
+    hit by thousands of docs carries no similarity signal and only
+    quadratic cost).
     """
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    grouped = buckets.groupBy("band_idx", "band_val").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
+    )
+    grouped = grouped.filter(F.size("ids") > 1)
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
+    # pairs within the sorted id array: for element i, pair with every
+    # later element (two-arg transform lambda receives (element, index)).
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids")) - i - 1),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
+        grouped.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
     )
 

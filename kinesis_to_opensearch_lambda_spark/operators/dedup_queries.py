@@ -24,7 +24,7 @@ from ..functions import (
     words,
 )
 from ..queries import register
-from ..sources.batch import load_table
+from ..sources.batch import fan_out, load_table
 from . import dedup as D
 
 # ---- deterministic near-dup corpus -----------------------------------
@@ -47,7 +47,7 @@ def _mutated(docs: DataFrame) -> DataFrame:
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.union(_mutated(docs))
 
 
@@ -65,7 +65,7 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle narrow at scale (operators.dedup.exact_dedup).",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("text")
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("text"))
     doubled = docs.union(docs)
     digested = D.content_digest(doubled)
     return digested.agg(
@@ -93,7 +93,7 @@ def _sql_minhash_cols(num_hashes: int, words_expr: str = _SQL_WORDS) -> str:
     "3-word shingles). Per-row array work — no shuffle at any scale.",
 )
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return D.minhash_signatures(docs, num_hashes=4).drop("text")
 
 
@@ -158,7 +158,7 @@ def _sql_simhash(words_expr: str = _SQL_WORDS) -> str:
     "(operators.dedup.simhash16).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return D.simhash16(docs).select("doc_id", "simhash")
 
 
@@ -187,7 +187,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "jaccard_shingle_similarity).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     mut = _mutated(docs).select(
         (F.col("doc_id") - 100000).alias("doc_id"), "text"
     )
@@ -219,7 +219,7 @@ _SQL_PERTURB = (
     "100 TB path LSH/IVF-restricts candidates first (operators.similarity).",
 )
 def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     perturbed = emb.filter(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 100000).alias("dup_id"),
         F.transform(

@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import register
-from ..sources.batch import load_table
+from ..sources.batch import fan_out, load_table
 from . import multimodal as MM
 
 
@@ -28,7 +28,7 @@ from . import multimodal as MM
     "read the blob pages.",
 )
 def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     out = MM.attach_binary_payload(docs)
     return out.select(
         "doc_id",
@@ -57,6 +57,6 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keyframe index, real UDF batch plumbing.",
 )
 def mm_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     payload = MM.attach_binary_payload(docs)
     return MM.extract_frames(payload)

@@ -79,12 +79,26 @@ def decode_kinesis(
 
     Returns one column per schema field, plus ``_raw`` (the decoded JSON
     string) when ``keep_raw`` — the schemaless Splunk passthrough.
+
+    The decode is wrapped in a one-element ``explode`` (a Generate
+    node): generated attributes are a predicate-pushdown and
+    project-collapse barrier, so the base64+JSON work evaluates exactly
+    once per record, and downstream null-guards/projections reference
+    the materialized struct instead of re-deriving it (without the
+    barrier, Catalyst inlines the parse into every consumer and pushes
+    the null-filter below any repartition — onto the narrow scan stage).
     """
     raw = F.unbase64(F.col(data_col)).cast("string")
-    out = df.withColumn("_raw", raw).withColumn("_parsed", F.from_json(raw, schema))
-    cols = [F.col("_parsed." + f.name).alias(f.name) for f in schema.fields]
+    decoded = F.struct(
+        F.from_json(raw, schema).alias("p"), raw.alias("raw")
+    )
+    out = df.select(
+        *[F.col(c) for c in df.columns if c != data_col],
+        F.explode(F.array(decoded)).alias("_dec"),
+    )
+    cols = [F.col("_dec.p." + f.name).alias(f.name) for f in schema.fields]
     if keep_raw:
-        cols.append(F.col("_raw"))
+        cols.append(F.col("_dec.raw").alias("_raw"))
     passthrough = [c for c in df.columns if c != data_col]
     return out.select(*[F.col(c) for c in passthrough], *cols)
 

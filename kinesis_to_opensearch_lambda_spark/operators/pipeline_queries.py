@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import register
-from ..sources.batch import load_table
+from ..sources.batch import fan_out, load_table
 from ..sources.kinesis import audit_events_from_events, kinesis_envelope
 from . import pipeline as P
 
@@ -31,7 +31,7 @@ _SQL_IP = (
 def decoded_audit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> audit records -> Kinesis envelope -> full decode chain
     (R2+R3 decode, R4 @timestamp, R5 empty-ip drop, R7 null guard)."""
-    events = load_table(spark, sf_dir, "events")
+    events = fan_out(load_table(spark, sf_dir, "events"))
     env = kinesis_envelope(audit_events_from_events(events))
     df = P.decode_kinesis(env)
     df = P.with_event_timestamp(df)
@@ -103,7 +103,7 @@ def pipeline_es_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(lambda_function.py:81).",
 )
 def pipeline_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+    events = fan_out(load_table(spark, sf_dir, "events"))
     env = kinesis_envelope(audit_events_from_events(events))
     redelivered = env.union(env)  # at-least-once redelivery
     df = P.decode_kinesis(redelivered)

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ..functions import sql_cosine
 from ..queries import register
-from ..sources.batch import load_table
+from ..sources.batch import fan_out, load_table
 from . import similarity as S
 
 _N_QUERIES = 20
@@ -38,7 +38,7 @@ _N_QUERIES = 20
     "corpus scan, window top-k (operators.similarity.brute_force_topk).",
 )
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -71,7 +71,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators.similarity.ivf_topk).",
 )
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),

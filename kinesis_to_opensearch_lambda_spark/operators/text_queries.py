@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ..functions import HASH_PRIME, SQL_MD5_LONG
 from ..queries import register
-from ..sources.batch import load_table
+from ..sources.batch import fan_out, load_table
 from . import text as TX
 
 _W = "string_split(text, ' ')"
@@ -33,7 +33,7 @@ _SQL_STOP = "list_filter({w}, x -> x = 'the' OR x = 'a')"
     "length, char length (validated against the table's n_chars).",
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars"))
     out = TX.token_stats(docs)
     return out.select(
         "doc_id",
@@ -66,7 +66,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "blended to a [0,1] score (operators.text.quality_features).",
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     out = TX.quality_features(docs)
     return out.select(
         "doc_id",
@@ -93,7 +93,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "against the labeled lang column (operators.text.langid_heuristic).",
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("lang", "text"))
     out = TX.langid_heuristic(docs)
     return out.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
 
@@ -113,5 +113,5 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order-sensitive polynomial rolling hash (operators.text.fingerprints).",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return TX.fingerprints(docs).select("doc_id", "fp_sorted", "fp_rolling")

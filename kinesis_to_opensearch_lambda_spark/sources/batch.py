@@ -61,6 +61,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, min_factor: int = 2) -> DataFrame:
+    """Spread a parallelism-starved scan across the cluster.
+
+    Parquet scans parallelize at row-group granularity; a source laid
+    out as few large row groups (the test tables are single-row-group
+    files) binds CPU-heavy per-row operators (md5 shingling, vector
+    folds) to a handful of tasks.  When the scan has at most
+    ``cores / min_factor`` partitions, one cheap round-robin shuffle of
+    the (narrow) input unlocks full-width execution.  Already-wide scans
+    — the 100 TB case, thousands of row groups — pass through untouched,
+    so this never adds a shuffle where the source is properly laid out.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * min_factor <= target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
