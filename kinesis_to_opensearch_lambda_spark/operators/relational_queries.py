@@ -781,3 +781,30 @@ def dynamic_map_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|", F.element_at("_kept", "k"), F.element_at("_kept", "type")
         ).alias("kept_values"),
     )
+
+
+@register(
+    "join_sortmerge_hint",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Fact-to-fact equi-join forced to sort-merge via MERGE hint — the "
+    "join strategy two 100 TB tables actually get (broadcast is off the "
+    "table); locally AQE would broadcast, so the hint pins the SMJ plan "
+    "shape the scale case exercises.",
+)
+def join_sortmerge_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").hint("merge")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )

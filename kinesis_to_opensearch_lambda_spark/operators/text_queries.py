@@ -115,3 +115,68 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return TX.fingerprints(docs).select("doc_id", "fp_sorted", "fp_rolling")
+
+
+@register(
+    "text_tfidf_top_term",
+    oracle=f"""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, n_tokens,
+             count(*)::DOUBLE / any_value(n_tokens)::DOUBLE AS tf
+      FROM tokens GROUP BY doc_id, word, n_tokens
+    ), df AS (
+      SELECT word, count(DISTINCT doc_id) AS dfreq FROM tokens GROUP BY word
+    ), n AS (
+      SELECT count(*)::DOUBLE AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.word,
+             tf.tf * ln(n.n_docs / df.dfreq::DOUBLE) AS score
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word AS top_word, round(score, 6) AS tfidf
+    FROM (
+      SELECT doc_id, word, score,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, word
+             ) AS rnk
+      FROM scored
+    )
+    WHERE rnk = 1
+    """,
+    doc="TF-IDF scoring from first principles (explode -> term/doc "
+    "frequencies -> idf join -> per-doc argmax): classic inverted-stats "
+    "pipeline, three key-partitioned shuffles, broadcastable df/N sides.",
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split("text", " ")).alias("word"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    tf = tokens.groupBy("doc_id", "word", "n_tokens").agg(
+        (F.count("*").cast("double") / F.col("n_tokens").cast("double")).alias("tf")
+    )
+    dfreq = tokens.groupBy("word").agg(
+        F.count_distinct("doc_id").alias("dfreq")
+    )
+    n_docs = docs.count()  # scalar; constant-folded into the plan
+    scored = tf.join(F.broadcast(dfreq), "word").select(
+        "doc_id",
+        "word",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("dfreq").cast("double"))).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", F.col("word").alias("top_word"), F.round("score", 6).alias("tfidf"))
+    )
