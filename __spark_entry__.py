@@ -13,11 +13,15 @@ operator is not SQL-expressible).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kinesis_to_opensearch_lambda_spark.queries import REGISTRY
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kinesis_to_opensearch_lambda_spark.queries import REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

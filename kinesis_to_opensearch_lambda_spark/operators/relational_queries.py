@@ -808,3 +808,104 @@ def join_sortmerge_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+      ON c.c_nationkey = s.s_nationkey
+    """,
+    doc="Full-outer join of pre-aggregated sides: nations with customers "
+    "and/or suppliers, nulls filled on the missing side.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full_outer").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    doc="Explicit GROUPING SETS via the SQL API (spark.sql over a temp "
+    "view) — same Catalyst plan as the DataFrame path; demonstrates the "
+    "engine's SQL entry point.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "cross_join_grid",
+    oracle="""
+    SELECT r.r_name, f.l_returnflag, coalesce(x.n, 0) AS n
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem) f
+    LEFT JOIN (
+      SELECT n_regionkey, l_returnflag, count(*) AS n
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ) x ON x.n_regionkey = r.r_regionkey AND x.l_returnflag = f.l_returnflag
+    """,
+    doc="Cross join building a dense dimension grid, left-filled from a "
+    "fact aggregate — the sparse-to-dense reporting pattern (cross join of "
+    "two tiny dims is driver-free and broadcastable).",
+)
+def cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    flags = _t(spark, sf_dir, "lineitem").select("l_returnflag").distinct()
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    fact = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey", "l_returnflag")
+        .agg(F.count("*").alias("n"))
+    )
+    grid = region.crossJoin(flags)
+    return grid.join(
+        fact,
+        (fact.n_regionkey == region.r_regionkey)
+        & (fact.l_returnflag == grid.l_returnflag),
+        "left",
+    ).select(
+        "r_name",
+        grid.l_returnflag,
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )

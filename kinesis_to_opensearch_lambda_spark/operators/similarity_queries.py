@@ -79,3 +79,99 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = S.ivf_topk(q, emb.select("vec_id", "embedding", "label"), k=3)
     return out.select("q_id", "vec_id", F.round("cos", 6).alias("cos"), "rnk")
+
+
+def _srp_plane(i: int, j: str) -> str:
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
+    integer arithmetic (Knuth multiplicative hash) — identical in every
+    engine, no RNG required."""
+    return f"((((({i} * 64 + {j}) * 2654435761) % 1000) + 1000) % 1000) / 1000.0 - 0.5"
+
+
+def _sql_srp_bits(vec: str, n_planes: int = 8) -> str:
+    """DuckDB: sign-bit bucket id from n_planes hyperplane projections."""
+    terms = []
+    for i in range(n_planes):
+        dot = (
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(list_zip({vec}, range(0, 64)), "
+            f"z -> z[1]::DOUBLE * (((((({i} * 64 + (z[2])) * 2654435761) % 1000) + 1000) % 1000) / 1000.0 - 0.5))), "
+            "(a, x) -> a + x)"
+        )
+        terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "ann_topk_srp_lsh",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding,
+             {_sql_srp_bits('embedding')} AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec, bucket AS q_bucket
+      FROM bucketed WHERE vec_id < {_N_QUERIES}
+    ), scored AS (
+      SELECT q.q_id, e.vec_id,
+             {sql_cosine('q.q_vec', 'e.embedding')} AS cos
+      FROM q JOIN bucketed e
+        ON e.bucket = q.q_bucket AND e.vec_id != q.q_id
+    )
+    SELECT q_id, vec_id, round(cos, 6) AS cos, rnk
+    FROM (
+      SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 3
+    """,
+    doc="Signed-random-projection LSH ANN: 8 deterministic hyperplanes "
+    "(integer-hash components, no RNG) hash vectors to sign-bit buckets; "
+    "candidates = same bucket, then exact cosine top-3. The no-label scale "
+    "path: bucket id is a shuffle/bucketing key, candidates shrink ~2^-8.",
+)
+def ann_topk_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+
+    def srp_bucket(vec):
+        terms = None
+        for i in range(8):
+            # dot(vec, plane_i) with plane components from the same
+            # integer-hash formula as the oracle
+            prods = F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda x, j: x.cast("double")
+                * (((((F.lit(i) * 64 + j) * 2654435761) % 1000 + 1000) % 1000) / 1000.0 - 0.5),
+            )
+            dot_i = F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
+            term = F.when(dot_i >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            terms = term if terms is None else terms + term
+        return terms
+
+    bucketed = emb.select(
+        "vec_id", "embedding", srp_bucket(F.col("embedding")).alias("bucket")
+    )
+    q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    pairs = bucketed.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    from ..functions import cosine
+
+    scored = pairs.select(
+        "q_id", "vec_id", cosine(F.col("q_vec"), F.col("embedding")).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "vec_id", F.round("cos", 6).alias("cos"), "rnk")
+    )
