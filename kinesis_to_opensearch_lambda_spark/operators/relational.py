@@ -116,3 +116,37 @@ def sessionize(
     return df.withColumn("_new_session", new_sess).withColumn(
         "session_id", F.sum("_new_session").over(w)
     ).drop("_new_session")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    salt_buckets: int,
+    sum_cols: dict[str, str] | None = None,
+    count_alias: str | None = "n",
+):
+    """Two-phase aggregation for skewed keys.
+
+    Phase 1 groups on (keys + random-ish salt) so a hot key's rows
+    spread over ``salt_buckets`` reducers; phase 2 merges the partials
+    on the true keys.  The salt derives from a hash of the full row
+    position via ``spark_partition_id``+monotonic id — cheap, no RNG
+    state, and the final merge is exact regardless of salt distribution.
+
+    AQE's skew handling covers joins; skewed *aggregations* still
+    benefit from explicit salting when one key dominates (the classic
+    null-key / power-law case at 100 TB).
+    """
+    from pyspark.sql import functions as F
+
+    sum_cols = sum_cols or {}
+    salt = (F.monotonically_increasing_id() % salt_buckets).alias("_salt")
+    partial_aggs = [F.count("*").alias("_pn")] + [
+        F.sum(c).alias(f"_ps_{a}") for c, a in sum_cols.items()
+    ]
+    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_aggs)
+    final_aggs = []
+    if count_alias:
+        final_aggs.append(F.sum("_pn").alias(count_alias))
+    final_aggs += [F.sum(f"_ps_{a}").alias(a) for a in sum_cols.values()]
+    return partial.groupBy(*keys).agg(*final_aggs)

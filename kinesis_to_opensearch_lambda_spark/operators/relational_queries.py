@@ -909,3 +909,67 @@ def cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid.l_returnflag,
         F.coalesce("n", F.lit(0)).alias("n"),
     )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Skew-salted two-phase aggregation (operators.relational."
+    "salted_aggregate): partials on (key, salt) then exact merge on the "
+    "key — result identical to the plain GROUP BY oracle, plan spreads "
+    "a hot key over 16 reducers.",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import salted_aggregate
+
+    out = salted_aggregate(
+        _t(spark, sf_dir, "events"),
+        keys=["event_type"],
+        salt_buckets=16,
+        sum_cols={"value": "sum_value"},
+        count_alias="n",
+    )
+    return out.select("event_type", "n", F.round("sum_value", 2).alias("sum_value"))
+
+
+@register(
+    "grouped_map_regression",
+    oracle="""
+    SELECT user_id,
+           round(regr_slope(value, epoch(ts) - 1704067200), 6) + 0.0 AS slope,
+           count(*) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Per-group OLS slope via applyInPandas (Arrow grouped-map) — the "
+    "sanctioned pandas path for per-group model fitting; closed-form "
+    "sums on centered x so float64 stays exact, checked against DuckDB's "
+    "regr_slope.",
+)
+def grouped_map_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        # centered integer seconds -> sums are exact in float64
+        x = (pdf["ts"].astype("int64") // 1_000_000_000) - 1_704_067_200
+        y = pdf["value"]
+        n = len(pdf)
+        sx, sy = float(x.sum()), float(y.sum())
+        sxx = float((x * x).sum())
+        sxy = float((x * y).sum())
+        denom = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) / denom if denom != 0 else float("nan")
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "slope": [round(slope, 6) + 0.0], "n": [n]}
+        )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        fit, schema="user_id bigint, slope double, n bigint"
+    )

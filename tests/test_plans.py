@@ -76,11 +76,16 @@ def test_minhash_signatures_shuffle_free(spark):
     assert shuffle_exchange_count(q(spark, "dedup_minhash_signature")) == 0
 
 
+# The only queries allowed to run (Arrow-batched) Python: multimodal
+# decode plumbing and the grouped-map model-fitting operator.
+ARROW_ALLOWLIST = {"mm_frame_extract", "grouped_map_regression"}
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_row_python_anywhere(spark, name):
     """Row-at-a-time Python UDFs are banned engine-wide; only
-    Arrow-batched nodes may appear, and only in the multimodal ops."""
+    Arrow-batched nodes may appear, and only in the allowlisted ops."""
     nodes = python_eval_nodes(q(spark, name))
     assert "BatchEvalPython" not in nodes, nodes
-    if name != "mm_frame_extract":
+    if name not in ARROW_ALLOWLIST:
         assert nodes == [], f"{name} unexpectedly runs Python: {nodes}"
