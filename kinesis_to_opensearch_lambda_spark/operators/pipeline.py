@@ -70,12 +70,20 @@ def decode_kinesis(
     data_col: str = "kinesis_data",
     schema: T.StructType = AUDIT_SCHEMA,
     keep_raw: bool = True,
+    tolerant: bool = False,
 ) -> DataFrame:
     """R2+R3: base64-decode the Kinesis payload and parse the JSON.
 
     Reference: ``base64.b64decode`` + ``json.loads`` at
     lambda_function.py:45.  `unbase64`/`from_json` are JVM builtins, so
     the decode stays inside whole-stage codegen (no Python per row).
+
+    Failure semantics: with ``tolerant=False`` (default) invalid base64
+    fails the batch — the reference's behaviour exactly (a decode error
+    in the :141 list comprehension fails the whole Lambda invocation and
+    Kinesis redelivers).  ``tolerant=True`` switches to ``try_to_binary``:
+    undecodable records become NULL rows that R7 drops (or a dead-letter
+    branch captures) and the stream keeps going.
 
     Returns one column per schema field, plus ``_raw`` (the decoded JSON
     string) when ``keep_raw`` — the schemaless Splunk passthrough.
@@ -88,7 +96,10 @@ def decode_kinesis(
     barrier, Catalyst inlines the parse into every consumer and pushes
     the null-filter below any repartition — onto the narrow scan stage).
     """
-    raw = F.unbase64(F.col(data_col)).cast("string")
+    if tolerant:
+        raw = F.try_to_binary(F.col(data_col), F.lit("base64")).cast("string")
+    else:
+        raw = F.unbase64(F.col(data_col)).cast("string")
     decoded = F.struct(
         F.from_json(raw, schema).alias("p"), raw.alias("raw")
     )

@@ -54,4 +54,5 @@ from .operators import (  # noqa: E402,F401
     similarity_queries,
     text_queries,
     multimodal_queries,
+    streaming_queries,
 )

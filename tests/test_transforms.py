@@ -156,3 +156,29 @@ def test_splunk_disable_gate(flag, expected):
     from kinesis_to_opensearch_lambda_spark.sinks.splunk import is_disabled
 
     assert is_disabled(flag) is expected
+
+
+class TestDecodeFailureSemantics:
+    """Reference parity: malformed base64 fails the batch (redelivery
+    semantics, lambda_function.py:141); tolerant mode dead-letters."""
+
+    def test_strict_mode_fails_batch_on_bad_base64(self, spark):
+        # "Z" is structurally invalid base64 (lone symbol); Spark's
+        # decoder throws, failing the batch like the reference's
+        # b64decode would (padding errors).  Merely-noisy inputs decode
+        # to garbage bytes and are dropped by the JSON null-guard —
+        # slightly more lenient than CPython, same end state.
+        df = spark.createDataFrame([("Z",)], "kinesis_data: string")
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            P.drop_null_records(P.decode_kinesis(df)).count()
+
+    def test_tolerant_mode_drops_undecodable(self, spark):
+        good = base64.b64encode(json.dumps(FULL_RECORD).encode()).decode()
+        df = spark.createDataFrame(
+            [("Z",), (good,)], "kinesis_data: string"
+        )
+        out = P.drop_null_records(P.decode_kinesis(df, tolerant=True))
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0].random_id == "abc123"
