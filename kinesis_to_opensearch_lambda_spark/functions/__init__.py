@@ -54,23 +54,41 @@ def md5_long(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def minhash_values(shingles_col: Column, num_hashes: int) -> list[Column]:
-    """MinHash signature as ``num_hashes`` columns.
+# Affine-permutation coefficients for integer MinHash: small odd
+# multipliers/offsets; every (a*h+b) stays far below 2^63 with h < P.
+MINHASH_A = (17, 31, 47, 61, 89, 107, 127, 151, 179, 199, 223, 241)
+MINHASH_B = (3, 11, 29, 43, 59, 73, 97, 113, 131, 157, 173, 193)
 
-    Permutation *i* is simulated by salting: ``min(md5(i || ':' || s))``
-    over the shingle set — the lexicographic min of a salted md5 is an
-    order-statistic min-hash, and md5 hex compares identically across
-    engines.  Scale: per-row array work, embarrassingly parallel,
-    O(|shingles| * k) with no shuffle.
+
+def shingle_hashes(shingles_col: Column) -> Column:
+    """Each shingle hashed once: md5 -> 60-bit int mod HASH_PRIME.
+    Callers must materialize this as a projected column before feeding
+    it to :func:`minhash_values` (HOFs are interpreted; an inline
+    expression would recompute the md5s per permutation)."""
+    return F.transform(shingles_col, lambda s: md5_long(s) % HASH_PRIME)
+
+
+def minhash_values(hashed_col: Column, num_hashes: int) -> list[Column]:
+    """MinHash signature as ``num_hashes`` integer columns over a
+    pre-hashed shingle array (:func:`shingle_hashes`).
+
+    Classic affine-permutation min-hash: permutation *i* is
+    ``min((a_i*h + b_i) mod P)`` — integer ops only, so the per-shingle
+    cost is one md5 regardless of k.  Scale: per-row array work, zero
+    shuffle.
+
+    DuckDB twin of column ``mh_i``::
+
+        list_min(list_transform(<hashed>, h -> (a_i * h + b_i) % P))
     """
-    # NB: single-parameter lambda built by a factory — a default-arg
-    # closure (lambda s, i=i) would make PySpark bind the array index as
-    # a second lambda argument and corrupt the salt.
-    def _salted(i: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+    assert num_hashes <= len(MINHASH_A)
+
+    def _perm(i: int):
+        a, b = MINHASH_A[i], MINHASH_B[i]
+        return lambda h: (h * a + b) % HASH_PRIME
 
     return [
-        F.array_min(F.transform(shingles_col, _salted(i))).alias(f"mh_{i}")
+        F.array_min(F.transform(hashed_col, _perm(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
 

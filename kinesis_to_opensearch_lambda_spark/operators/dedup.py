@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import minhash_values, word_shingles, words
+from ..functions import minhash_values, shingle_hashes, word_shingles, words
 
 
 def content_digest(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -51,12 +51,14 @@ def minhash_signatures(
     inline ``split()`` inside the shingle lambda would re-split the text
     per array element — O(len²) per document.
     """
-    staged = df.withColumn("_words", words(F.col(text_col))).withColumn(
-        "_shingles", word_shingles(F.col("_words"), shingle_n)
+    staged = (
+        df.withColumn("_words", words(F.col(text_col)))
+        .withColumn("_shingles", word_shingles(F.col("_words"), shingle_n))
+        .withColumn("_sh_hashed", shingle_hashes(F.col("_shingles")))
     )
     return staged.select(
         *[F.col(c) for c in df.columns],
-        *minhash_values(F.col("_shingles"), num_hashes),
+        *minhash_values(F.col("_sh_hashed"), num_hashes),
     )
 
 
@@ -75,7 +77,10 @@ def lsh_band_buckets(
                 F.lit(b).alias("band_idx"),
                 F.md5(
                     F.concat(
-                        *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        *[
+                            F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ]
                     )
                 ).alias("band_val"),
             )

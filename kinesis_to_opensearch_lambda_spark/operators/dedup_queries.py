@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import (
+    HASH_PRIME,
     SQL_MD5_LONG,
     cosine,
     minhash_values,
@@ -74,10 +75,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash_cols(num_hashes: int, words_expr: str = _SQL_WORDS) -> str:
+def _sql_shingle_hashes(words_expr: str = _SQL_WORDS) -> str:
+    """DuckDB twin of functions.shingle_hashes (one md5 per shingle)."""
     sh = sql_word_shingles(words_expr)
+    h = SQL_MD5_LONG.format(x="s")
+    return f"list_transform({sh}, s -> {h} % {HASH_PRIME})"
+
+
+def _sql_minhash_cols(num_hashes: int, hashed_col: str = "hashed") -> str:
+    """DuckDB twin of functions.minhash_values over a hashed column."""
+    from ..functions import MINHASH_A, MINHASH_B
+
     return ",\n       ".join(
-        f"list_min(list_transform({sh}, s -> md5('{i}:' || s))) AS mh_{i}"
+        f"list_min(list_transform({hashed_col}, "
+        f"h -> (h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {HASH_PRIME})) AS mh_{i}"
         for i in range(num_hashes)
     )
 
@@ -87,10 +98,13 @@ def _sql_minhash_cols(num_hashes: int, words_expr: str = _SQL_WORDS) -> str:
     oracle=f"""
     SELECT doc_id,
        {_sql_minhash_cols(4)}
-    FROM documents
+    FROM (
+      SELECT doc_id, {_sql_shingle_hashes()} AS hashed FROM documents
+    )
     """,
-    doc="MinHash signatures (k=4 shown; salted-md5 order-statistic min over "
-    "3-word shingles). Per-row array work — no shuffle at any scale.",
+    doc="MinHash signatures (k=4 shown): one md5 per 3-word shingle, then "
+    "affine integer permutations. Per-row array work — no shuffle at any "
+    "scale.",
 )
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
@@ -107,15 +121,17 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sigs AS (
       SELECT doc_id,
        {_sql_minhash_cols(8)}
-      FROM corpus
+      FROM (
+        SELECT doc_id, {_sql_shingle_hashes()} AS hashed FROM corpus
+      )
     ), buckets AS (
-      SELECT doc_id, 0 AS band_idx, md5(mh_0 || mh_1) AS band_val FROM sigs
+      SELECT doc_id, 0 AS band_idx, md5(mh_0::VARCHAR || mh_1::VARCHAR) AS band_val FROM sigs
       UNION ALL
-      SELECT doc_id, 1, md5(mh_2 || mh_3) FROM sigs
+      SELECT doc_id, 1, md5(mh_2::VARCHAR || mh_3::VARCHAR) FROM sigs
       UNION ALL
-      SELECT doc_id, 2, md5(mh_4 || mh_5) FROM sigs
+      SELECT doc_id, 2, md5(mh_4::VARCHAR || mh_5::VARCHAR) FROM sigs
       UNION ALL
-      SELECT doc_id, 3, md5(mh_6 || mh_7) FROM sigs
+      SELECT doc_id, 3, md5(mh_6::VARCHAR || mh_7::VARCHAR) FROM sigs
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM buckets a JOIN buckets b
