@@ -973,3 +973,145 @@ def grouped_map_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         fit, schema="user_id bigint, slope double, n bigint"
     )
+
+
+@register(
+    "scalar_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           extract(year FROM o_orderdate)    AS yr,
+           extract(month FROM o_orderdate)   AS mo,
+           extract(day FROM o_orderdate)     AS dy,
+           extract(quarter FROM o_orderdate) AS qtr,
+           date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_y2k,
+           strftime(o_orderdate + INTERVAL 7 DAY, '%Y-%m-%d') AS week_later,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+    doc="Temporal scalar coverage: extract parts, day arithmetic, interval "
+    "add, month truncation (reference temporal surface: fromisoformat + "
+    "date(), lambda_function.py:80).",
+)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dy"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        F.datediff(
+            F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("bigint").alias("days_to_y2k"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 7), "yyyy-MM-dd").alias(
+            "week_later"
+        ),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+    )
+
+
+@register(
+    "scalar_string_functions",
+    oracle="""
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           replace(c_name, '#', '-') AS renamed,
+           trim('  ' || c_mktsegment || ' ') AS trimmed,
+           reverse(c_mktsegment) AS rev_seg,
+           repeat('*', c_custkey % 4) AS stars,
+           left(c_name, 4) AS name_left,
+           right(c_name, 3) AS name_right,
+           strpos(c_name, '#') AS hash_pos,
+           concat_ws('/', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_path
+    FROM customer
+    WHERE c_custkey < 400
+    """,
+    doc="String scalar coverage: pad/replace/trim/reverse/repeat/slice/"
+    "position/concat_ws.",
+)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("renamed"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias(
+            "trimmed"
+        ),
+        F.reverse("c_mktsegment").alias("rev_seg"),
+        F.repeat(F.lit("*"), (F.col("c_custkey") % 4).cast("int")).alias("stars"),
+        F.substring("c_name", 1, 4).alias("name_left"),
+        F.substring(F.col("c_name"), -3, 3).alias("name_right"),
+        F.instr("c_name", "#").cast("bigint").alias("hash_pos"),
+        F.concat_ws(
+            "/", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
+        ).alias("seg_path"),
+    )
+
+
+@register(
+    "scalar_null_semantics",
+    oracle="""
+    SELECT c_custkey,
+           nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'fallback') AS with_fallback,
+           (nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL) AS is_building,
+           CASE WHEN c_acctbal IS NULL THEN -1 ELSE 1 END AS null_flag,
+           ifnull(NULL, c_custkey) AS ifnulled
+    FROM customer
+    WHERE c_custkey < 300
+    """,
+    doc="NULL-semantics coverage: nullif/coalesce/null-safe comparison/"
+    "ifnull — the engine-wide absent-vs-null discipline (SURVEY §7).",
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    seg_or_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        seg_or_null.alias("seg_or_null"),
+        F.coalesce(seg_or_null, F.lit("fallback")).alias("with_fallback"),
+        seg_or_null.eqNullSafe(F.lit(None).cast("string")).alias("is_building"),
+        F.when(F.col("c_acctbal").isNull(), -1).otherwise(1).alias("null_flag"),
+        F.ifnull(F.lit(None).cast("long"), F.col("c_custkey")).alias("ifnulled"),
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(embedding[1]::DOUBLE, 6) AS first_val,
+           round(list_max(list_transform(embedding, x -> x::DOUBLE)), 6) AS max_val,
+           round(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(embedding[1:8], x -> x::DOUBLE)),
+                 (a, x) -> a + x), 6) AS head8_sum,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings
+    WHERE vec_id < 200
+    """,
+    doc="Array / higher-order function coverage over the embedding column: "
+    "size, element access, transform+max, sequential slice fold, filter "
+    "count — the primitives the dedup/similarity operators build on.",
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import seq_sum
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_val"),
+        F.round(
+            F.array_max(F.transform(emb, lambda x: x.cast("double"))), 6
+        ).alias("max_val"),
+        F.round(
+            seq_sum(F.transform(F.slice(emb, 1, 8), lambda x: x.cast("double"))), 6
+        ).alias("head8_sum"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("bigint").alias("n_positive"),
+    )
