@@ -29,13 +29,40 @@ from pyspark.sql.streaming import StreamingQuery
 from ..operators import pipeline as P
 
 
-def decode_stream(envelope_stream: DataFrame) -> DataFrame:
+def decode_stream(envelope_stream: DataFrame, tolerant: bool = False) -> DataFrame:
     """R2-R5+R7 over a streaming envelope frame (narrow ops only — the
-    streaming plan stays stateless and shuffle-free)."""
-    df = P.decode_kinesis(envelope_stream)
+    streaming plan stays stateless and shuffle-free).
+
+    ``tolerant=True`` keeps undecodable records in the frame as NULL-key
+    rows (use :func:`split_dead_letters` to route them); the default
+    strict mode fails the batch on structurally invalid base64, matching
+    the reference's redelivery semantics.
+    """
+    df = P.decode_kinesis(envelope_stream, tolerant=tolerant)
     df = P.with_event_timestamp(df)
     df = P.nullify_empty_ip(df)
+    if tolerant:
+        return df  # caller splits dead letters; don't drop them silently
     return P.drop_null_records(df)
+
+
+def split_dead_letters(decoded: DataFrame, key_col: str = "random_id"):
+    """Route a tolerant-mode stream into (good, dead) frames.
+
+    Dead letters keep only the raw payload + a reason tag — enough to
+    replay after a fix.  Both frames derive from one decode (the
+    generator barrier in decode_kinesis guarantees single evaluation per
+    consumer branch inside the same foreachBatch pass when the batch is
+    persisted).
+    """
+    from pyspark.sql import functions as F
+
+    good = decoded.filter(F.col(key_col).isNotNull())
+    dead = decoded.filter(F.col(key_col).isNull()).select(
+        F.col("_raw").alias("raw_payload"),
+        F.lit("decode_or_parse_failure").alias("reason"),
+    )
+    return good, dead
 
 
 def replay_dedup(decoded: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -146,3 +146,44 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     assert got.total is not None and got.total <= events.count()
     assert spark.sql("SELECT count(*) c FROM hourly_out").collect()[0].c <= batch
     assert spark.sql("SELECT count(*) c FROM hourly_out").collect()[0].c > 0
+
+
+def test_tolerant_stream_routes_dead_letters(spark, tmp_path):
+    """Tolerant decode + split: bad JSON payloads land in the DLQ frame,
+    good records keep flowing — the stream-survives-poison-pill mode."""
+    from kinesis_to_opensearch_lambda_spark.streaming.pipeline import (
+        split_dead_letters,
+    )
+
+    good = [dict(FULL_RECORD, random_id=f"g-{i}") for i in range(5)]
+    rows = [(base64.b64encode(json.dumps(r).encode()).decode(),) for r in good]
+    rows += [(base64.b64encode(b"{not-json").decode(),)] * 3
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "kinesis_data: string").write.parquet(src)
+
+    from kinesis_to_opensearch_lambda_spark.sources.kinesis import (
+        read_envelope_stream,
+    )
+    from kinesis_to_opensearch_lambda_spark.streaming.pipeline import decode_stream
+
+    delivered, dead = [], []
+
+    def process(batch_df, epoch_id):
+        batch_df.persist()
+        try:
+            g, d = split_dead_letters(batch_df)
+            delivered.extend(r.random_id for r in g.collect())
+            dead.extend(r.raw_payload for r in d.collect())
+        finally:
+            batch_df.unpersist()
+
+    stream = decode_stream(read_envelope_stream(spark, src), tolerant=True)
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(delivered) == [f"g-{i}" for i in range(5)]
+    assert len(dead) == 3 and all(p == "{not-json" for p in dead)
