@@ -89,3 +89,19 @@ def test_no_row_python_anywhere(spark, name):
     assert "BatchEvalPython" not in nodes, nodes
     if name not in ARROW_ALLOWLIST:
         assert nodes == [], f"{name} unexpectedly runs Python: {nodes}"
+
+
+def test_q6_all_predicates_pushed(spark):
+    fs = pushed_filters(q(spark, "tpch_q6_forecast_revenue"))
+    assert any("l_shipdate" in f for f in fs), fs
+    assert any("l_discount" in f for f in fs), fs
+    assert any("l_quantity" in f for f in fs), fs
+
+
+def test_q18_agg_before_join(spark):
+    # HAVING subquery aggregates lineitem BEFORE joining orders: the
+    # first exchange is on l_orderkey for the agg, not a join of raw rows
+    from kinesis_to_opensearch_lambda_spark.plans import plan_string
+
+    plan = plan_string(q(spark, "tpch_q18_large_volume"), "simple")
+    assert "HashAggregate" in plan

@@ -116,3 +116,27 @@ def test_error_containment_drops_chunk_not_stream(spark, tmp_path, records):
     ok, total = sink.write(decoded(spark, records).coalesce(1))
     assert total == 20
     assert ok == 10  # first chunk dropped, second delivered, no exception
+
+
+def test_chunking_property():
+    """Property: chunks partition the input exactly — sizes sum to the
+    total, every chunk ≤ max, order preserved (lambda_function.py:127-135
+    flush-remainder semantics)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kinesis_to_opensearch_lambda_spark.sinks.base import _chunks
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.text(max_size=5), max_size=200),
+        st.integers(min_value=1, max_value=50),
+    )
+    def check(items, size):
+        out = list(_chunks(iter(items), size))
+        assert [x for c in out for x in c] == items
+        assert all(1 <= len(c) <= size for c in out)
+        if out:
+            assert all(len(c) == size for c in out[:-1])
+
+    check()

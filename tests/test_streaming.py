@@ -187,3 +187,48 @@ def test_tolerant_stream_routes_dead_letters(spark, tmp_path):
     q.awaitTermination(120)
     assert sorted(delivered) == [f"g-{i}" for i in range(5)]
     assert len(dead) == 3 and all(p == "{not-json" for p in dead)
+
+
+def test_sliding_and_session_window_streams(spark, tmp_path):
+    """Sliding + session-window streaming aggs drain under availableNow
+    and produce sane sealed-window output."""
+    from kinesis_to_opensearch_lambda_spark.streaming.pipeline import (
+        session_window_counts,
+        sliding_counts,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+
+    sl = sliding_counts(stream, window="1 hour", slide="15 minutes")
+    q1 = (
+        sl.writeStream.format("memory").queryName("sliding_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True).start()
+    )
+    q1.awaitTermination(120)
+    sliding = spark.sql("SELECT * FROM sliding_out")
+    assert sliding.count() > 0
+    # every sealed sliding window spans exactly 1 hour
+    bad = sliding.filter(
+        F.unix_timestamp("win_end") - F.unix_timestamp("win_start") != 3600
+    )
+    assert bad.count() == 0
+
+    se = session_window_counts(stream, gap="30 minutes")
+    q2 = (
+        se.writeStream.format("memory").queryName("session_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    sessions = spark.sql("SELECT * FROM session_out")
+    assert sessions.count() > 0
+    # session windows close only after ≥30min gaps: no zero-length junk
+    assert sessions.filter(F.col("n_events") <= 0).count() == 0
