@@ -1,0 +1,71 @@
+"""Drop-in compatibility facade for the reference's Lambda entry point.
+
+A user of ``app-sre/kinesis-to-opensearch-lambda`` invokes
+``handler(event, context)`` with the AWS Kinesis event envelope
+(lambda_function.py:140-148).  This module accepts the *same* event
+dict, runs the engine's DataFrame pipeline over it, and fans out to the
+same two sinks — so switching repos is changing an import.
+
+The sinks are injected (defaults come from :class:`config.EngineConfig`)
+and the SparkSession is reused across invocations; for real streams use
+``streaming.dual_sink_fanout`` instead — this shim exists for
+batch-shaped, Lambda-style invocation parity.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from .config import EngineConfig
+from .operators import pipeline as P
+from .sinks import OpenSearchBulkSink, SplunkHECSink
+from .sinks.splunk import is_disabled
+
+
+def records_to_envelope_df(spark: SparkSession, event: dict[str, Any]):
+    """AWS event dict -> one-column envelope frame
+    (``record["kinesis"]["data"]``, lambda_function.py:44-45)."""
+    rows = [(r["kinesis"]["data"],) for r in event.get("Records", [])]
+    return spark.createDataFrame(rows, "kinesis_data: string")
+
+
+def handler(
+    event: dict[str, Any],
+    context: Any = None,
+    *,
+    spark: SparkSession | None = None,
+    config: EngineConfig | None = None,
+    es_sink: OpenSearchBulkSink | None = None,
+    splunk_sink: SplunkHECSink | None = None,
+) -> dict[str, int]:
+    """Reference-parity handler: decode -> normalize -> ES branch
+    (projected) + Splunk branch (full record).
+
+    Returns per-sink delivered counts (the reference prints them,
+    lambda_function.py:87-88,137-138).
+    """
+    if spark is None:
+        from .session import get_session
+
+        spark = get_session(app_name="lambda-compat")
+    config = config or EngineConfig()
+
+    env = records_to_envelope_df(spark, event)
+    df = P.decode_kinesis(env)
+    df = P.with_event_timestamp(df)
+    df = P.nullify_empty_ip(df)
+    df = P.drop_null_records(df)
+    df.persist()  # one decode, two sinks (lambda_function.py:141,144,148)
+    try:
+        result = {"elasticsearch": 0, "splunk": 0}
+        if es_sink is not None:
+            ok, _ = es_sink.write(df)  # sink projects internally (R6)
+            result["elasticsearch"] = ok
+        if splunk_sink is not None and not is_disabled(config.splunk_disabled):
+            ok, _ = splunk_sink.write(df)
+            result["splunk"] = ok
+        return result
+    finally:
+        df.unpersist()

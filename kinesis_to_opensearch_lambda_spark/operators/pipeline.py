@@ -19,6 +19,8 @@ executor cores; the only state is the sink.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -192,6 +194,53 @@ def dedup_by_doc_id(df: DataFrame, id_col: str = "random_id") -> DataFrame:
     return df.dropDuplicates([id_col])
 
 
+# escape-aware JSON string-value pattern (handles \" inside values)
+_JSTR = r'"(?:[^"\\]|\\.)*"'
+
+
+def _strip_json_field(col: Column, field: str, value_pattern: str = _JSTR) -> Column:
+    """Textually remove ``"field": <value>`` from a JSON object string,
+    keeping the object well-formed (field-with-trailing-comma, then
+    comma-preceded-last-field, then lone-field)."""
+    f = re.escape(field)
+    out = F.regexp_replace(col, f'"{f}"\\s*:\\s*{value_pattern}\\s*,', "")
+    out = F.regexp_replace(out, f',\\s*"{f}"\\s*:\\s*{value_pattern}', "")
+    return F.regexp_replace(out, f'"{f}"\\s*:\\s*{value_pattern}', "")
+
+
+def splunk_event_json(df: DataFrame) -> Column:
+    """The Splunk-branch event payload: the POST-processed record with
+    full schemaless passthrough.
+
+    Reference semantics (lambda_function.py:141,148 + SURVEY §2A fine
+    points): Splunk sees the record AFTER ``@timestamp`` derivation and
+    empty-``ip`` removal but WITHOUT the ES projection, including any
+    unknown fields.  Spark is schema-first, so unknown fields live in
+    the raw JSON; the two derived mutations are applied to the raw text
+    itself (escape-safe regex + ``to_json`` for quoting), keeping the
+    whole path JVM-side:
+
+    - any pre-existing ``@timestamp`` is replaced (dict-assignment
+      parity), the new value injected via ``to_json`` so escaping is
+      correct;
+    - ``"ip": ""`` / ``"ip": null`` is removed (falsy-pop parity).
+    """
+    raw = _strip_json_field(F.col("_raw"), "@timestamp")
+    raw = _strip_json_field(raw, "ip", '(?:""|null)')
+    frag = F.to_json(F.struct(F.col("datetime").alias("@timestamp")))
+    # '{"@timestamp":"..."}' -> '"@timestamp":"..."'
+    ts_pair = F.substring(frag, 2, F.length(frag) - 2)
+    injected = F.concat(
+        F.lit("{"),
+        ts_pair,
+        F.when(F.regexp_like(raw, F.lit(r"^\{\s*\}$")), F.lit("")).otherwise(
+            F.lit(",")
+        ),
+        F.substring(raw, 2, F.length(raw) - 1),
+    )
+    return F.when(F.col("datetime").isNull(), raw).otherwise(injected)
+
+
 def splunk_envelope(
     df: DataFrame, splunk_index: str, sourcetype: str = "json"
 ) -> DataFrame:
@@ -201,12 +250,12 @@ def splunk_envelope(
     ``{"event": message, "sourcetype": "json", "index": splunk_index}``.
 
     When the frame carries ``_raw`` (schemaless passthrough) the event
-    payload is the raw JSON, so unknown fields survive exactly; else the
-    struct of all columns is serialized (``to_json`` drops nulls,
-    matching dict-key absence).
+    payload is :func:`splunk_event_json` — post-processed raw JSON, so
+    unknown fields survive exactly; else the struct of all columns is
+    serialized (``to_json`` drops nulls, matching dict-key absence).
     """
-    if "_raw" in df.columns:
-        event = F.col("_raw")
+    if "_raw" in df.columns and "datetime" in df.columns:
+        event = splunk_event_json(df)
     else:
         event = F.to_json(F.struct(*[df[c] for c in df.columns]))
     return df.select(

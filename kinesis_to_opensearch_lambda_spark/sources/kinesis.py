@@ -62,6 +62,42 @@ def kinesis_envelope(audit_df: DataFrame) -> DataFrame:
     return encode_kinesis(audit_df)
 
 
+def read_kinesis_stream(
+    spark: SparkSession,
+    stream_name: str,
+    region: str,
+    endpoint_url: str | None = None,
+    initial_position: str = "LATEST",
+    source_format: str = "aws-kinesis",
+) -> DataFrame:
+    """Bind the real Structured Streaming Kinesis connector
+    (``spark-sql-kinesis``; the production R1 source).  The connector
+    jar is not in this image, so this raises a clear error locally —
+    tests and local runs use :func:`read_envelope_stream` instead.
+
+    The returned stream carries the connector's ``data`` binary column;
+    select ``base64(data) AS kinesis_data`` to feed the same decode
+    chain the envelope emulation uses.
+    """
+    reader = (
+        spark.readStream.format(source_format)
+        .option("streamName", stream_name)
+        .option("region", region)
+        .option("initialPosition", initial_position)
+    )
+    if endpoint_url:
+        reader = reader.option("endpointUrl", endpoint_url)
+    try:
+        stream = reader.load()
+    except Exception as exc:  # pragma: no cover - depends on jars
+        raise RuntimeError(
+            f"Kinesis connector '{source_format}' is not on the classpath; "
+            "add the spark-sql-kinesis connector jar, or use "
+            "read_envelope_stream() for file-based emulation"
+        ) from exc
+    return stream.select(F.base64(F.col("data")).alias("kinesis_data"))
+
+
 def read_envelope_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

@@ -1,0 +1,97 @@
+"""Handler-compat tests: the reference's TestHandler suite
+(test_lambda_function.py:167-260) ported against the drop-in
+``compat.handler`` with injected spool sinks."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pytest
+
+from kinesis_to_opensearch_lambda_spark.compat import handler
+from kinesis_to_opensearch_lambda_spark.config import EngineConfig
+from kinesis_to_opensearch_lambda_spark.sinks import (
+    OpenSearchBulkSink,
+    SplunkHECSink,
+    SpoolDirTransport,
+)
+from kinesis_to_opensearch_lambda_spark.sources.kinesis import read_kinesis_stream
+
+from .test_transforms import FULL_RECORD
+
+
+def kinesis_event(records: list[dict]) -> dict:
+    """The AWS envelope the reference receives
+    (test_lambda_function.py:64-67)."""
+    return {
+        "Records": [
+            {
+                "kinesis": {
+                    "data": base64.b64encode(json.dumps(r).encode()).decode()
+                }
+            }
+            for r in records
+        ]
+    }
+
+
+@pytest.fixture
+def sinks(tmp_path):
+    es = OpenSearchBulkSink(
+        transport_factory=lambda: SpoolDirTransport(str(tmp_path / "es"))
+    )
+    hec = SplunkHECSink(
+        transport_factory=lambda: SpoolDirTransport(str(tmp_path / "hec"))
+    )
+    return es, hec, SpoolDirTransport(str(tmp_path / "es")), SpoolDirTransport(
+        str(tmp_path / "hec")
+    )
+
+
+def test_handler_es_gets_only_allowlisted(spark, sinks):
+    es, hec, es_spool, _ = sinks
+    out = handler(kinesis_event([FULL_RECORD]), spark=spark, es_sink=es, splunk_sink=hec)
+    assert out == {"elasticsearch": 1, "splunk": 1}
+    [action] = es_spool.read_back()
+    assert set(action["_source"]) <= {
+        "random_id", "kind_id", "account_id", "performer_id",
+        "repository_id", "ip", "metadata", "datetime", "@timestamp",
+    }
+    assert action["_id"] == "abc123"
+    assert action["_index"] == "logs-2026-02-18"
+
+
+def test_handler_splunk_gets_full_record(spark, sinks):
+    es, hec, _, hec_spool = sinks
+    handler(kinesis_event([FULL_RECORD]), spark=spark, es_sink=es, splunk_sink=hec)
+    [event] = hec_spool.read_back()
+    payload = json.loads(event["event"])
+    assert payload["request_url"] == "/api/login"
+    assert payload["user_agent"] == "Mozilla/5.0"
+    assert payload["@timestamp"] == payload["datetime"]
+
+
+def test_handler_multi_record_batch(spark, sinks):
+    es, hec, es_spool, hec_spool = sinks
+    records = [dict(FULL_RECORD, random_id=f"m-{i}") for i in range(7)]
+    out = handler(kinesis_event(records), spark=spark, es_sink=es, splunk_sink=hec)
+    assert out == {"elasticsearch": 7, "splunk": 7}
+    assert {a["_id"] for a in es_spool.read_back()} == {f"m-{i}" for i in range(7)}
+    assert len(hec_spool.read_back()) == 7
+
+
+def test_handler_respects_splunk_disable(spark, sinks):
+    es, hec, _, hec_spool = sinks
+    cfg = EngineConfig(splunk_disabled="true")
+    out = handler(
+        kinesis_event([FULL_RECORD]), spark=spark, config=cfg,
+        es_sink=es, splunk_sink=hec,
+    )
+    assert out == {"elasticsearch": 1, "splunk": 0}
+    assert hec_spool.read_back() == []
+
+
+def test_kinesis_connector_binding_raises_clearly(spark):
+    with pytest.raises(RuntimeError, match="connector"):
+        read_kinesis_stream(spark, "audit-stream", "us-east-1")

@@ -98,3 +98,53 @@ def test_pipeline_matches_reference_model(spark, records):
         g = got_by_id[e["random_id"]]
         # metadata never generated here; compare the full dicts
         assert g == e, f"\nspark={g}\nmodel={e}"
+
+
+def model_splunk_event(record: dict) -> dict:
+    """Reference Splunk branch: full post-processed record."""
+    return model_process(record)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        # include hostile @timestamp/ip values to stress the textual
+        # JSON derivation (escapes, quotes, backslashes)
+        record_st.flatmap(
+            lambda r: st.fixed_dictionaries(
+                {},
+                optional={"@timestamp": tricky_text, "extra_field": tricky_text},
+            ).map(lambda extra: {**r, **extra})
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_splunk_branch_matches_reference_model(spark, records):
+    import base64 as b64
+    import pyspark.sql.functions as F_
+
+    from kinesis_to_opensearch_lambda_spark.operators.pipeline import (
+        splunk_envelope,
+    )
+
+    rows = [
+        (b64.b64encode(json.dumps(r).encode()).decode(),) for r in records
+    ]
+    env = spark.createDataFrame(rows, "kinesis_data: string")
+    df = P.decode_kinesis(env)
+    df = P.with_event_timestamp(df)
+    df = P.nullify_empty_ip(df)
+    df = P.drop_null_records(df)
+    out = splunk_envelope(df, "audit").collect()
+    got = [json.loads(r.event) for r in out]
+    expected = [model_splunk_event(r) for r in records]
+    got_by_id = {g["random_id"]: g for g in got}
+    assert len(got) == len(expected)
+    for e in expected:
+        g = got_by_id[e["random_id"]]
+        assert g == e, f"\nspark={g}\nmodel={e}"
