@@ -36,13 +36,22 @@ def main() -> None:
     # timed pass measures steady-state execution, not first-run codegen.
     for _ in range(2):
         for q in headline:
-            q.spark(spark, SF_DIR).count()
+            try:
+                q.spark(spark, SF_DIR).count()
+            except Exception as exc:  # noqa: BLE001
+                print(f"# warmup {q.name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for q in headline:
         t0 = time.perf_counter()
-        df = q.spark(spark, SF_DIR)
-        n = df.count()
+        try:
+            df = q.spark(spark, SF_DIR)
+            n = df.count()
+        except Exception as exc:  # noqa: BLE001 - one failure must not kill the run
+            errors[q.name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"# {q.name}: FAILED {errors[q.name]}", file=sys.stderr)
+            continue
         timings[q.name] = round(time.perf_counter() - t0, 3)
         print(f"# {q.name}: {timings[q.name]:.3f}s ({n} rows)", file=sys.stderr)
 
@@ -51,17 +60,16 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

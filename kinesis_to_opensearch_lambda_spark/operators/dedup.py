@@ -188,3 +188,57 @@ def jaccard_shingle_similarity(
             / F.size(F.array_union("_s1", "_s2")).cast("double")
         ).alias("jaccard"),
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster candidate-duplicate pairs into components: each node gets
+    ``cluster_id`` = the minimum node id reachable from it.
+
+    Iterative min-label propagation — the standard large-graph CC
+    algorithm on Spark (large-/small-star style simplification):
+    each round joins every node's current label against its neighbours'
+    labels and keeps the min; converges in O(diameter) rounds.  Per
+    round: one join shuffle on node id; ``localCheckpoint`` truncates
+    the lineage so plans don't grow unboundedly.  Duplicate clusters
+    from LSH have tiny diameters (near-cliques), so 3-4 rounds settle
+    in practice; ``max_iter`` bounds the worst case.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("cluster_id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (
+                    F.coalesce("nbr_min", F.col("cluster_id"))
+                    < F.col("cluster_id")
+                ).alias("_changed"),
+            )
+        ).localCheckpoint()
+        n_changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels

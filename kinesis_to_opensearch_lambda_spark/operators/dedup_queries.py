@@ -253,3 +253,58 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cos"),
         )
     )
+
+
+@register(
+    "dedup_duplicate_clusters",
+    oracle=f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      {_SQL_MUTATED}
+    ), sigs AS (
+      SELECT doc_id,
+       {_sql_minhash_cols(8)}
+      FROM (
+        SELECT doc_id, {_sql_shingle_hashes()} AS hashed FROM corpus
+      )
+    ), buckets AS (
+      SELECT doc_id, 0 AS band_idx, md5(mh_0::VARCHAR || mh_1::VARCHAR) AS band_val FROM sigs
+      UNION ALL
+      SELECT doc_id, 1, md5(mh_2::VARCHAR || mh_3::VARCHAR) FROM sigs
+      UNION ALL
+      SELECT doc_id, 2, md5(mh_4::VARCHAR || mh_5::VARCHAR) FROM sigs
+      UNION ALL
+      SELECT doc_id, 3, md5(mh_6::VARCHAR || mh_7::VARCHAR) FROM sigs
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ), sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT doc_a, doc_a FROM pairs
+      UNION SELECT doc_b, doc_b FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS doc_id, min(b) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+    doc="Duplicate-cluster assignment: LSH candidate pairs -> iterative "
+    "min-label connected components (operators.dedup.connected_components; "
+    "O(diameter) join rounds, lineage checkpointed). Oracle: recursive-CTE "
+    "transitive closure — the one iterative-algorithm entry that is still "
+    "SQL-expressible.",
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    sigs = D.minhash_signatures(corpus, num_hashes=8)
+    buckets = D.lsh_band_buckets(sigs, "doc_id", num_hashes=8, rows_per_band=2)
+    pairs = D.lsh_candidate_pairs(buckets, "doc_id")
+    return D.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
