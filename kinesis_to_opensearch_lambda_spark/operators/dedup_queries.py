@@ -308,3 +308,111 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      {_SQL_MUTATED}
+    ), quality AS (
+      SELECT doc_id,
+             0.5 * (1.0 - len(list_filter(string_split(text, ' '),
+                                x -> x = 'the' OR x = 'a'))::DOUBLE
+                          / len(string_split(text, ' '))::DOUBLE)
+             + 0.3 * (len(list_filter(string_split(text, ' '), t -> length(t) > 4))::DOUBLE
+                          / len(string_split(text, ' '))::DOUBLE)
+             + 0.2 * least(len(string_split(text, ' '))::DOUBLE / 200.0::DOUBLE, 1.0)
+               AS score
+      FROM corpus
+    ), sigs AS (
+      SELECT doc_id,
+       {_sql_minhash_cols(8)}
+      FROM (
+        SELECT doc_id, {_sql_shingle_hashes()} AS hashed FROM corpus
+      )
+    ), buckets AS (
+      SELECT doc_id, 0 AS band_idx, md5(mh_0::VARCHAR || mh_1::VARCHAR) AS band_val FROM sigs
+      UNION ALL
+      SELECT doc_id, 1, md5(mh_2::VARCHAR || mh_3::VARCHAR) FROM sigs
+      UNION ALL
+      SELECT doc_id, 2, md5(mh_4::VARCHAR || mh_5::VARCHAR) FROM sigs
+      UNION ALL
+      SELECT doc_id, 3, md5(mh_6::VARCHAR || mh_7::VARCHAR) FROM sigs
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ), sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT doc_a, doc_a FROM pairs
+      UNION SELECT doc_b, doc_b FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ), clusters AS (
+      SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    ), resolved AS (
+      SELECT c.doc_id, coalesce(cl.cluster_id, c.doc_id) AS cluster_id,
+             q.score
+      FROM corpus c
+      LEFT JOIN clusters cl USING (doc_id)
+      JOIN quality q USING (doc_id)
+    ), kept AS (
+      SELECT * FROM resolved
+      WHERE score > 0.55 AND doc_id = cluster_id
+    )
+    SELECT (SELECT count(*) FROM corpus) AS n_input,
+           (SELECT count(*) FROM resolved WHERE score <= 0.55) AS n_low_quality,
+           (SELECT count(*) FROM resolved WHERE doc_id != cluster_id) AS n_duplicates,
+           (SELECT count(*) FROM kept) AS n_kept,
+           (SELECT round(avg(score), 6) FROM kept) AS kept_avg_score
+    """,
+    doc="End-to-end training-data curation: quality scoring + MinHash-LSH "
+    "near-dup clustering, keep the cluster representative above the quality "
+    "bar, report per-stage drop counts — the composed LLM-data-pipeline "
+    "showcase (operators.text.quality_features + dedup.*).",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import text as TX
+
+    corpus = _corpus(spark, sf_dir)
+    quality = TX.quality_features(corpus).select("doc_id", "quality_score")
+
+    sigs = D.minhash_signatures(corpus, num_hashes=8)
+    buckets = D.lsh_band_buckets(sigs, "doc_id", num_hashes=8, rows_per_band=2)
+    pairs = D.lsh_candidate_pairs(buckets, "doc_id")
+    clusters = D.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    resolved = (
+        corpus.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+        .join(quality, "doc_id")
+    )
+    kept = resolved.filter(
+        (F.col("quality_score") > 0.55) & (F.col("doc_id") == F.col("cluster_id"))
+    )
+    return (
+        resolved.agg(
+            F.count("*").alias("n_input"),
+            F.sum(F.when(F.col("quality_score") <= 0.55, 1).otherwise(0)).alias(
+                "n_low_quality"
+            ),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("cluster_id"), 1).otherwise(0)
+            ).alias("n_duplicates"),
+        )
+        .crossJoin(
+            kept.agg(
+                F.count("*").alias("n_kept"),
+                F.round(F.avg("quality_score"), 6).alias("kept_avg_score"),
+            )
+        )
+    )

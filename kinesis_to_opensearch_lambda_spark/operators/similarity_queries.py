@@ -175,3 +175,32 @@ def ann_topk_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("q_id", "vec_id", F.round("cos", 6).alias("cos"), "rnk")
     )
+
+
+@register(
+    "emb_label_centroids",
+    oracle="""
+    SELECT label, CAST(pos AS INT) AS pos,
+           round(avg(embedding[pos + 1]::DOUBLE), 6) AS centroid_val,
+           count(*) AS n_vectors
+    FROM embeddings, range(64) t(pos)
+    GROUP BY label, pos
+    """,
+    doc="Per-cell centroid computation (the k-means training step behind an "
+    "IVF coarse quantizer): posexplode the vector, hash-agg mean per "
+    "(cell, dimension). One shuffle on (label, pos); at 100 TB this is the "
+    "canonical map-side-combine aggregation.",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"),
+            F.count("*").alias("n_vectors"),
+        )
+        .select("label", F.col("pos").cast("int").alias("pos"), "centroid_val", "n_vectors")
+    )
