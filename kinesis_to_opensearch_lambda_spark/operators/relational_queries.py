@@ -1279,3 +1279,26 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total_qty", 2).alias("total_qty"),
         )
     )
+
+
+@register(
+    "unpivot_stack",
+    oracle="""
+    SELECT c_custkey, metric, round(val, 2) AS val
+    FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    )
+    WHERE c_custkey < 200
+    """,
+    doc="Unpivot (wide -> long) via stack — the inverse of pivot; planned as "
+    "an Expand node, no shuffle.",
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return c.selectExpr(
+        "c_custkey",
+        "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) "
+        "AS (metric, val)",
+    ).select("c_custkey", "metric", F.round("val", 2).alias("val"))

@@ -180,3 +180,27 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") == 1)
         .select("doc_id", F.col("word").alias("top_word"), F.round("score", 6).alias("tfidf"))
     )
+
+
+@register(
+    "text_regex_stats",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, 's[a-z]+')) AS n_s_tokens,
+           nullif(regexp_extract(text, 'qu[a-z]+'), '') AS first_qu_word,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_consonant_chars
+    FROM documents
+    """,
+    doc="Regex scalar coverage: extract-all counts, first-match extraction "
+    "(NULL-normalized on both engines), global replace.",
+)
+def text_regex_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("s[a-z]+"), 0)).alias("n_s_tokens"),
+        F.nullif(F.regexp_extract("text", "qu[a-z]+", 0), F.lit("")).alias(
+            "first_qu_word"
+        ),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).alias("n_consonant_chars"),
+    )
