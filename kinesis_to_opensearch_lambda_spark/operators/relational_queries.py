@@ -1302,3 +1302,84 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) "
         "AS (metric, val)",
     ).select("c_custkey", "metric", F.round("val", 2).alias("val"))
+
+
+@register(
+    "agg_advanced",
+    oracle="""
+    SELECT event_type,
+           round(corr(value, epoch_us(ts) / 1000000.0), 6) + 0.0 AS corr_vt,
+           round(covar_samp(value, user_id::DOUBLE), 4) + 0.0 AS covar_vu,
+           bit_or(user_id) AS users_bit_or,
+           bit_and(user_id % 16) AS low_bits_and,
+           array_to_string(list_sort(list_distinct(array_agg(user_id % 25))), ',')
+             AS user_buckets
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Advanced aggregates: Pearson correlation, sample covariance, "
+    "bitwise OR/AND, and order-normalized collect_set (deterministic "
+    "string form for hashing).",
+)
+def agg_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            (F.round(F.corr("value", F.unix_micros("ts") / 1_000_000.0), 6) + 0.0).alias(
+                "corr_vt"
+            ),
+            (F.round(F.covar_samp("value", F.col("user_id").cast("double")), 4) + 0.0).alias(
+                "covar_vu"
+            ),
+            F.bit_or("user_id").alias("users_bit_or"),
+            F.bit_and(F.col("user_id") % 16).alias("low_bits_and"),
+            F.array_join(
+                F.sort_array(F.collect_set(F.col("user_id") % 25)), ","
+            ).alias("user_buckets"),
+        )
+    )
+
+
+@register(
+    "gap_fill_daily",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day, t.event_type,
+           coalesce(d.n, 0) AS n
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+    """,
+    doc="Time-series gap filling: dense (day x type) spine generated from the "
+    "data's own bounds, left-filled with zeros — the hypertable-rollup "
+    "pattern; spine generation is a broadcastable scalar-driven sequence.",
+)
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    grid = spine.crossJoin(types)
+    return grid.join(daily, ["day", "event_type"], "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
