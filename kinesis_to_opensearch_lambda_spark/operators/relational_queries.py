@@ -1401,8 +1401,8 @@ def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN customer ON c_custkey = o_custkey
       JOIN nation n1 ON s_nationkey = n1.n_nationkey
       JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      WHERE n1.n_name IN ('FRANCE', 'GERMANY')
-        AND n2.n_name IN ('FRANCE', 'GERMANY')
+      WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        AND n2.n_name IN ('NATION_1', 'NATION_2')
         AND n1.n_name != n2.n_name
     )
     GROUP BY supp_nation, cust_nation, yr
