@@ -1448,18 +1448,18 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q9_product_profit",
     oracle="""
     SELECT n_name AS nation, yr,
-           round(sum(amount), 2) AS profit
+           round(sum(amount_cents) / 100.0, 2) AS profit
     FROM (
       SELECT n_name,
              extract(year FROM o_orderdate) AS yr,
-             l_extendedprice * (1 - l_discount)
-               - 0.6 * p_retailprice * l_quantity AS amount
+             CAST(round((l_extendedprice * (1 - l_discount)
+               - 0.6 * p_retailprice * l_quantity) * 100.0) AS BIGINT) AS amount_cents
       FROM lineitem
       JOIN part     ON l_partkey = p_partkey
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN orders   ON o_orderkey = l_orderkey
       JOIN nation   ON s_nationkey = n_nationkey
-      WHERE p_name LIKE '%5%'
+      WHERE p_name LIKE '%gear%'
     )
     GROUP BY n_name, yr
     """,
@@ -1469,13 +1469,21 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%5%"))
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
     supp = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders")
     nat = _t(spark, sf_dir, "nation")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    # exact integer-cents accumulation: the subtraction makes group sums
+    # land on rounding boundaries, so per-item cent rounding (identical
+    # doubles in both engines) + BIGINT sum keeps the result order-proof
+    amount_cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100.0,
+        0,
+    ).cast("long")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -1485,7 +1493,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("yr"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("profit"))
+        .agg(F.round(F.sum(amount_cents) / 100.0, 2).alias("profit"))
     )
 
 

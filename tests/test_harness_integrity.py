@@ -1,0 +1,41 @@
+"""Guards on the verification harness itself: no trivially-empty
+oracle matches, and the comparator genuinely detects mismatches."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from kinesis_to_opensearch_lambda_spark.queries import REGISTRY
+
+from .conftest import SF_DIR
+from .oracle_compare import _rows
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+)
+def test_oracle_checked_queries_non_empty(spark, name):
+    """An empty result matches an empty oracle trivially (the q7 nation
+    mismatch hid exactly this way) — every oracle-checked query must
+    produce rows at the driver's gate scale."""
+    n = REGISTRY[name].spark(spark, SF_DIR).count()
+    assert n > 0, f"{name} returns no rows at {SF_DIR} — trivial oracle match"
+
+
+def test_comparator_detects_value_mismatch():
+    a = pd.DataFrame({"k": [1, 2], "v": [1.5, 2.5]})
+    b = pd.DataFrame({"k": [1, 2], "v": [1.5, 2.6]})
+    assert _rows(a) != _rows(b)
+
+
+def test_comparator_detects_row_swap_insensitively():
+    a = pd.DataFrame({"k": [1, 2], "v": ["x", "y"]})
+    b = pd.DataFrame({"k": [2, 1], "v": ["y", "x"]})
+    assert _rows(a) == _rows(b)  # order-insensitive by design
+
+
+def test_comparator_normalizes_int_like_floats_and_nulls():
+    a = pd.DataFrame({"v": [3.0, None]})
+    b = pd.DataFrame({"v": [3, float("nan")]})
+    assert _rows(a) == _rows(b)
