@@ -60,3 +60,50 @@ def mm_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     payload = MM.attach_binary_payload(docs)
     return MM.extract_frames(payload)
+
+
+@register(
+    "mm_audio_windows",
+    oracle="""
+    SELECT doc_id,
+           CAST(win_idx AS INT) AS win_idx,
+           CAST(win_idx AS BIGINT) * 512 AS start_byte,
+           least(CAST(win_idx AS BIGINT) * 512 + 1024, n_bytes) AS end_byte
+    FROM (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             unnest(range((octet_length(encode(text)) + 511) // 512)) AS win_idx
+      FROM documents
+    )
+    WHERE CAST(win_idx AS BIGINT) * 512 < n_bytes
+    """,
+    doc="Audio-style overlapping byte windows (1024-byte frames, 512-byte "
+    "hop) over opaque payloads via Arrow mapInPandas fan-out — the "
+    "windowed-feature-extraction plumbing; a real DSP kernel drops into "
+    "the same batch loop.",
+)
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    payload = MM.attach_binary_payload(docs).select("doc_id", "n_bytes")
+
+    def windows(batch_iter):
+        for pdf in batch_iter:
+            n_wins = (pdf["n_bytes"].to_numpy() + 511) // 512
+            doc_ids = pdf["doc_id"].to_numpy().repeat(n_wins)
+            n_bytes = pdf["n_bytes"].to_numpy().repeat(n_wins)
+            win_idx = [i for n in n_wins for i in range(n)]
+            out = pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "win_idx": pd.array(win_idx, dtype="int32"),
+                    "n_bytes": n_bytes,
+                }
+            )
+            out["start_byte"] = out["win_idx"].astype("int64") * 512
+            out["end_byte"] = (out["start_byte"] + 1024).clip(upper=out["n_bytes"])
+            yield out[["doc_id", "win_idx", "start_byte", "end_byte"]]
+
+    return payload.mapInPandas(
+        windows, "doc_id bigint, win_idx int, start_byte bigint, end_byte bigint"
+    )

@@ -142,3 +142,23 @@ def pipeline_splunk_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.get_json_object("event", "$.request_url").isNotNull(), 1).otherwise(0)
         ).alias("n_with_url"),
     )
+
+
+@register(
+    "pipeline_ip_masking",
+    oracle=f"""
+    SELECT 'ev-' || CAST(event_id AS VARCHAR) AS random_id,
+           regexp_replace({_SQL_IP}, '\\.[0-9]+$', '.***') AS ip_masked
+    FROM events
+    WHERE event_type != 'error'
+    """,
+    doc="Data-governance masking: last IP octet redacted before the record "
+    "leaves the pipeline (regexp on the normalized column — the PII-"
+    "scrubbing hook between normalize and the sinks).",
+)
+def pipeline_ip_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = decoded_audit_stream(spark, sf_dir).filter(F.col("ip").isNotNull())
+    return df.select(
+        "random_id",
+        F.regexp_replace("ip", r"\.[0-9]+$", ".***").alias("ip_masked"),
+    )

@@ -6,7 +6,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import sql_cosine
+from ..functions import SQL_DOT, sql_cosine
+
+SQL_DOT_SELF = SQL_DOT.format(a='embedding', b='embedding')
 from ..queries import register
 from ..sources.batch import fan_out, load_table
 from . import similarity as S
@@ -203,4 +205,30 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_vectors"),
         )
         .select("label", F.col("pos").cast("int").alias("pos"), "centroid_val", "n_vectors")
+    )
+
+
+@register(
+    "emb_normalize",
+    oracle=f"""
+    SELECT vec_id,
+           round(sqrt({SQL_DOT_SELF}), 6) AS l2_norm,
+           round(embedding[1]::DOUBLE / sqrt({SQL_DOT_SELF}), 6) AS unit_first
+    FROM embeddings
+    """,
+    doc="Vector preprocessing: L2 norm + unit-normalized components via "
+    "sequential folds (functions.l2_norm) — the normalize step before "
+    "cosine retrieval collapses to a dot product at serving time.",
+)
+def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import l2_norm
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    norm = l2_norm(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(F.element_at("embedding", 1).cast("double") / norm, 6).alias(
+            "unit_first"
+        ),
     )

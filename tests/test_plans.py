@@ -78,7 +78,7 @@ def test_minhash_signatures_shuffle_free(spark):
 
 # The only queries allowed to run (Arrow-batched) Python: multimodal
 # decode plumbing and the grouped-map model-fitting operator.
-ARROW_ALLOWLIST = {"mm_frame_extract", "grouped_map_regression"}
+ARROW_ALLOWLIST = {"mm_frame_extract", "mm_audio_windows", "grouped_map_regression"}
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
