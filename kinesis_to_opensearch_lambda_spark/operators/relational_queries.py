@@ -1579,3 +1579,61 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CASE WHEN value < 0.0 THEN 0
+                WHEN value >= 200.0 THEN 11
+                ELSE CAST(floor(value / 20.0) AS BIGINT) + 1 END AS bucket,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Equi-width histogram via width_bucket — single hash agg, the "
+    "profiling primitive for numeric columns.",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.width_bucket("value", F.lit(0.0), F.lit(200.0), F.lit(10)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "window_ntile_quartiles",
+    oracle="""
+    SELECT event_type, quartile,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM (
+      SELECT event_type, value,
+             ntile(4) OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS quartile
+      FROM events
+    )
+    GROUP BY event_type, quartile
+    """,
+    doc="ntile window bucketing into per-type quartiles (deterministic "
+    "tiebreak), aggregated to quartile profiles.",
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ev = _t(spark, sf_dir, "events").withColumn("quartile", F.ntile(4).over(w))
+    return ev.groupBy("event_type", "quartile").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
