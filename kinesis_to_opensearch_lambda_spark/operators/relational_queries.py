@@ -1637,3 +1637,61 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.avg("value"), 4).alias("avg_value"),
     )
+
+
+@register(
+    "cdc_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             round(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey < 100
+      UNION ALL
+      SELECT 900000 + r.range, 'new_customer', 0, 0.0, 'BUILDING'
+      FROM range(5) r
+    ), merged AS (
+      SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS c_acctbal,
+             c_mktsegment, false AS from_update
+      FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2), c_mktsegment,
+             true
+      FROM updates
+    )
+    SELECT c_custkey, c_name, c_acctbal, from_update FROM merged
+    """,
+    doc="MERGE/upsert emulation without a table format: target anti-join "
+    "updates + union (the guide's CDC/SCD2 pattern; with Delta/Iceberg on "
+    "the classpath this becomes MERGE INTO with the same join plan "
+    "underneath). One shuffle on the merge key.",
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = _t(spark, sf_dir, "customer")
+    updates = target.filter(F.col("c_custkey") < 100).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        "c_mktsegment",
+    ).unionByName(
+        spark.range(5).select(
+            (F.col("id") + 900000).alias("c_custkey"),
+            F.lit("new_customer").alias("c_name"),
+            F.lit(0).cast("int").alias("c_nationkey"),
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("BUILDING").alias("c_mktsegment"),
+        )
+    )
+    kept = target.join(updates, "c_custkey", "left_anti").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit(False).alias("from_update"),
+    )
+    merged = kept.unionByName(
+        updates.withColumn("from_update", F.lit(True))
+    )
+    return merged.select("c_custkey", "c_name", "c_acctbal", "from_update")
