@@ -55,4 +55,5 @@ from .operators import (  # noqa: E402,F401
     text_queries,
     multimodal_queries,
     streaming_queries,
+    subquery_queries,
 )
