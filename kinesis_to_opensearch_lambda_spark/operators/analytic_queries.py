@@ -1,0 +1,264 @@
+"""Analytic-function coverage: percentiles/median, deterministic mode,
+LISTAGG/string_agg, LATERAL + posexplode, window value functions
+(first/last/nth/lag/lead), rank distributions, conditional aggregates.
+
+Determinism notes (driver hash gate):
+- exact ``percentile`` (Spark) == ``quantile_cont`` (DuckDB): both use
+  linear interpolation; results rounded identically on both sides;
+- mode is made deterministic with an explicit (count DESC, value ASC)
+  tie-break instead of each engine's unspecified native ``mode()``;
+- window value functions order by a UNIQUE key within each partition so
+  peer rows cannot reorder between engines;
+- ``max_by``/``min_by`` use a unique ordering argument (o_orderkey).
+
+Reference parity: the reference is an ETL lambda with no analytic
+surface (lambda_function.py); this module is part of the BASELINE.json
+north-star analytics extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries import register
+from ..sources.batch import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+           round(median(l_quantity), 2) AS median_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact percentiles (linear interpolation): Spark percentile() == "
+    "DuckDB quantile_cont(). Exact percentile requires a per-group sort at "
+    "scale; for 100 TB swap to approx_percentile (t-digest sketch, "
+    "map-side combinable) — see agg_approx_distinct for the sketch-based "
+    "pattern the driver checks rows-only.",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 2).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("p75"),
+        F.round(F.median("l_quantity"), 2).alias("median_qty"),
+    )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counted AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ), ranked AS (
+      SELECT c_nationkey, c_mktsegment, n,
+             row_number() OVER (
+               PARTITION BY c_nationkey ORDER BY n DESC, c_mktsegment ASC
+             ) AS rn
+      FROM counted
+    )
+    SELECT c_nationkey, c_mktsegment AS mode_segment, n AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Deterministic mode: native mode() has engine-unspecified "
+    "tie-breaking, so the mode is computed as count + row_number with an "
+    "explicit (count DESC, value ASC) tie-break. Two-level aggregation: "
+    "the first groupBy pre-shrinks to |groups x distinct values| before "
+    "the window — the scalable pattern for modal statistics at 100 TB.",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    counted = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("n").desc(), F.col("c_mktsegment").asc()
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_nationkey",
+            F.col("c_mktsegment").alias("mode_segment"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    """,
+    doc="LISTAGG / string_agg with explicit ORDER BY: Spark side sorts the "
+    "collected array before joining (collect_list order is "
+    "partition-dependent, array_sort makes it canonical). collect_list is "
+    "driver-safe here only because groups are small; unbounded groups at "
+    "100 TB need a size cap (slice) or an explode-based rollup instead.",
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+        )
+    )
+
+
+@register(
+    "lateral_posexplode",
+    oracle="""
+    SELECT doc_id,
+           unnest(generate_series(1, least(5, len(words)))) - 1 AS pos,
+           unnest(words[1:5]) AS word
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS words
+      FROM documents WHERE doc_id < 50
+    )
+    """,
+    doc="Positional explode: Spark posexplode(slice(...)) == DuckDB "
+    "parallel unnests (positionally aligned). Narrow transform, no "
+    "shuffle: explode pipelines inside the scan stage at any scale.",
+)
+def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    words = docs.select(
+        "doc_id", F.slice(F.split("text", " "), 1, 5).alias("head_words")
+    )
+    return words.select(
+        "doc_id", F.posexplode("head_words").alias("pos", "word")
+    )
+
+
+@register(
+    "window_value_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           first_value(l_extendedprice) OVER w AS first_price,
+           last_value(l_extendedprice) OVER w AS last_price,
+           nth_value(l_extendedprice, 2) OVER w AS second_price,
+           lag(l_extendedprice, 1, 0.0) OVER w AS prev_price,
+           lead(l_extendedprice, 1, 0.0) OVER w AS next_price
+    FROM lineitem
+    WHERE l_orderkey < 400
+    WINDOW w AS (
+      PARTITION BY l_orderkey ORDER BY l_linenumber
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+    doc="Window value functions over an explicit unbounded ROWS frame with "
+    "a unique in-partition ordering key (l_linenumber), so first/last/nth "
+    "are engine-deterministic. Single shuffle on the partition key.",
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_seq = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first("l_extendedprice").over(w).alias("first_price"),
+        F.last("l_extendedprice").over(w).alias("last_price"),
+        F.nth_value("l_extendedprice", 2).over(w).alias("second_price"),
+        F.lag("l_extendedprice", 1, 0.0).over(w_seq).alias("prev_price"),
+        F.lead("l_extendedprice", 1, 0.0).over(w_seq).alias("next_price"),
+    )
+
+
+@register(
+    "window_rank_distribution",
+    oracle="""
+    WITH nation_rev AS (
+      SELECT s_nationkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      GROUP BY s_nationkey
+    )
+    SELECT s_nationkey,
+           rank() OVER o AS rnk,
+           dense_rank() OVER o AS drnk,
+           round(percent_rank() OVER o, 6) AS prank,
+           round(cume_dist() OVER o, 6) AS cdist
+    FROM nation_rev
+    WINDOW o AS (ORDER BY rev_cents DESC)
+    """,
+    doc="Rank-distribution functions (rank/dense_rank/percent_rank/"
+    "cume_dist) over a pre-aggregated (tiny) input with an exact "
+    "integer-cent ordering key — ties impossible to reorder across "
+    "engines. The global (unpartitioned) window is safe only because the "
+    "input is |nations| rows; never apply an unpartitioned window to raw "
+    "fact rows at scale.",
+)
+def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation_rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    o = Window.orderBy(F.col("rev_cents").desc())
+    return nation_rev.select(
+        "s_nationkey",
+        F.rank().over(o).alias("rnk"),
+        F.dense_rank().over(o).alias("drnk"),
+        F.round(F.percent_rank().over(o), 6).alias("prank"),
+        F.round(F.cume_dist().over(o), 6).alias("cdist"),
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_totalprice > 150000) AS n_large,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
+             AS avg_open_price,
+           bool_or(o_totalprice > 400000) AS any_huge,
+           max_by(o_totalprice, o_orderkey) AS latest_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Conditional aggregation: FILTER clauses, CASE sums, bool_or, and "
+    "max_by keyed on the UNIQUE o_orderkey (deterministic argmax). All "
+    "map-side combinable — one shuffle of |groups| partial states.",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_large"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("n_finished"),
+        F.round(
+            F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 2
+        ).alias("avg_open_price"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
+        F.max_by("o_totalprice", "o_orderkey").alias("latest_price"),
+    )

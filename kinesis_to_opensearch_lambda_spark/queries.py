@@ -56,4 +56,5 @@ from .operators import (  # noqa: E402,F401
     multimodal_queries,
     streaming_queries,
     subquery_queries,
+    analytic_queries,
 )
