@@ -1,0 +1,205 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs
+beyond per-document stats: repetition quality signals (Gopher-style),
+PII redaction, overlapping document chunking, and cross-document
+boilerplate n-gram detection.
+
+All four are pure built-in-function plans (split/transform/explode +
+two-level aggregation) — no Python UDFs, fully codegen-able, and the
+explodes pipeline inside the scan stage, so the shapes hold at 100 TB:
+the only shuffles are the final small aggregations on (doc_id) or
+(shingle).
+
+Determinism: every ratio is a quotient of exact integer counts, rounded
+identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import word_shingles, words
+from ..queries import register
+from ..sources.batch import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "text_repetition_signals",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), freq AS (
+      SELECT doc_id, word, count(*) AS n FROM tok GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_words,
+           count(*) AS n_distinct,
+           CAST(max(n) AS BIGINT) AS top_word_count,
+           round(1.0 - count(*) * 1.0 / sum(n), 4) AS dup_word_frac,
+           round(max(n) * 1.0 / sum(n), 4) AS top_word_frac
+    FROM freq GROUP BY doc_id
+    """,
+    doc="Gopher-style repetition quality signals: duplicate-word fraction "
+    "and top-word fraction per document, via explode + two-level "
+    "aggregation (word counts first, then per-doc rollup). Both "
+    "aggregations are map-side combinable; the explode is a narrow "
+    "transform. The classic filter 'drop docs with top_word_frac > 0.2' "
+    "is then a cheap predicate on this output.",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(words("text")).alias("word"))
+    freq = tok.groupBy("doc_id", "word").agg(F.count("*").alias("n"))
+    return freq.groupBy("doc_id").agg(
+        F.sum("n").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("n").alias("top_word_count"),
+        F.round(1.0 - F.count("*") * 1.0 / F.sum("n"), 4).alias("dup_word_frac"),
+        F.round(F.max("n") * 1.0 / F.sum("n"), 4).alias("top_word_frac"),
+    )
+
+
+_EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "text_pii_redaction",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS raw_text
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw_text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(raw_text, '{_PHONE_RE}')) AS n_phones,
+           regexp_replace(
+             regexp_replace(raw_text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{_PHONE_RE}', '[PHONE]', 'g'
+           ) AS redacted
+    FROM raw
+    """,
+    doc="PII redaction: email/phone regex counting + replacement over a "
+    "deterministically synthesized contact suffix (the corpus itself is "
+    "PII-free, so redaction must be provable). Patterns restricted to the "
+    "RE2-compatible subset so Java regex (Spark) and RE2 (DuckDB) agree; "
+    "DuckDB needs the explicit 'g' flag to match Spark's replace-all. "
+    "Narrow row-local transform — no shuffle at any scale. Companion to "
+    "pipeline_ip_masking (operators/pipeline.py).",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("raw_text"),
+    )
+    return raw.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw_text", F.lit(_EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("raw_text", F.lit(_PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.regexp_replace(
+            F.regexp_replace("raw_text", _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ).alias("redacted"),
+    )
+
+
+@register(
+    "text_chunk_overlap",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents WHERE doc_id < 300
+    ), starts AS (
+      SELECT doc_id, ws,
+             unnest(generate_series(1, greatest(1, len(ws)), 15)) AS start_pos,
+             unnest(generate_series(0,
+               CAST(ceil(greatest(1, len(ws)) / 15.0) AS BIGINT) - 1)) AS chunk_idx
+      FROM w
+    )
+    SELECT doc_id, chunk_idx,
+           least(20, len(ws) - start_pos + 1) AS n_chunk_words,
+           array_to_string(ws[start_pos : start_pos + 19], ' ') AS chunk_text
+    FROM starts
+    """,
+    doc="Overlapping fixed-size chunking (window 20 words, stride 15) for "
+    "context-window-bounded training samples: sequence of start offsets "
+    "-> posexplode -> slice. Pure narrow plan — chunking parallelizes "
+    "with the scan and never shuffles; at 100 TB the output is written "
+    "directly, partitioned by a hash of doc_id.",
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    w = docs.select("doc_id", words("text").alias("ws"))
+    starts = w.select(
+        "doc_id",
+        "ws",
+        F.posexplode(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.size("ws")), F.lit(15))
+        ).alias("chunk_idx", "start_pos"),
+    )
+    return starts.select(
+        "doc_id",
+        "chunk_idx",
+        F.least(F.lit(20), F.size("ws") - F.col("start_pos") + 1).alias(
+            "n_chunk_words"
+        ),
+        F.array_join(F.slice("ws", F.col("start_pos"), 20), " ").alias("chunk_text"),
+    )
+
+
+@register(
+    "dedup_boilerplate_ngrams",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(0, len(ws) - 7)),
+               i -> array_to_string(ws[i : i + 7], ' ')
+             )) AS shingle
+      FROM w
+    )
+    SELECT shingle, count(DISTINCT doc_id) AS n_docs
+    FROM sh
+    GROUP BY shingle
+    HAVING count(DISTINCT doc_id) >= 3
+    """,
+    doc="Cross-document boilerplate detection: 8-word shingles appearing "
+    "in >= 3 distinct documents (headers/footers/licenses in a real "
+    "corpus). Shingling reuses functions.word_shingles (materialized "
+    "array column, codegen HOF); the count(DISTINCT doc_id) shuffles on "
+    "shingle with map-side partial distinct. At 100 TB, hash the shingle "
+    "to a 64-bit key first so shuffle rows are fixed-width (the string "
+    "is only needed for reporting, re-joinable by hash).",
+)
+def dedup_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = docs.select("doc_id", words("text").alias("ws"))
+    sh = w.select(
+        "doc_id", F.explode(word_shingles(F.col("ws"), 8)).alias("shingle")
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+    )

@@ -57,4 +57,5 @@ from .operators import (  # noqa: E402,F401
     streaming_queries,
     subquery_queries,
     analytic_queries,
+    corpus_queries,
 )
