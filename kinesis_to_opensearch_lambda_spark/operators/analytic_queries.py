@@ -233,6 +233,99 @@ def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_stages",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_full_funnel
+    """,
+    doc="Ordered event funnel (view -> later click -> later purchase): "
+    "each stage is a conditional MIN aggregation joined to the previous "
+    "stage's timestamp, so sequencing is enforced without window "
+    "functions or per-user sorting. Per-stage tables are |users| rows; "
+    "the final counts are 1-row broadcasts. At 100 TB the per-stage "
+    "joins co-partition on user_id — one shuffle key throughout.",
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH wk AS (
+      SELECT user_id,
+             date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) // 7 AS week
+      FROM events
+    ), cohort AS (
+      SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id
+    )
+    SELECT cohort_week, wk.week - cohort_week AS week_offset,
+           count(DISTINCT wk.user_id) AS n_users
+    FROM wk JOIN cohort ON wk.user_id = cohort.user_id
+    GROUP BY cohort_week, week_offset
+    """,
+    doc="Cohort retention triangle: cohort = integer week of first "
+    "activity (exact day arithmetic, engine-portable — no date_trunc "
+    "week-start ambiguity), retention = distinct active users per "
+    "(cohort, offset). The cohort map is |users| rows -> broadcast "
+    "joined back to the fact table at scale.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))) / 7
+        ).alias("week"),
+    )
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        wk.join(F.broadcast(cohort), "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
     "agg_conditional",
     oracle="""
     SELECT o_orderpriority,

@@ -1695,3 +1695,68 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         updates.withColumn("from_update", F.lit(True))
     )
     return merged.select("c_custkey", "c_name", "c_acctbal", "from_update")
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS o_year,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               AS vol_cents,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n1.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'ASIA'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol_cents
+                          ELSE 0 END) * 1.0 / sum(vol_cents), 6) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: national market share inside a region by year — "
+    "a 6-table snowflake join where every dimension (nation x2, region, "
+    "supplier, customer) broadcasts, so the only shuffle is the final "
+    "tiny per-year aggregation. Share is a ratio of exact integer-cent "
+    "sums: order-independent across engines.",
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("vol_cents"),
+            "supp_nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_2", F.col("vol_cents")).otherwise(0)
+            )
+            * 1.0
+            / F.sum("vol_cents"),
+            6,
+        ).alias("mkt_share")
+    )
