@@ -56,12 +56,16 @@ def handler(
     df = P.decode_kinesis(env)
     df = P.with_event_timestamp(df)
     df = P.nullify_empty_ip(df)
-    df = P.drop_null_records(df)
     df.persist()  # one decode, two sinks (lambda_function.py:141,144,148)
     try:
         result = {"elasticsearch": 0, "splunk": 0}
         if es_sink is not None:
-            ok, _ = es_sink.write(df)  # sink projects internally (R6)
+            # The None/null-key guard applies ONLY to the ES branch
+            # (lambda_function.py:78-79 skips, :81 keys on random_id);
+            # the Splunk branch receives every successfully parsed
+            # record regardless of random_id (:117-126,148).  The sink
+            # itself filters null ids (sinks/opensearch.py serialize).
+            ok, _ = es_sink.write(P.drop_null_records(df))
             result["elasticsearch"] = ok
         if splunk_sink is not None and not is_disabled(config.splunk_disabled):
             ok, _ = splunk_sink.write(df)

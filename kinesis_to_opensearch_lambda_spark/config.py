@@ -73,8 +73,13 @@ class EngineConfig:
             splunk_hec_token=secret.get("splunk_hec_token", ""),
             splunk_index=secret.get("splunk_index", "main"),
             splunk_disabled=secret.get("splunk_disabled"),
-            auth_user=secret.get("user"),
-            auth_password=secret.get("password"),
+            # Reference secret keys (lambda_function.py:63):
+            # master_user_name / master_user_password.  Generic
+            # user/password accepted as a fallback spelling.
+            auth_user=secret.get("master_user_name", secret.get("user")),
+            auth_password=secret.get(
+                "master_user_password", secret.get("password")
+            ),
             extra={
                 k: v
                 for k, v in secret.items()
@@ -84,6 +89,8 @@ class EngineConfig:
                     "splunk_hec_token",
                     "splunk_index",
                     "splunk_disabled",
+                    "master_user_name",
+                    "master_user_password",
                     "user",
                     "password",
                 }

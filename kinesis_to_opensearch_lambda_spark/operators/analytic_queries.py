@@ -330,7 +330,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            count(*) FILTER (WHERE o_totalprice > 150000) AS n_large,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
            round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
              AS avg_open_price,
            bool_or(o_totalprice > 400000) AS any_huge,

@@ -53,6 +53,13 @@ AUDIT_SCHEMA = T.StructType(
         T.StructField("performer_id", T.LongType()),
         T.StructField("repository_id", T.LongType()),
         T.StructField("ip", T.StringType()),
+        # Dynamic nested object (reference fixture: {"oauth_token_id": 999},
+        # test_lambda_function.py:35).  Typed as map<string,string> to stay
+        # schemaless over arbitrary keys; DOCUMENTED COERCION: non-string
+        # values (the fixture's numeric 999) are rendered as their JSON
+        # text ("999") in the map and therefore quoted in the ES _source.
+        # tests/test_transforms.py::test_metadata_numeric_value_coercion
+        # pins this divergence with the reference's own numeric fixture.
         T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
         T.StructField("request_url", T.StringType()),
         T.StructField("http_method", T.StringType()),

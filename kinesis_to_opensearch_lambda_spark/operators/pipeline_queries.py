@@ -121,7 +121,7 @@ def pipeline_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*) AS n_events,
            count(DISTINCT sourcetype) AS n_sourcetypes,
            count(DISTINCT "index") AS n_indexes,
-           sum(CASE WHEN has_url THEN 1 ELSE 0 END) AS n_with_url
+           CAST(sum(CASE WHEN has_url THEN 1 ELSE 0 END) AS BIGINT) AS n_with_url
     FROM (
       SELECT 'json' AS sourcetype, 'audit' AS "index",
              true AS has_url

@@ -131,18 +131,37 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check.
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           true AS approx_ok,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
     doc="approx_count_distinct (HyperLogLog++) — the 100 TB path for distinct "
-    "counts: constant memory, no expand. No cross-engine oracle (sketch "
-    "estimates differ); driver records rows-only.",
+    "counts: constant memory, no expand. Oracle-checkable form: the exact "
+    "distinct count plus a boolean asserting the HLL estimate is within 5% "
+    "of it (HLL is deterministic for fixed data, so the bound is stable).",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
+            F.count_distinct("user_id").alias("exact_users"),
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                < 0.05
+            ).alias("approx_ok"),
+            "n_events",
         )
     )
 
@@ -655,7 +674,7 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extraction",
     oracle="""
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            count(*) AS n
     FROM events
     GROUP BY event_type
@@ -1181,10 +1200,10 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_priority_shipmode",
     oracle="""
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'

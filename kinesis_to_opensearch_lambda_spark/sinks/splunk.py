@@ -41,10 +41,24 @@ class SplunkHECSink(ChunkedTransportSink):
 
     def serialize(self, df: DataFrame) -> DataFrame:
         env = splunk_envelope(df, self.splunk_index)
-        return env.select(
-            F.to_json(F.struct(env["event"], env["sourcetype"], env["index"])).alias(
-                "payload"
-            )
+        # The reference posts ``event`` as a *nested JSON object*
+        # (requests.post(json=events), lambda_function.py:97,121-125).
+        # env["event"] is already rendered JSON text, so splice it into
+        # the envelope verbatim instead of re-serializing it as a string
+        # field (to_json(struct(event,...)) would JSON-escape it into
+        # {"event": "{\"...\"}"}).  sourcetype/index go through to_json
+        # for proper quoting.
+        rest = F.to_json(F.struct(env["sourcetype"], env["index"]))
+        payload = F.concat(
+            F.lit('{"event":'),
+            env["event"],
+            F.lit(","),
+            F.substring(rest, 2, 1 << 30),  # drop rest's leading '{'
+        )
+        # None-guard parity (lambda_function.py:117-119): a record whose
+        # parse produced no event is skipped, not posted as null.
+        return env.filter(env["event"].isNotNull()).select(
+            payload.alias("payload")
         )
 
     def write(self, df: DataFrame) -> tuple[int, int]:

@@ -31,11 +31,13 @@ def _canon(v) -> str:
     if v is None:
         return "<null>"
     if isinstance(v, float):
+        # Dtype-faithful: the driver hashes values as materialized, so an
+        # int64 3 and a float64 3.0 MUST differ here (round-1 lesson: DuckDB
+        # sum(CASE…) returns HUGEINT → pandas float64 while Spark returns
+        # int64; the old `3.0`→`3` collapse hid that drift).
         if math.isnan(v):
             return "<null>"  # pandas NULL-float
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))  # 3.0 vs 3 normalization
-        return f"{v:.12g}"
+        return repr(float(v))
     if isinstance(v, (datetime, date, pd.Timestamp)):
         return str(v)
     if isinstance(v, bytes):

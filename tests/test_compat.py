@@ -66,7 +66,8 @@ def test_handler_splunk_gets_full_record(spark, sinks):
     es, hec, _, hec_spool = sinks
     handler(kinesis_event([FULL_RECORD]), spark=spark, es_sink=es, splunk_sink=hec)
     [event] = hec_spool.read_back()
-    payload = json.loads(event["event"])
+    payload = event["event"]  # nested object, reference lambda_function.py:121-125
+    assert isinstance(payload, dict)
     assert payload["request_url"] == "/api/login"
     assert payload["user_agent"] == "Mozilla/5.0"
     assert payload["@timestamp"] == payload["datetime"]
@@ -95,3 +96,22 @@ def test_handler_respects_splunk_disable(spark, sinks):
 def test_kinesis_connector_binding_raises_clearly(spark):
     with pytest.raises(RuntimeError, match="connector"):
         read_kinesis_stream(spark, "audit-stream", "us-east-1")
+
+
+def test_handler_null_id_record_reaches_splunk_not_es(spark, sinks):
+    """ADVICE r1: the random_id None-guard applies only to the ES branch
+    (reference lambda_function.py:78-81 keys ES on random_id; the Splunk
+    loop :117-126 posts every parsed record).  A record with no
+    random_id must reach Splunk and be absent from ES."""
+    es, hec, es_spool, hec_spool = sinks
+    no_id = {k: v for k, v in FULL_RECORD.items() if k != "random_id"}
+    out = handler(
+        kinesis_event([FULL_RECORD, no_id]),
+        spark=spark,
+        es_sink=es,
+        splunk_sink=hec,
+    )
+    assert out == {"elasticsearch": 1, "splunk": 2}
+    assert {a["_id"] for a in es_spool.read_back()} == {"abc123"}
+    urls = [e["event"]["request_url"] for e in hec_spool.read_back()]
+    assert urls == ["/api/login", "/api/login"]

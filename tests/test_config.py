@@ -42,3 +42,27 @@ def test_config_from_env_and_secret():
 def test_auth_mode_sigv4_without_creds():
     cfg = EngineConfig.from_env_and_secret(env={}, secret_string="{}")
     assert cfg.auth_mode == "sigv4"          # no secret creds (:65-66)
+
+
+def test_reference_shaped_secret_keys_enable_basic_auth():
+    """ADVICE r1: the reference secret carries master_user_name /
+    master_user_password (lambda_function.py:63) — a reference-shaped
+    secret must NOT silently degrade to sigv4."""
+    cfg = EngineConfig.from_env_and_secret(
+        env={},
+        secret_string=json.dumps(
+            {"master_user_name": "admin", "master_user_password": "s3cret"}
+        ),
+    )
+    assert cfg.auth_user == "admin"
+    assert cfg.auth_password == "s3cret"
+    assert cfg.auth_mode == "basic"
+    assert "master_user_name" not in cfg.extra  # consumed, not passthrough
+
+
+def test_generic_user_password_fallback_still_works():
+    cfg = EngineConfig.from_env_and_secret(
+        env={}, secret_string=json.dumps({"user": "svc", "password": "pw"})
+    )
+    assert cfg.auth_mode == "basic"
+    assert cfg.auth_user == "svc"

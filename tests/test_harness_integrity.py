@@ -35,7 +35,22 @@ def test_comparator_detects_row_swap_insensitively():
     assert _rows(a) == _rows(b)  # order-insensitive by design
 
 
-def test_comparator_normalizes_int_like_floats_and_nulls():
-    a = pd.DataFrame({"v": [3.0, None]})
-    b = pd.DataFrame({"v": [3, float("nan")]})
+def test_comparator_is_dtype_faithful():
+    """The driver hashes values as materialized: an int64 3 and a float64
+    3.0 hash differently (the round-1 HUGEINT drift). The local gate must
+    be at least as strict — `3.0` vs `3` MUST fail."""
+    a = pd.DataFrame({"v": [3.0]})
+    b = pd.DataFrame({"v": [3]})
+    assert _rows(a) != _rows(b)
+
+
+def test_comparator_still_normalizes_nulls():
+    a = pd.DataFrame({"v": [None]}, dtype="float64")
+    b = pd.DataFrame({"v": [float("nan")]})
     assert _rows(a) == _rows(b)
+
+
+def test_comparator_detects_negative_zero():
+    a = pd.DataFrame({"v": [0.0]})
+    b = pd.DataFrame({"v": [-0.0]})
+    assert _rows(a) != _rows(b)

@@ -55,8 +55,11 @@ def test_splunk_envelope_full_record(spark, tmp_path, records):
     events = spool.read_back()
     assert all(e["sourcetype"] == "json" for e in events)
     assert all(e["index"] == "audit" for e in events)
-    # full-record passthrough: Splunk sees the extended fields
-    payload = json.loads(events[0]["event"])
+    # full-record passthrough: Splunk sees the extended fields, and the
+    # event is a NESTED JSON OBJECT (reference posts json=events,
+    # lambda_function.py:97) — not a re-escaped string.
+    payload = events[0]["event"]
+    assert isinstance(payload, dict)
     assert "request_url" in payload and "user_agent" in payload
 
 

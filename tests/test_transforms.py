@@ -23,7 +23,7 @@ FULL_RECORD = {
     "performer_id": 67890,
     "repository_id": 11111,
     "ip": "192.168.1.1",
-    "metadata": {"oauth_token_id": "999"},
+    "metadata": {"oauth_token_id": 999},  # numeric, as in the reference fixture
     "request_url": "/api/login",
     "http_method": "POST",
     "performer_username": "john_doe",
@@ -66,8 +66,24 @@ class TestProjectEs:
         assert row["performer_id"] == 67890
         assert row["repository_id"] == 11111
         assert row["ip"] == "192.168.1.1"
+        # Documented coercion: map<string,string> renders the reference's
+        # numeric 999 as "999" (see AUDIT_SCHEMA comment in pipeline.py).
         assert row["metadata"] == {"oauth_token_id": "999"}
         assert row["datetime"] == "2026-02-18T10:30:00"
+
+    def test_metadata_numeric_value_coercion(self, spark):
+        """Pin the wire-format divergence from the reference: numeric
+        metadata values (reference fixture oauth_token_id=999,
+        test_lambda_function.py:35) are JSON-quoted strings in the ES
+        _source because AUDIT_SCHEMA types metadata as
+        map<string,string>.  The reference would emit 999 unquoted."""
+        df = P.project_es(decoded(spark, [FULL_RECORD]))
+        row = df.collect()[0].asDict()
+        assert row["metadata"]["oauth_token_id"] == "999"  # str, not int
+        rendered = df.select(
+            F.to_json(F.struct(*[df[c] for c in df.columns])).alias("j")
+        ).collect()[0]["j"]
+        assert '"oauth_token_id":"999"' in rendered
 
     def test_identity_on_already_projected(self, spark):
         once = P.project_es(decoded(spark, [FULL_RECORD]))
