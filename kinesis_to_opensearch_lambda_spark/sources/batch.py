@@ -61,6 +61,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_SIZE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '134217728b', '128m', '128MB')."""
+    s = str(v).strip().lower().removesuffix("b")
+    if s and s[-1] in _SIZE_SUFFIX:
+        return int(float(s[:-1]) * _SIZE_SUFFIX[s[-1]])
+    return int(s)
+
+
 def fan_out(df: DataFrame, min_factor: int = 2) -> DataFrame:
     """Spread a parallelism-starved scan across the cluster.
 
@@ -73,8 +84,25 @@ def fan_out(df: DataFrame, min_factor: int = 2) -> DataFrame:
     — the 100 TB case, thousands of row groups — pass through untouched,
     so this never adds a shuffle where the source is properly laid out.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * min_factor <= target:
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    # Estimate the scan's task count from file-listing metadata instead of
+    # df.rdd.getNumPartitions() — the RDD probe forces a full plan
+    # conversion per call.  Spark splits parquet scans into
+    # ceil(size / maxPartitionBytes) tasks per file (modulo openCostInBytes
+    # packing, which only merges *small* files and so can only lower the
+    # estimate — conservative in the right direction for the pass-through
+    # branch).
+    max_bytes = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    est = 0
+    for uri in df.inputFiles():
+        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return df  # non-local source: trust the scan's own layout
+        est += max(1, -(-size // max_bytes))
+    if est * min_factor <= target:
         return df.repartition(target)
     return df
 
