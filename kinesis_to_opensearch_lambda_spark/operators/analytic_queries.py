@@ -33,25 +33,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "agg_percentiles",
     oracle="""
     SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-           round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
-           round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+           round(quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.25) / 100.0, 2) AS p25,
+           round(quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.50) / 100.0, 2) AS p50,
+           round(quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.75) / 100.0, 2) AS p75,
            round(median(l_quantity), 2) AS median_qty
     FROM lineitem
     GROUP BY l_returnflag
     """,
     doc="Exact percentiles (linear interpolation): Spark percentile() == "
-    "DuckDB quantile_cont(). Exact percentile requires a per-group sort at "
-    "scale; for 100 TB swap to approx_percentile (t-digest sketch, "
-    "map-side combinable) — see agg_approx_distinct for the sketch-based "
-    "pattern the driver checks rows-only.",
+    "DuckDB quantile_cont(). Interpolation runs over integer cents — with "
+    "dyadic quantiles (.25/.5/.75) every intermediate is FP-exact, so both "
+    "engines produce bit-identical results (interpolating raw doubles "
+    "diverged at a half-cent rounding boundary at sf0.001). Exact "
+    "percentile requires a per-group sort at scale; for 100 TB swap to "
+    "approx_percentile (t-digest sketch, map-side combinable) — see "
+    "agg_approx_distinct for the sketch-based pattern.",
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 2).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("p75"),
+        F.round(F.percentile(cents, F.lit(0.25)) / 100.0, 2).alias("p25"),
+        F.round(F.percentile(cents, F.lit(0.50)) / 100.0, 2).alias("p50"),
+        F.round(F.percentile(cents, F.lit(0.75)) / 100.0, 2).alias("p75"),
         F.round(F.median("l_quantity"), 2).alias("median_qty"),
     )
 

@@ -257,6 +257,7 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_duplicate_clusters",
+    headline=True,
     oracle=f"""
     WITH RECURSIVE corpus AS (
       SELECT doc_id, text FROM documents
@@ -413,6 +414,110 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             kept.agg(
                 F.count("*").alias("n_kept"),
                 F.round(F.avg("quality_score"), 6).alias("kept_avg_score"),
+            )
+        )
+    )
+
+
+# ---- mega-bucket guard ------------------------------------------------
+
+_BOILERPLATE = (
+    "subscribe to our newsletter for updates and follow us on social media today"
+)
+_N_BOILERPLATE = 40
+_BUCKET_CAP = 20
+
+_SQL_SKEWED = f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT 200000 + i AS doc_id, '{_BOILERPLATE}' AS text
+      FROM range({_N_BOILERPLATE}) t(i)
+"""
+
+
+@register(
+    "dedup_lsh_bucket_cap",
+    oracle=f"""
+    WITH corpus AS (
+      {_SQL_SKEWED}
+    ), sigs AS (
+      SELECT doc_id,
+       {_sql_minhash_cols(8)}
+      FROM (
+        SELECT doc_id, {_sql_shingle_hashes()} AS hashed FROM corpus
+      )
+    ), buckets AS (
+      SELECT doc_id, 0 AS band_idx, md5(mh_0::VARCHAR || mh_1::VARCHAR) AS band_val FROM sigs
+      UNION ALL
+      SELECT doc_id, 1, md5(mh_2::VARCHAR || mh_3::VARCHAR) FROM sigs
+      UNION ALL
+      SELECT doc_id, 2, md5(mh_4::VARCHAR || mh_5::VARCHAR) FROM sigs
+      UNION ALL
+      SELECT doc_id, 3, md5(mh_6::VARCHAR || mh_7::VARCHAR) FROM sigs
+    ), sized AS (
+      SELECT band_idx, band_val, count(*) AS sz
+      FROM buckets GROUP BY band_idx, band_val
+      HAVING count(*) > 1
+    ), pairs_uncapped AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ), capped_buckets AS (
+      SELECT b.* FROM buckets b
+      JOIN sized s ON b.band_idx = s.band_idx AND b.band_val = s.band_val
+      WHERE s.sz <= {_BUCKET_CAP}
+    ), pairs_capped AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped_buckets a JOIN capped_buckets b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT (SELECT count(*) FROM sized) AS n_buckets,
+           (SELECT count(*) FROM sized WHERE sz > {_BUCKET_CAP}) AS n_buckets_dropped,
+           (SELECT count(*) FROM pairs_uncapped) AS n_pairs_uncapped,
+           (SELECT count(*) FROM pairs_capped) AS n_pairs_capped,
+           (SELECT coalesce(sum(CASE WHEN doc_a >= 200000 THEN 1 ELSE 0 END), 0)::BIGINT
+              FROM pairs_capped) AS n_boilerplate_pairs_surviving
+    """,
+    doc="max_bucket_size mega-bucket guard (operators.dedup."
+    "lsh_candidate_pairs): 40 identical boilerplate clones collapse into "
+    "one bucket per band; uncapped candidate generation pays the "
+    "40*39/2-per-band quadratic cost, the cap drops those buckets and "
+    "keeps every informative (small-bucket) pair. The skew guard the "
+    "100 TB LSH path relies on, oracle-checked.",
+)
+def dedup_lsh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    clones = spark.range(_N_BOILERPLATE).select(
+        (F.col("id") + 200000).alias("doc_id"), F.lit(_BOILERPLATE).alias("text")
+    )
+    corpus = docs.union(clones)
+    sigs = D.minhash_signatures(corpus, num_hashes=8)
+    buckets = D.lsh_band_buckets(sigs, "doc_id", num_hashes=8, rows_per_band=2)
+    sized = (
+        buckets.groupBy("band_idx", "band_val")
+        .agg(F.count("*").alias("sz"))
+        .filter(F.col("sz") > 1)
+    )
+    uncapped = D.lsh_candidate_pairs(buckets, "doc_id")
+    capped = D.lsh_candidate_pairs(buckets, "doc_id", max_bucket_size=_BUCKET_CAP)
+    return (
+        sized.agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(F.when(F.col("sz") > _BUCKET_CAP, 1).otherwise(0))
+            .cast("long")
+            .alias("n_buckets_dropped"),
+        )
+        .crossJoin(uncapped.agg(F.count("*").alias("n_pairs_uncapped")))
+        .crossJoin(
+            capped.agg(
+                F.count("*").alias("n_pairs_capped"),
+                F.coalesce(
+                    F.sum(F.when(F.col("doc_a") >= 200000, 1).otherwise(0)), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_boilerplate_pairs_surviving"),
             )
         )
     )

@@ -1465,6 +1465,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q9_product_profit",
+    headline=True,
     oracle="""
     SELECT n_name AS nation, yr,
            round(sum(amount_cents) / 100.0, 2) AS profit

@@ -232,3 +232,80 @@ def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unit_first"
         ),
     )
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), brute AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {sql_cosine('q.q_vec', 'e.embedding')} DESC, e.vec_id
+               ) AS rnk
+        FROM q JOIN embeddings e ON e.vec_id != q.q_id
+      ) WHERE rnk <= 5
+    ), ivf AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {sql_cosine('q.q_vec', 'e.embedding')} DESC, e.vec_id
+               ) AS rnk
+        FROM q JOIN embeddings e
+          ON e.label = q.q_label AND e.vec_id != q.q_id
+      ) WHERE rnk <= 5
+    )
+    SELECT b.q_id,
+           coalesce(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_hits,
+           round(coalesce(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+                 / 5.0, 6) AS recall_at_5
+    FROM brute b LEFT JOIN ivf i ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+    GROUP BY b.q_id
+    """,
+    doc="Recall@5 of IVF(nprobe=1) vs exact brute force on the same 20 "
+    "queries: the accuracy/cost trade the bucketed 100 TB ANN path makes "
+    "explicit — nprobe=1 touches 1/n_cells of the corpus and this query "
+    "quantifies what that skips (operators.similarity.ivf_topk vs "
+    "brute_force_topk).",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    brute = S.brute_force_topk(q, emb.select("vec_id", "embedding"), k=5).select(
+        "q_id", "vec_id"
+    )
+    ivf = (
+        S.ivf_topk(q, emb.select("vec_id", "embedding", "label"), k=5)
+        .select("q_id", "vec_id")
+        .withColumnRenamed("vec_id", "i_vec_id")
+        .withColumnRenamed("q_id", "i_q_id")
+    )
+    hits = brute.join(
+        ivf,
+        (brute.q_id == ivf.i_q_id) & (brute.vec_id == ivf.i_vec_id),
+        "left",
+    )
+    return hits.groupBy("q_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("i_vec_id").isNotNull(), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_hits"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("i_vec_id").isNotNull(), 1).otherwise(0)), F.lit(0)
+            )
+            / 5.0,
+            6,
+        ).alias("recall_at_5"),
+    )

@@ -56,3 +56,99 @@ def streaming_fanout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, "sink: string, n_delivered: bigint")
+
+
+@register(
+    "streaming_watermark_drops",
+    oracle="""
+    WITH src AS (
+      SELECT event_id,
+             TIMESTAMP '2026-01-01 00:15:00'
+               + (event_id % 12) * INTERVAL 1 HOUR AS ts,
+             CASE WHEN event_id % 5 = 0 THEN 3
+                  WHEN event_id % 5 = 4 THEN 2
+                  ELSE 1 END AS batch
+      FROM events
+    ), wm AS (
+      SELECT max(ts) - INTERVAL 210 MINUTE AS w FROM src WHERE batch < 3
+    )
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n_events
+    FROM src, wm
+    WHERE batch < 3 OR date_trunc('hour', ts) + INTERVAL 1 HOUR > w
+    GROUP BY 1
+    """,
+    doc="Watermark late-data drops, end-to-end through a real "
+    "StreamingQuery: three parquet files become three micro-batches "
+    "(maxFilesPerTrigger=1, availableNow, mtime-ordered). Batch 1 "
+    "advances the event-time watermark to max(ts) - 210min; Spark "
+    "filters late records with the PREVIOUS batch's watermark "
+    "(SPARK-40925 two-watermark semantics: lateness uses the pre-batch "
+    "value, eviction the post-batch value), so batch 2 is a heartbeat "
+    "and batch 3's late rows are dropped exactly when their hour "
+    "window's end <= that watermark. Event times are synthesized from "
+    "event_id (hour = id%12, batch = f(id%5)) so the drop set is "
+    "deterministic and the oracle encodes the identical rule in SQL. "
+    "Boundary-tie-free: the watermark (xx:45) never equals a window end.",
+)
+def streaming_watermark_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="stream_wm_")
+    try:
+        ids = load_table(spark, sf_dir, "events").select("event_id")
+        src = ids.select(
+            "event_id",
+            F.expr(
+                "timestamp '2026-01-01 00:15:00'"
+                " + make_interval(0, 0, 0, 0, event_id % 12, 0, 0)"
+            ).alias("ts"),
+            F.when(F.col("event_id") % 5 == 0, F.lit(3))
+            .when(F.col("event_id") % 5 == 4, F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("batch"),
+        )
+        os.makedirs(f"{d}/src", exist_ok=True)
+        for b in (1, 2, 3):
+            tmp = f"{d}/tmp{b}"
+            src.filter(F.col("batch") == b).select("event_id", "ts").coalesce(
+                1
+            ).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+            dst = f"{d}/src/b{b}.parquet"
+            shutil.move(f"{tmp}/{part}", dst)
+            # the file source drains oldest-mtime-first: pin the order
+            os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
+        name = f"wm_{uuid.uuid4().hex[:12]}"
+        stream = (
+            spark.readStream.schema("event_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/src")
+        )
+        agg = (
+            stream.withWatermark("ts", "210 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        # update-mode sink holds one row per (window, batch-with-change);
+        # counts only grow, so max(n) per window is the final state
+        upd = spark.table(name)
+        return upd.groupBy(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            )
+        ).agg(F.max("n").alias("n_events"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

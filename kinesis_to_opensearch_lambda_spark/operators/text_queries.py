@@ -119,6 +119,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_tfidf_top_term",
+    headline=True,
     oracle=f"""
     WITH tokens AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS word,
