@@ -931,6 +931,55 @@ def cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_range_interval",
+    oracle="""
+    WITH priced AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT tier, count(*) AS n_items,
+           round(sum(cents) / 100.0, 2) AS revenue
+    FROM priced
+    JOIN (VALUES ('budget',   0,        2000000),
+                 ('standard', 2000000,  6000000),
+                 ('premium',  6000000,  20000000)) tiers(tier, lo, hi)
+      ON cents >= lo AND cents < hi
+    GROUP BY tier
+    """,
+    doc="Range/interval (band) join: facts matched to a banded dimension "
+    "on lo <= v < hi — no equi-key, so Spark plans a "
+    "BroadcastNestedLoopJoin with the 3-row band table broadcast "
+    "(asserted in tests/test_plans.py). The scale rule for banded "
+    "dims: broadcast the bands and keep the fact side streaming; only "
+    "if BOTH sides are large does this need binning to an equi-join "
+    "(band id = v / width) — documented escape hatch, not needed for "
+    "dimension-sized band tables. Prices in integer cents so band "
+    "membership is exact at the boundaries.",
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    priced = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents")
+    )
+    tiers = spark.createDataFrame(
+        [("budget", 0, 2_000_000), ("standard", 2_000_000, 6_000_000),
+         ("premium", 6_000_000, 20_000_000)],
+        "tier: string, lo: bigint, hi: bigint",
+    )
+    return (
+        priced.join(
+            F.broadcast(tiers),
+            (priced.cents >= tiers.lo) & (priced.cents < tiers.hi),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+        )
+    )
+
+
+@register(
     "agg_salted_skew",
     oracle="""
     SELECT event_type,

@@ -338,6 +338,69 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q20_excess_supply",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(l_quantity) AS BIGINT) AS supp_qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), demand AS (
+      SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS part_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_nationkey < 5
+      AND s_suppkey IN (
+        SELECT ps.l_suppkey
+        FROM ps
+        JOIN demand ON demand.l_partkey = ps.l_partkey
+        JOIN part   ON p_partkey = ps.l_partkey
+        WHERE p_name LIKE 'small%'
+          AND 2 * ps.supp_qty > part_qty
+      )
+    """,
+    doc="TPC-H Q20 shape (potential part promotion): nested IN subqueries "
+    "over partsupp/part/lineitem become two aggregates at different "
+    "grains — per-(part,supplier) shipped qty standing in for "
+    "partsupp.availqty (no partsupp in the testdata) and per-part 1996 "
+    "demand — joined on partkey, then a left-semi join into supplier. "
+    "The availqty > 0.5*demand threshold is 2*supp_qty > part_qty in "
+    "exact integer units (l_quantity is integral) so it cannot flip on "
+    "float order. At scale: both aggregates shuffle on l_partkey (one "
+    "exchange reused), the qualifying-supplier set is tiny -> the semi "
+    "join broadcasts; supplier is never shuffled.",
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").cast("bigint").alias("supp_qty")
+    )
+    demand = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_partkey").alias("d_partkey"))
+        .agg(F.sum("l_quantity").cast("bigint").alias("part_qty"))
+    )
+    excess = (
+        ps.join(demand, ps.l_partkey == demand.d_partkey)
+        .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .filter(2 * F.col("supp_qty") > F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    return supp.join(
+        F.broadcast(excess), supp.s_suppkey == excess.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@register(
     "tpch_q21_waiting_supplier",
     oracle="""
     WITH late AS (

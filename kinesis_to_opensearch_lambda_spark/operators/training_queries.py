@@ -1,0 +1,303 @@
+"""Training-data curation operators a large-scale LLM pipeline needs
+beyond dedup/similarity/text-stats: deterministic dataset splits,
+stratified sampling, benchmark decontamination, quality-percentile
+filtering, and context-window token packing.
+
+All randomness is hash-derived (md5 of a salted key) so every operator
+is reproducible run-to-run, engine-portable (the DuckDB oracle computes
+the identical md5), and — critically for 100 TB — embarrassingly
+parallel: split/sample decisions are per-row expressions with no
+shuffle, and the only exchanges are the final small aggregations.
+
+Reference parity: the reference (lambda_function.py:140-148) has no
+curation surface; these are the driver-mandated LLM-data-pipeline
+extension (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import SQL_MD5_LONG, md5_long, sql_word_shingles, word_shingles, words
+from ..queries import register
+from ..sources.batch import fan_out, load_table
+
+# ---- shared: hash-bucket expression (Spark + DuckDB twins) -----------
+
+
+def _hash_bucket(key: F.Column, salt: str, mod: int) -> F.Column:
+    """Deterministic bucket in [0, mod): md5 of the salted key.
+
+    Per-row expression — no shuffle, no RNG state; re-running the
+    pipeline on new data never reassigns old rows (the property that
+    makes hash splits the standard for training corpora).
+    """
+    return md5_long(F.concat(key.cast("string"), F.lit(salt))) % mod
+
+
+def _sql_hash_bucket(key: str, salt: str, mod: int) -> str:
+    salted = f"({key})::VARCHAR || '{salt}'"
+    return f"({SQL_MD5_LONG.format(x=salted)} % {mod})"
+
+
+# ---- quality score (mirrors operators.text.quality_features) ---------
+
+_SQL_WORDS = "string_split(text, ' ')"
+_SQL_SCORE_I = f"""
+  CAST(round((
+    0.5 * (1.0 - len(list_filter({_SQL_WORDS}, x -> x = 'the' OR x = 'a'))::DOUBLE
+                 / len({_SQL_WORDS})::DOUBLE)
+    + 0.3 * (len(list_filter({_SQL_WORDS}, t -> length(t) > 4))::DOUBLE
+                 / len({_SQL_WORDS})::DOUBLE)
+    + 0.2 * least(len({_SQL_WORDS})::DOUBLE / 200.0, 1.0)
+  ) * 1000000) AS BIGINT)
+"""
+
+
+def _score_i() -> F.Column:
+    """Blended [0,1] quality score scaled to exact integer millionths.
+
+    Same formula as text.quality_features / the curation_pipeline
+    oracle; the integer scaling makes every downstream comparison,
+    ranking, and sum order-independent and engine-exact.
+    """
+    w = words(F.col("text"))
+    n = F.size(w).cast("double")
+    stop = F.size(F.filter(w, lambda t: (t == "the") | (t == "a"))).cast("double")
+    long_ = F.size(F.filter(w, lambda t: F.length(t) > 4)).cast("double")
+    score = (
+        0.5 * (F.lit(1.0) - stop / n)
+        + 0.3 * (long_ / n)
+        + 0.2 * F.least(n / F.lit(200.0), F.lit(1.0))
+    )
+    return F.round(score * 1_000_000).cast("bigint")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fan_out(load_table(spark, sf_dir, "documents"))
+
+
+# ---- queries ----------------------------------------------------------
+
+
+@register(
+    "split_train_test_hash",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT n_chars,
+             {_sql_hash_bucket('doc_id', ':split', 100)} AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY 1
+    """,
+    doc="Deterministic 80/10/10 train/val/test split: bucket = "
+    "md5(doc_id || salt) % 100. Hash-based (not rand()) so membership "
+    "is stable under re-runs and appends — the training-corpus "
+    "requirement. Per-row expression, zero shuffle before the 3-group "
+    "final agg; at 100 TB the split column is computed inline during "
+    "the write, never materialized separately.",
+)
+def split_train_test_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bucket = _hash_bucket(F.col("doc_id"), ":split", 100)
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@register(
+    "sample_stratified_deterministic",
+    oracle=f"""
+    SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE {_sql_hash_bucket("doc_id::VARCHAR || ':' || lang", ':sample', 1000)}
+          < CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 250 ELSE 100 END
+    GROUP BY lang
+    """,
+    doc="Deterministic stratified sampling: per-language keep rates "
+    "(en 50%, zh 25%, rest 10%) applied via a salted hash threshold "
+    "instead of sampleBy()'s RNG — reproducible across runs/engines "
+    "and exactly expressible in the oracle. The language-rebalance "
+    "primitive for corpus mixing. Per-row filter, zero shuffle before "
+    "the per-lang agg; filter is pushdown-eligible.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang"))
+    rate = (
+        F.when(F.col("lang") == "en", 500)
+        .when(F.col("lang") == "zh", 250)
+        .otherwise(100)
+    )
+    return (
+        docs.filter(_hash_bucket(key, ":sample", 1000) < rate)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH bench AS (
+      SELECT doc_id + 100000 AS doc_id,
+             array_to_string((string_split(text, ' '))[2:], ' ') AS text
+      FROM documents WHERE doc_id < 50
+    ), bench_shingles AS (
+      SELECT DISTINCT
+             unnest({sql_word_shingles("string_split(text, ' ')")}) AS shingle
+      FROM bench
+    ), train_shingles AS (
+      SELECT doc_id,
+             unnest({sql_word_shingles(_SQL_WORDS)}) AS shingle,
+             len({sql_word_shingles(_SQL_WORDS)}) AS n_shingles
+      FROM documents
+    )
+    SELECT doc_id,
+           count(DISTINCT t.shingle) AS n_matched,
+           any_value(n_shingles) AS n_shingles,
+           round(count(DISTINCT t.shingle) / any_value(n_shingles)::DOUBLE, 4)
+             AS contamination
+    FROM train_shingles t
+    JOIN bench_shingles b ON t.shingle = b.shingle
+    GROUP BY doc_id
+    HAVING count(DISTINCT t.shingle) >= 3
+    """,
+    doc="Benchmark decontamination: flag training documents sharing >= 3 "
+    "distinct 3-gram shingles with a held-out benchmark set (here a "
+    "deterministic drop-first-word mutation of docs 0-49, the same "
+    "synthetic near-dup corpus the dedup family uses). The benchmark "
+    "shingle set is DISTINCT-ed and broadcast — real benchmarks are "
+    "thousands of docs, so at 100 TB the train side stays shuffle-free "
+    "until the per-doc match count (one exchange on doc_id). Shingles "
+    "compare as strings; the contamination ratio is int/int, exact.",
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    w = words(F.col("text"))
+    bench = docs.filter(F.col("doc_id") < 50).select(
+        F.explode(
+            word_shingles(F.slice(w, 2, F.size(w) - 1))
+        ).alias("b_shingle")
+    ).distinct()
+    train = docs.select(
+        "doc_id",
+        F.explode(word_shingles(w)).alias("shingle"),
+        F.size(word_shingles(w)).alias("n_shingles"),
+    )
+    return (
+        train.join(F.broadcast(bench), train.shingle == bench.b_shingle)
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("shingle").alias("n_matched"),
+            F.any_value("n_shingles").alias("n_shingles"),
+            F.round(
+                F.count_distinct("shingle")
+                / F.any_value("n_shingles").cast("double"),
+                4,
+            ).alias("contamination"),
+        )
+        .filter(F.col("n_matched") >= 3)
+    )
+
+
+@register(
+    "quality_percentile_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang, {_SQL_SCORE_I} AS score_i FROM documents
+    ), ranked AS (
+      SELECT lang, score_i,
+             percent_rank() OVER (ORDER BY score_i) AS pr
+      FROM scored
+    )
+    SELECT lang, count(*) AS n_kept,
+           round(sum(score_i) / 1000000.0 / count(*), 4) AS avg_score
+    FROM ranked WHERE pr >= 0.25
+    GROUP BY lang
+    """,
+    doc="Corpus-relative quality filtering: drop the bottom quartile by "
+    "blended quality score, then report the surviving per-language mix "
+    "— the standard quality-threshold pass before training. Scores are "
+    "exact integer millionths so ranking and averages are "
+    "order-independent; percent_rank ties (rank-based) resolve "
+    "identically in both engines. The global rank is ONE sort at the "
+    "score grain; at 100 TB swap percent_rank for approx_percentile to "
+    "get the cutoff from a t-digest sketch (map-side combinable, no "
+    "global sort) at the cost of a bounded cutoff error.",
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _docs(spark, sf_dir).select("lang", _score_i().alias("score_i"))
+    pr = F.percent_rank().over(Window.orderBy("score_i"))
+    return (
+        scored.withColumn("pr", pr)
+        .filter(F.col("pr") >= 0.25)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.sum("score_i") / 1_000_000.0 / F.count("*"), 4).alias(
+                "avg_score"
+            ),
+        )
+    )
+
+
+@register(
+    "token_budget_pack",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             {_sql_hash_bucket('doc_id', ':shard', 8)} AS shard,
+             len({_SQL_WORDS}) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT shard, n_tokens,
+             CAST(COALESCE(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) // 2048 AS bin
+      FROM toks
+    )
+    SELECT shard, bin, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY shard, bin
+    """,
+    doc="Context-window packing: assign documents to 2048-token bins by "
+    "exclusive running token count, sharded 8 ways by doc-id hash so "
+    "the running sum is a PARTITIONED window — the trick that keeps "
+    "sequence packing distributed at 100 TB (a global ORDER BY window "
+    "would serialize on one task; per-shard packing loses nothing "
+    "because bins never span shards). Integer token counts -> exact.",
+)
+def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        _hash_bucket(F.col("doc_id"), ":shard", 8).alias("shard"),
+        F.size(words(F.col("text"))).alias("n_tokens"),
+    )
+    win = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.select(
+        "shard",
+        "n_tokens",
+        F.floor(F.coalesce(F.sum("n_tokens").over(win), F.lit(0)) / 2048).alias(
+            "bin"
+        ),
+    )
+    return packed.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )

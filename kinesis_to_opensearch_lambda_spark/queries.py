@@ -58,4 +58,5 @@ from .operators import (  # noqa: E402,F401
     subquery_queries,
     analytic_queries,
     corpus_queries,
+    training_queries,
 )

@@ -105,3 +105,35 @@ def test_q18_agg_before_join(spark):
 
     plan = plan_string(q(spark, "tpch_q18_large_volume"), "simple")
     assert "HashAggregate" in plan
+
+
+def test_range_join_broadcasts_band_table(spark):
+    # non-equi band join: 3-row tier dim must be the broadcast side,
+    # fact side streams (BroadcastNestedLoopJoin, never a cartesian sort)
+    from kinesis_to_opensearch_lambda_spark.plans import plan_string
+
+    plan = plan_string(q(spark, "join_range_interval"))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hash_split_shuffle_free_before_agg(spark):
+    # split/sample membership is a per-row md5 expression; the only
+    # exchange is the final tiny aggregation
+    assert shuffle_exchange_count(q(spark, "split_train_test_hash")) == 1
+    assert shuffle_exchange_count(q(spark, "sample_stratified_deterministic")) == 1
+
+
+def test_decontam_benchmark_broadcast(spark):
+    # benchmark shingle set joins broadcast; train side never shuffles
+    # for the join (only for the per-doc agg)
+    assert has_broadcast_hash_join(q(spark, "decontam_ngram_overlap"))
+
+
+def test_token_pack_partitioned_window(spark):
+    # the running-sum window is PARTITIONED (sharded) — the plan must
+    # hash-partition on shard, not sort everything into one task
+    from kinesis_to_opensearch_lambda_spark.plans import plan_string
+
+    plan = plan_string(q(spark, "token_budget_pack"))
+    assert "SinglePartition" not in plan, plan
