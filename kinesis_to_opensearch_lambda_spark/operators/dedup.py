@@ -212,6 +212,10 @@ def connected_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        # Materialize once: `pairs` is typically the whole LSH candidate
+        # pipeline (shingle -> minhash -> band join); without this every
+        # propagation round would recompute it from the raw corpus.
+        .localCheckpoint()
     )
     labels = (
         edges.select("src")
