@@ -152,3 +152,91 @@ def streaming_watermark_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).agg(F.max("n").alias("n_events"))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+    WITH imp AS (
+      SELECT (event_id // 3) % 200 AS k,
+             TIMESTAMP '2026-02-01 00:00:00'
+               + (event_id % 24) * INTERVAL 1 HOUR AS its
+      FROM events WHERE event_id % 3 = 0
+    ), clk AS (
+      SELECT (event_id // 3) % 200 AS ck,
+             TIMESTAMP '2026-02-01 00:00:00'
+               + (event_id % 24) * INTERVAL 1 HOUR
+               + ((event_id // 3) % 30) * INTERVAL 1 MINUTE AS cts
+      FROM events WHERE event_id % 3 = 1
+    )
+    SELECT strftime(its, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           count(*) AS n_matches
+    FROM imp JOIN clk
+      ON imp.k = ck AND cts >= its AND cts < its + INTERVAL 45 MINUTE
+    GROUP BY 1
+    """,
+    doc="Stream-stream inner join through a real StreamingQuery: "
+    "impression and click streams (disjoint deterministic slices of "
+    "events, times synthesized from event_id) joined on key + an "
+    "event-time range (click within 45min of the impression), both "
+    "sides watermarked so the state store can evict — the append-mode "
+    "requirement. One file per side -> one micro-batch, so the drained "
+    "result equals the batch join and the oracle is exact. At scale "
+    "the join keys co-partition both state stores; the watermark "
+    "bounds state to ~2x the range window per key.",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="stream_ssj_")
+    try:
+        ids = load_table(spark, sf_dir, "events").select("event_id")
+        base = "timestamp '2026-02-01 00:00:00'"
+        imp = ids.filter(F.col("event_id") % 3 == 0).select(
+            F.expr("(event_id div 3) % 200").alias("k"),
+            F.expr(
+                f"{base} + make_interval(0, 0, 0, 0, event_id % 24, 0, 0)"
+            ).alias("its"),
+        )
+        clk = ids.filter(F.col("event_id") % 3 == 1).select(
+            F.expr("(event_id div 3) % 200").alias("ck"),
+            F.expr(
+                f"{base} + make_interval(0, 0, 0, 0, event_id % 24,"
+                " (event_id div 3) % 30, 0)"
+            ).alias("cts"),
+        )
+        imp.coalesce(1).write.parquet(f"{d}/imp")
+        clk.coalesce(1).write.parquet(f"{d}/clk")
+        imp_s = (
+            spark.readStream.schema("k bigint, its timestamp").parquet(f"{d}/imp")
+        ).withWatermark("its", "1 hour")
+        clk_s = (
+            spark.readStream.schema("ck bigint, cts timestamp").parquet(f"{d}/clk")
+        ).withWatermark("cts", "1 hour")
+        joined = imp_s.join(
+            clk_s,
+            F.expr(
+                "k = ck AND cts >= its AND cts < its + interval 45 minutes"
+            ),
+        )
+        name = f"ssj_{uuid.uuid4().hex[:12]}"
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        return (
+            spark.table(name)
+            .groupBy(
+                F.date_format("its", "yyyy-MM-dd HH:mm:ss").alias("hour_start")
+            )
+            .agg(F.count("*").alias("n_matches"))
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
