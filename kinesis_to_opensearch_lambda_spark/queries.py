@@ -59,4 +59,5 @@ from .operators import (  # noqa: E402,F401
     analytic_queries,
     corpus_queries,
     training_queries,
+    bucketed_queries,
 )

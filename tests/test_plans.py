@@ -137,3 +137,18 @@ def test_token_pack_partitioned_window(spark):
 
     plan = plan_string(q(spark, "token_budget_pack"))
     assert "SinglePartition" not in plan, plan
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    # both sides bucketed 8x on the join key: the SortMergeJoin reads
+    # co-located buckets; the ONLY exchange is the final tiny agg
+    from kinesis_to_opensearch_lambda_spark.operators.bucketed_queries import (
+        bucketed_join_plan,
+    )
+
+    plan = bucketed_join_plan(spark, SF_DIR)
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "SelectedBucketsCount: 8 out of 8" in plan, plan
+    # exactly one exchange: the final group-by agg, never the join
+    assert plan.count("+- Exchange") + plan.count(":- Exchange") == 1, plan
