@@ -359,3 +359,51 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
         F.max_by("o_totalprice", "o_orderkey").alias("latest_price"),
     )
+
+
+@register(
+    "window_session_builtin",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ), per AS (
+      SELECT user_id, sid, count(*) AS n_events,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT n_events AS session_size, count(*) AS n_sessions,
+           CAST(sum(dur_us) AS BIGINT) AS total_dur_us
+    FROM per GROUP BY 1
+    """,
+    doc="Built-in session_window aggregation (the native Spark twin of "
+    "the lag+cumsum sessionization in window_sessionization): "
+    "groupBy(user_id, session_window(ts, '30 minutes')) merges events "
+    "whose gaps are < 30min; the oracle reproduces the identical "
+    "sessions with the classic islands SQL (new session when gap >= "
+    "30min). Durations in exact epoch microseconds. One shuffle on "
+    "user_id; session merging is per-group sort within the aggregate — "
+    "the operator Structured Streaming reuses for stateful session "
+    "windows.",
+)
+def window_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    per = events.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(
+        F.count("*").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    return per.groupBy(F.col("n_events").alias("session_size")).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("dur_us").alias("total_dur_us"),
+    )
