@@ -521,3 +521,62 @@ def dedup_lsh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "dedup_semantic_keep_best",
+    oracle=f"""
+    WITH RECURSIVE perturbed AS (
+      SELECT vec_id + 100000 AS vec_id, {_SQL_PERTURB} AS embedding
+      FROM embeddings WHERE vec_id < 50
+    ), pairs AS (
+      SELECT p.vec_id AS a, e.vec_id AS b
+      FROM perturbed p JOIN embeddings e
+        ON {sql_cosine('p.embedding', 'e.embedding')} > 0.99
+    ), sym AS (
+      SELECT a, b FROM pairs
+      UNION SELECT b, a FROM pairs
+      UNION SELECT a, a FROM pairs
+      UNION SELECT b, b FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ), labels AS (
+      SELECT a AS node, min(b) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT cluster_id AS kept_id,
+           count(*) AS n_members,
+           count(*) - 1 AS n_removed
+    FROM labels GROUP BY cluster_id
+    """,
+    doc="Semantic dedup (SemDeDup-style): embedding-cosine near-dup pairs "
+    "-> connected components -> keep ONE representative (min id) per "
+    "semantic cluster, reporting how many near-copies each kept doc "
+    "absorbs. Composition of dedup_embedding_near's candidate stage "
+    "with connected_components; at 100 TB the candidate stage is the "
+    "IVF/LSH-bucketed join (operators.similarity), never the brute "
+    "scan, and the keep-best rule swaps min-id for a quality argmax "
+    "(max_by over a score column) with the same plan.",
+)
+def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    perturbed = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("dup_id"),
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double")
+            + 0.01 * (x.cast("double") * x.cast("double") - 1.0),
+        ).alias("p_embedding"),
+    )
+    cos = cosine(F.col("p_embedding"), F.col("embedding"))
+    pairs = (
+        F.broadcast(perturbed)
+        .join(emb, cos > 0.99)
+        .select("dup_id", F.col("vec_id").alias("orig_id"))
+    )
+    labels = D.connected_components(pairs, "dup_id", "orig_id")
+    return labels.groupBy(F.col("cluster_id").alias("kept_id")).agg(
+        F.count("*").alias("n_members"),
+        (F.count("*") - 1).alias("n_removed"),
+    )

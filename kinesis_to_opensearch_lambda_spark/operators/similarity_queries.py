@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import SQL_DOT, sql_cosine
+from ..functions import SQL_DOT, cosine, sql_cosine
 
 SQL_DOT_SELF = SQL_DOT.format(a='embedding', b='embedding')
 from ..queries import register
@@ -308,4 +308,62 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 5.0,
             6,
         ).alias("recall_at_5"),
+    )
+
+
+@register(
+    "ann_topk_ivf_multiprobe",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), scored AS (
+      SELECT q.q_id, e.vec_id,
+             {sql_cosine('q.q_vec', 'e.embedding')} AS cos
+      FROM q JOIN embeddings e
+        ON (e.label = q.q_label OR e.label = (q.q_label + 1) % 10)
+       AND e.vec_id != q.q_id
+    )
+    SELECT q_id, vec_id, round(cos, 6) AS cos, rnk
+    FROM (
+      SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 3
+    """,
+    doc="IVF multi-probe (nprobe=2) ANN: each query probes its own cell "
+    "PLUS a deterministic second cell ((label+1) mod 10 standing in for "
+    "the 2nd-nearest centroid — with learned centroids the probe list "
+    "comes from a broadcast centroid ranking, same plan). The query "
+    "side explodes to one row per probe, keeping the corpus join an "
+    "EQUI-join on cell id — the knob between nprobe=1 (cheapest) and "
+    "all-cells (= brute force): cost scales linearly with nprobe, "
+    "recall approaches exact.",
+)
+def ann_topk_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.explode(
+            F.array(F.col("label"), (F.col("label") + 1) % 10)
+        ).alias("probe_cell"),
+    )
+    corpus = emb.select("vec_id", "embedding", "label")
+    pairs = corpus.join(
+        F.broadcast(q),
+        (F.col("probe_cell") == F.col("label"))
+        & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = pairs.select(
+        "q_id", "vec_id", cosine(F.col("q_vec"), F.col("embedding")).alias("cos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "vec_id", F.round("cos", 6).alias("cos"), "rnk")
     )
