@@ -160,12 +160,12 @@ def streaming_watermark_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH imp AS (
       SELECT (event_id // 3) % 200 AS k,
              TIMESTAMP '2026-02-01 00:00:00'
-               + (event_id % 24) * INTERVAL 1 HOUR AS its
+               + ((event_id // 3) % 24) * INTERVAL 1 HOUR AS its
       FROM events WHERE event_id % 3 = 0
     ), clk AS (
       SELECT (event_id // 3) % 200 AS ck,
              TIMESTAMP '2026-02-01 00:00:00'
-               + (event_id % 24) * INTERVAL 1 HOUR
+               + ((event_id // 3) % 24) * INTERVAL 1 HOUR
                + ((event_id // 3) % 30) * INTERVAL 1 MINUTE AS cts
       FROM events WHERE event_id % 3 = 1
     )
@@ -197,13 +197,14 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         imp = ids.filter(F.col("event_id") % 3 == 0).select(
             F.expr("(event_id div 3) % 200").alias("k"),
             F.expr(
-                f"{base} + make_interval(0, 0, 0, 0, event_id % 24, 0, 0)"
+                f"{base} + make_interval(0, 0, 0, 0,"
+                " (event_id div 3) % 24, 0, 0)"
             ).alias("its"),
         )
         clk = ids.filter(F.col("event_id") % 3 == 1).select(
             F.expr("(event_id div 3) % 200").alias("ck"),
             F.expr(
-                f"{base} + make_interval(0, 0, 0, 0, event_id % 24,"
+                f"{base} + make_interval(0, 0, 0, 0, (event_id div 3) % 24,"
                 " (event_id div 3) % 30, 0)"
             ).alias("cts"),
         )

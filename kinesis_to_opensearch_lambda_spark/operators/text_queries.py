@@ -148,9 +148,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE rnk = 1
     """,
-    doc="TF-IDF scoring from first principles (explode -> term/doc "
-    "frequencies -> idf join -> per-doc argmax): classic inverted-stats "
-    "pipeline, three key-partitioned shuffles, broadcastable df/N sides.",
+    doc="TF-IDF scoring from first principles: ONE explode pass -> tf "
+    "grouped per (doc, word) -> document frequency derived from tf "
+    "itself (already distinct per doc/word, so a plain count — no "
+    "second explode, no count_distinct) -> idf via broadcast df + "
+    "broadcast 1-row N -> per-doc argmax window. The corpus is "
+    "tokenized exactly once; df and N are dictionary-sized broadcasts.",
 )
 def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -164,16 +167,22 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tokens.groupBy("doc_id", "word", "n_tokens").agg(
         (F.count("*").cast("double") / F.col("n_tokens").cast("double")).alias("tf")
     )
-    dfreq = tokens.groupBy("word").agg(
-        F.count_distinct("doc_id").alias("dfreq")
-    )
-    n_docs = docs.count()  # scalar; constant-folded into the plan
-    scored = tf.join(F.broadcast(dfreq), "word").select(
-        "doc_id",
-        "word",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("dfreq").cast("double"))).alias(
-            "score"
-        ),
+    # tf already holds one row per (doc, word): document frequency is a
+    # plain count over it — no second explode, no count_distinct shuffle.
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("dfreq"))
+    # N as a broadcast 1-row aggregate (not a driver-side .count() action)
+    n1 = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(F.broadcast(n1))
+        .select(
+            "doc_id",
+            "word",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs") / F.col("dfreq").cast("double"))
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
     return (
