@@ -163,6 +163,81 @@ def simhash16(df: DataFrame, text_col: str = "text", hash_expr_col: str = "_hs")
     )
 
 
+def simhash_near_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    sh_col: str = "simhash",
+    n_bands: int = 4,
+    band_bits: int = 4,
+    hamming_max: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Banded hamming-neighbor lookup over SimHash fingerprints — the
+    query path that makes SimHash usable at scale.
+
+    Standard SimHash banding (pigeonhole): split the fingerprint into
+    ``n_bands`` contiguous bit bands; any two fingerprints within
+    hamming distance ``n_bands - 1`` agree on at least one full band, so
+    a (band_idx, band_bits) bucket equi-join finds EVERY pair with
+    ``hamming <= n_bands - 1`` — no cross join.  Candidates are then
+    verified exactly with ``bit_count(xor)`` and filtered to
+    ``hamming_max``.
+
+    The fingerprint rides inside the bucket's collect_list struct, so
+    the verify stage needs no join back to the fingerprint table: one
+    shuffle on the bucket key, pair expansion + popcount inside the
+    bucket array.  ``max_bucket_size`` is the same mega-bucket skew
+    guard as :func:`lsh_candidate_pairs` — at 100 TB use a 64-bit
+    fingerprint with 16-bit bands (65k bucket values per band); the
+    16-bit/4-band layout here matches the oracle-portable
+    :func:`simhash16`.
+
+    Returns distinct (doc_a, doc_b, hamming) with doc_a < doc_b.
+    """
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col(sh_col), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = fingerprints.select(
+        F.col(id_col).alias("id"), F.col(sh_col).alias("sh"), F.explode(bands).alias("band")
+    ).select("id", "sh", "band.band_idx", "band.band_val")
+    grouped = buckets.groupBy("band_idx", "band_val").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("id"), F.col("sh")))
+        ).alias("members")
+    )
+    grouped = grouped.filter(F.size("members") > 1)
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("members") <= max_bucket_size)
+    pairs = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda a, i: F.transform(
+                F.slice(F.col("members"), i + 2, F.size(F.col("members")) - i - 1),
+                lambda b: F.struct(
+                    a["id"].alias("doc_a"),
+                    b["id"].alias("doc_b"),
+                    F.bit_count(a["sh"].bitwiseXOR(b["sh"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .filter(F.col("hamming") <= hamming_max)
+        .distinct()
+    )
+
+
 def jaccard_shingle_similarity(
     left: DataFrame,
     right: DataFrame,
@@ -203,11 +278,22 @@ def connected_components(
     algorithm on Spark (large-/small-star style simplification):
     each round joins every node's current label against its neighbours'
     labels and keeps the min; converges in O(diameter) rounds.  Per
-    round: one join shuffle on node id; ``localCheckpoint`` truncates
-    the lineage so plans don't grow unboundedly.  Duplicate clusters
-    from LSH have tiny diameters (near-cliques), so 3-4 rounds settle
-    in practice; ``max_iter`` bounds the worst case.
+    round: one join shuffle on node id, then exactly ONE job — the
+    eager ``localCheckpoint`` that truncates lineage also carries an
+    ``Observation`` whose executor-aggregated ``n_changed`` metric
+    drives the convergence exit, so there is no separate driver-side
+    count/collect action in the loop.  Duplicate clusters from LSH have
+    tiny diameters (near-cliques), so 3-4 rounds settle in practice;
+    ``max_iter`` bounds the worst case.
+
+    Fault-tolerance note: ``localCheckpoint`` stores blocks on
+    executors — fast, but not resilient to executor loss.  On a
+    long-running 1000-executor job, set a reliable checkpoint dir
+    (``sc.setCheckpointDir`` on HDFS/S3) and swap ``localCheckpoint``
+    for ``checkpoint``; the algorithm is unchanged.
     """
+    from pyspark.sql import Observation
+
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -228,21 +314,25 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
-                (
-                    F.coalesce("nbr_min", F.col("cluster_id"))
-                    < F.col("cluster_id")
-                ).alias("_changed"),
+        updated = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+            ).alias("cluster_id"),
+            (
+                F.coalesce("nbr_min", F.col("cluster_id")) < F.col("cluster_id")
+            ).alias("_changed"),
+        )
+        obs = Observation()
+        labels = (
+            updated.observe(
+                obs, F.sum(F.col("_changed").cast("long")).alias("n_changed")
             )
-        ).localCheckpoint()
-        n_changed = updated.filter(F.col("_changed")).count()
-        labels = updated.drop("_changed")
-        if n_changed == 0:
+            .drop("_changed")
+            .localCheckpoint(eager=True)
+        )
+        if obs.get["n_changed"] == 0:
             break
     return labels

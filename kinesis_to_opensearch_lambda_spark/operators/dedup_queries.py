@@ -27,6 +27,7 @@ from ..functions import (
 from ..queries import register
 from ..sources.batch import fan_out, load_table
 from . import dedup as D
+from . import similarity as S
 
 # ---- deterministic near-dup corpus -----------------------------------
 
@@ -217,25 +218,43 @@ _SQL_PERTURB = (
     "list_transform(embedding, x -> x::DOUBLE + 0.01 * (x::DOUBLE * x::DOUBLE - 1.0))"
 )
 
-
-@register(
-    "dedup_embedding_near",
-    oracle=f"""
-    WITH perturbed AS (
-      SELECT vec_id + 100000 AS vec_id, {_SQL_PERTURB} AS embedding
+# SRP-LSH bucketed candidate stage shared by the embedding-dedup queries:
+# bucket the corpus once, hash the perturbed probes into their own bucket
+# PLUS every hamming-1 neighbor bucket (multi-probe), equi-join on the
+# bucket id.  Candidates shrink ~2^-8 per probe and the join is a
+# BroadcastHashJoin/SMJ on an integer key — never a nested-loop theta
+# join over the cosine predicate (plan-asserted in tests/test_plans.py).
+_SQL_EMB_CANDIDATES = f"""
+    bucketed AS (
+      SELECT vec_id, embedding, {S.sql_srp_bits('embedding')} AS bucket
+      FROM embeddings
+    ), perturbed AS (
+      SELECT vec_id + 100000 AS dup_id, {_SQL_PERTURB} AS p_embedding
       FROM embeddings WHERE vec_id < 50
+    ), pbuck AS (
+      SELECT dup_id, p_embedding, {S.sql_srp_bits('p_embedding')} AS p_bucket
+      FROM perturbed
+    ), probes AS (
+      SELECT dup_id, p_embedding,
+             CASE WHEN f = 0 THEN p_bucket
+                  ELSE xor(p_bucket, (1 << (f - 1))) END AS probe
+      FROM pbuck, range(9) t(f)
+    ), cand AS (
+      SELECT p.dup_id, e.vec_id AS orig_id,
+             {sql_cosine('p.p_embedding', 'e.embedding')} AS cos
+      FROM probes p JOIN bucketed e ON e.bucket = p.probe
     )
-    SELECT p.vec_id AS dup_id, e.vec_id AS orig_id,
-           round({sql_cosine('p.embedding', 'e.embedding')}, 6) AS cos
-    FROM perturbed p JOIN embeddings e
-      ON {sql_cosine('p.embedding', 'e.embedding')} > 0.99
-    """,
-    doc="Embedding-cosine near-dup: polynomially perturbed copies must match "
-    "their originals above 0.99 cosine. Brute candidate scan here; the "
-    "100 TB path LSH/IVF-restricts candidates first (operators.similarity).",
-)
-def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _emb_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dup_id, orig_id, cos) candidate pairs via the SRP-LSH bucket
+    equi-join with hamming-1 multi-probe — Spark twin of
+    ``_SQL_EMB_CANDIDATES``."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    bucketed = emb.select(
+        "vec_id", "embedding", S.srp_bucket(F.col("embedding")).alias("bucket")
+    )
     perturbed = emb.filter(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 100000).alias("dup_id"),
         F.transform(
@@ -243,15 +262,44 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: x.cast("double") + 0.01 * (x.cast("double") * x.cast("double") - 1.0),
         ).alias("p_embedding"),
     )
-    cos = cosine(F.col("p_embedding"), F.col("embedding"))
-    return (
-        F.broadcast(perturbed)
-        .join(emb, cos > 0.99)
-        .select(
-            "dup_id",
-            F.col("vec_id").alias("orig_id"),
-            F.round(cos, 6).alias("cos"),
-        )
+    probes = perturbed.withColumn(
+        "p_bucket", S.srp_bucket(F.col("p_embedding"))
+    ).select(
+        "dup_id",
+        "p_embedding",
+        F.explode(
+            F.array(
+                F.col("p_bucket"),
+                *[F.col("p_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(8)],
+            )
+        ).alias("probe"),
+    )
+    pairs = bucketed.join(F.broadcast(probes), F.col("bucket") == F.col("probe"))
+    return pairs.select(
+        "dup_id",
+        F.col("vec_id").alias("orig_id"),
+        cosine(F.col("p_embedding"), F.col("embedding")).alias("cos"),
+    )
+
+
+@register(
+    "dedup_embedding_near",
+    oracle=f"""
+    WITH {_SQL_EMB_CANDIDATES}
+    SELECT dup_id, orig_id, round(cos, 6) AS cos
+    FROM cand WHERE cos > 0.99
+    """,
+    doc="Embedding-cosine near-dup: polynomially perturbed copies must match "
+    "their originals above 0.99 cosine. Candidates come from the SRP-LSH "
+    "bucket equi-join (own bucket + 8 hamming-1 probe buckets, "
+    "operators.similarity.srp_bucket), then exact-cosine verify — the "
+    "bucketed 100 TB path, not a brute scan; multi-probe bounds the LSH "
+    "miss rate at cos>0.99 to P(>=2 of 8 planes split the pair) ~ 5%.",
+)
+def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _emb_candidates(spark, sf_dir)
+    return cand.filter(F.col("cos") > 0.99).select(
+        "dup_id", "orig_id", F.round("cos", 6).alias("cos")
     )
 
 
@@ -526,13 +574,9 @@ def dedup_lsh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_semantic_keep_best",
     oracle=f"""
-    WITH RECURSIVE perturbed AS (
-      SELECT vec_id + 100000 AS vec_id, {_SQL_PERTURB} AS embedding
-      FROM embeddings WHERE vec_id < 50
-    ), pairs AS (
-      SELECT p.vec_id AS a, e.vec_id AS b
-      FROM perturbed p JOIN embeddings e
-        ON {sql_cosine('p.embedding', 'e.embedding')} > 0.99
+    WITH RECURSIVE {_SQL_EMB_CANDIDATES}
+    , pairs AS (
+      SELECT dup_id AS a, orig_id AS b FROM cand WHERE cos > 0.99
     ), sym AS (
       SELECT a, b FROM pairs
       UNION SELECT b, a FROM pairs
@@ -553,30 +597,68 @@ def dedup_lsh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Semantic dedup (SemDeDup-style): embedding-cosine near-dup pairs "
     "-> connected components -> keep ONE representative (min id) per "
     "semantic cluster, reporting how many near-copies each kept doc "
-    "absorbs. Composition of dedup_embedding_near's candidate stage "
-    "with connected_components; at 100 TB the candidate stage is the "
-    "IVF/LSH-bucketed join (operators.similarity), never the brute "
-    "scan, and the keep-best rule swaps min-id for a quality argmax "
-    "(max_by over a score column) with the same plan.",
+    "absorbs. The candidate stage is the SRP-LSH bucket equi-join with "
+    "hamming-1 multi-probe (operators.similarity.srp_bucket) — the "
+    "bucketed 100 TB path, never a brute all-pairs scan — then exact "
+    "cosine verify and connected_components. The keep-best rule swaps "
+    "min-id for a quality argmax (max_by over a score column) with the "
+    "same plan.",
 )
 def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = fan_out(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
-    perturbed = emb.filter(F.col("vec_id") < 50).select(
-        (F.col("vec_id") + 100000).alias("dup_id"),
-        F.transform(
-            "embedding",
-            lambda x: x.cast("double")
-            + 0.01 * (x.cast("double") * x.cast("double") - 1.0),
-        ).alias("p_embedding"),
-    )
-    cos = cosine(F.col("p_embedding"), F.col("embedding"))
     pairs = (
-        F.broadcast(perturbed)
-        .join(emb, cos > 0.99)
-        .select("dup_id", F.col("vec_id").alias("orig_id"))
+        _emb_candidates(spark, sf_dir)
+        .filter(F.col("cos") > 0.99)
+        .select("dup_id", "orig_id")
     )
     labels = D.connected_components(pairs, "dup_id", "orig_id")
     return labels.groupBy(F.col("cluster_id").alias("kept_id")).agg(
         F.count("*").alias("n_members"),
         (F.count("*") - 1).alias("n_removed"),
+    )
+
+
+@register(
+    "dedup_simhash_near",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      {_SQL_MUTATED}
+    ), sigs AS (
+      SELECT doc_id, CAST({_sql_simhash()} AS BIGINT) AS sh FROM corpus
+    ), buckets AS (
+      SELECT doc_id, sh, b AS band_idx, (sh >> (b * 4)) & 15 AS band_val
+      FROM sigs, range(4) t(b)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+      FROM buckets a JOIN buckets b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    )
+    SELECT hamming, count(*) AS n_pairs,
+           coalesce(sum(CASE WHEN doc_b - doc_a = 100000 THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_mutation_pairs
+    FROM pairs GROUP BY hamming
+    """,
+    doc="SimHash banded hamming-neighbor lookup (operators.dedup."
+    "simhash_near_pairs): 4 bands of 4 bits — pigeonhole guarantees every "
+    "pair within hamming 3 shares a band, so candidate generation is a "
+    "bucket equi-join, verified exactly with bit_count(xor). Reports, per "
+    "hamming distance, how many pairs survive and how many are the "
+    "planted drop-first-word mutations (doc_b = doc_a + 100000).",
+)
+def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    fp = D.simhash16(corpus).select("doc_id", "simhash")
+    pairs = D.simhash_near_pairs(fp, hamming_max=3)
+    return pairs.groupBy("hamming").agg(
+        F.count("*").alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("doc_b") - F.col("doc_a") == 100000, 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_mutation_pairs"),
     )

@@ -19,10 +19,52 @@ Two physical strategies:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import cosine
+
+
+def srp_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Signed-random-projection LSH bucket id for an embedding column.
+
+    Bit *i* of the bucket is the sign of ``dot(vec, plane_i)`` where the
+    hyperplane components come from a deterministic integer hash (Knuth
+    multiplicative) in [-0.5, 0.5) — identical in every engine, no RNG.
+    Pure per-row fold work (zero shuffle); the bucket id is the
+    shuffle/bucketing key that turns all-pairs similarity into an
+    equi-join.  DuckDB twin: :func:`sql_srp_bits`.
+    """
+    terms = None
+    for i in range(n_planes):
+        prods = F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            # plain closure over the loop var is safe: PySpark consumes
+            # the lambda eagerly at expression-build time, and a default
+            # arg would change the lambda's arity (HOFs inspect it).
+            lambda x, j: x.cast("double")
+            * (((((F.lit(i) * dim + j) * 2654435761) % 1000 + 1000) % 1000) / 1000.0 - 0.5),
+        )
+        dot_i = F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
+        term = F.when(dot_i >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        terms = term if terms is None else terms + term
+    return terms
+
+
+def sql_srp_bits(vec: str, n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of :func:`srp_bucket` (same fold order, same integer
+    hyperplane components)."""
+    terms = []
+    for i in range(n_planes):
+        dot = (
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(list_zip({vec}, range(0, {dim})), "
+            f"z -> z[1]::DOUBLE * (((((({i} * {dim} + (z[2])) * 2654435761) % 1000) + 1000) % 1000) / 1000.0 - 0.5))), "
+            "(a, x) -> a + x)"
+        )
+        terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
 
 
 def brute_force_topk(

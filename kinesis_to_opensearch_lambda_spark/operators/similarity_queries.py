@@ -83,25 +83,9 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "vec_id", F.round("cos", 6).alias("cos"), "rnk")
 
 
-def _srp_plane(i: int, j: str) -> str:
-    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
-    integer arithmetic (Knuth multiplicative hash) — identical in every
-    engine, no RNG required."""
-    return f"((((({i} * 64 + {j}) * 2654435761) % 1000) + 1000) % 1000) / 1000.0 - 0.5"
-
-
-def _sql_srp_bits(vec: str, n_planes: int = 8) -> str:
-    """DuckDB: sign-bit bucket id from n_planes hyperplane projections."""
-    terms = []
-    for i in range(n_planes):
-        dot = (
-            "list_reduce(list_prepend(0.0::DOUBLE, "
-            f"list_transform(list_zip({vec}, range(0, 64)), "
-            f"z -> z[1]::DOUBLE * (((((({i} * 64 + (z[2])) * 2654435761) % 1000) + 1000) % 1000) / 1000.0 - 0.5))), "
-            "(a, x) -> a + x)"
-        )
-        terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END")
-    return "(" + " + ".join(terms) + ")"
+# Spark/DuckDB SRP-LSH bucket twins live in operators.similarity so the
+# dedup queries can reuse the same bucketed candidate stage.
+_sql_srp_bits = S.sql_srp_bits
 
 
 @register(
@@ -137,25 +121,8 @@ def ann_topk_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-
-    def srp_bucket(vec):
-        terms = None
-        for i in range(8):
-            # dot(vec, plane_i) with plane components from the same
-            # integer-hash formula as the oracle
-            prods = F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda x, j: x.cast("double")
-                * (((((F.lit(i) * 64 + j) * 2654435761) % 1000 + 1000) % 1000) / 1000.0 - 0.5),
-            )
-            dot_i = F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
-            term = F.when(dot_i >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-            terms = term if terms is None else terms + term
-        return terms
-
     bucketed = emb.select(
-        "vec_id", "embedding", srp_bucket(F.col("embedding")).alias("bucket")
+        "vec_id", "embedding", S.srp_bucket(F.col("embedding")).alias("bucket")
     )
     q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"),

@@ -54,3 +54,30 @@ def test_comparator_detects_negative_zero():
     a = pd.DataFrame({"v": [0.0]})
     b = pd.DataFrame({"v": [-0.0]})
     assert _rows(a) != _rows(b)
+
+
+def test_driver_window_covers_every_category():
+    """The driver's CORRECTNESS gate checks the first 50 registry entries
+    in iteration order — that window must stay a cross-section of every
+    SURVEY.md §2 category (round-2 verdict: 67 queries, including every
+    dedup/ANN/text/multimodal/streaming entry, had never been
+    driver-verified because registration order front-loaded relational)."""
+    from kinesis_to_opensearch_lambda_spark.queries import DRIVER_WINDOW
+
+    first50 = list(REGISTRY)[:50]
+    assert len(DRIVER_WINDOW) == 50
+    assert first50 == list(DRIVER_WINDOW)
+    for prefix in (
+        "pipeline_",
+        "dedup_",
+        "ann_",
+        "emb_",
+        "text_",
+        "split_",
+        "token_",
+        "mm_",
+        "streaming_",
+        "join_bucketed",
+        "tpch_",
+    ):
+        assert any(n.startswith(prefix) for n in first50), prefix

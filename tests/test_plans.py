@@ -139,6 +139,27 @@ def test_token_pack_partitioned_window(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_embedding_dedup_candidates_are_hash_join(spark):
+    # the semantic-dedup candidate stage is the SRP-LSH bucket EQUI-join
+    # (BroadcastHashJoin on the integer bucket key) — never a
+    # BroadcastNestedLoopJoin over the cosine predicate
+    from kinesis_to_opensearch_lambda_spark.plans import plan_string
+
+    for name in ("dedup_embedding_near", "dedup_semantic_keep_best"):
+        df = q(spark, name)
+        plan = plan_string(df)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+    assert has_broadcast_hash_join(q(spark, "dedup_embedding_near"))
+
+
+def test_simhash_near_bucket_join_shuffles(spark):
+    # band-bucket groupBy + pair-distinct + final hamming-histogram agg:
+    # pair expansion happens inside the bucket array, never via a
+    # self-join of the fingerprint lineage
+    assert shuffle_exchange_count(q(spark, "dedup_simhash_near")) <= 3
+
+
 def test_bucketed_join_is_exchange_free(spark):
     # both sides bucketed 8x on the join key: the SortMergeJoin reads
     # co-located buckets; the ONLY exchange is the final tiny agg
