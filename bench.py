@@ -7,13 +7,17 @@ ONE JSON line:
      "queries": {"q": sec, ...}, "sf": ...}
 
 Each query is executed by a count()-style action that materializes the
-full result (no collect of payload rows to the driver).
+full result (no collect of payload rows to the driver).  The timed pass
+runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the per-query
+MEDIAN — single-run numbers on a shared sandbox drift 15-30% and look
+like plan regressions when they are scheduler noise.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -22,6 +26,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 
 def main() -> None:
@@ -41,19 +46,30 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 print(f"# warmup {q.name} failed: {exc}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    for q in headline:
-        t0 = time.perf_counter()
-        try:
-            df = q.spark(spark, SF_DIR)
-            n = df.count()
-        except Exception as exc:  # noqa: BLE001 - one failure must not kill the run
-            errors[q.name] = f"{type(exc).__name__}: {exc}"[:200]
-            print(f"# {q.name}: FAILED {errors[q.name]}", file=sys.stderr)
-            continue
-        timings[q.name] = round(time.perf_counter() - t0, 3)
-        print(f"# {q.name}: {timings[q.name]:.3f}s ({n} rows)", file=sys.stderr)
+    for run in range(RUNS):
+        for q in headline:
+            if q.name in errors:
+                continue
+            t0 = time.perf_counter()
+            try:
+                df = q.spark(spark, SF_DIR)
+                n = df.count()
+            except Exception as exc:  # noqa: BLE001 - one failure must not kill the run
+                errors[q.name] = f"{type(exc).__name__}: {exc}"[:200]
+                print(f"# {q.name}: FAILED {errors[q.name]}", file=sys.stderr)
+                continue
+            sec = time.perf_counter() - t0
+            samples.setdefault(q.name, []).append(sec)
+            print(
+                f"# run {run + 1}/{RUNS} {q.name}: {sec:.3f}s ({n} rows)",
+                file=sys.stderr,
+            )
+
+    timings = {
+        name: round(statistics.median(vals), 3) for name, vals in samples.items()
+    }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
@@ -66,6 +82,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "runs": RUNS,
+        "stat": "median",
     }
     if errors:
         out["errors"] = errors

@@ -43,8 +43,13 @@ def handler(
     """Reference-parity handler: decode -> normalize -> ES branch
     (projected) + Splunk branch (full record).
 
-    Returns per-sink delivered counts (the reference prints them,
-    lambda_function.py:87-88,137-138).
+    Returns per-sink delivered counts plus the reference's ``total``
+    denominator.  Counter quirk carried over exactly: the reference
+    prints ``success/total`` where ``total = len(processed_records)``
+    for BOTH branches (lambda_function.py:87-88,137-138) — the
+    denominator counts records the ES branch skipped for a missing
+    ``random_id`` (the ``None``-guard at :78-79), so a run that skips
+    one record reports ``1/2``, not ``1/1``.
     """
     if spark is None:
         from .session import get_session
@@ -58,7 +63,8 @@ def handler(
     df = P.nullify_empty_ip(df)
     df.persist()  # one decode, two sinks (lambda_function.py:141,144,148)
     try:
-        result = {"elasticsearch": 0, "splunk": 0}
+        total = df.count()  # the reference's shared denominator
+        result = {"elasticsearch": 0, "splunk": 0, "total": total}
         if es_sink is not None:
             # The None/null-key guard applies ONLY to the ES branch
             # (lambda_function.py:78-79 skips, :81 keys on random_id);
@@ -67,9 +73,11 @@ def handler(
             # itself filters null ids (sinks/opensearch.py serialize).
             ok, _ = es_sink.write(P.drop_null_records(df))
             result["elasticsearch"] = ok
+            print(f"Successfully processed {ok}/{total} items for opensearch")
         if splunk_sink is not None and not is_disabled(config.splunk_disabled):
             ok, _ = splunk_sink.write(df)
             result["splunk"] = ok
+            print(f"Successfully processed {ok}/{total} items to Splunk")
         return result
     finally:
         df.unpersist()

@@ -45,8 +45,11 @@ N_BUCKETS = 8
     "plan asserted shuffle-free in tests/test_plans.py). The MERGE "
     "hint keeps Catalyst from broadcasting the small test-scale "
     "customer table — at 100 TB both sides are large and SMJ over "
-    "buckets is the target plan. The tiny grouped result is eagerly "
-    "checkpointed so the scratch tables can be dropped before return.",
+    "buckets is the target plan. The tiny grouped result is collected "
+    "and rebuilt as a fresh local DataFrame so the returned frame has "
+    "NO lineage into the scratch tables (a localCheckpoint would pin "
+    "blocks on executors and fail on any recompute after the tables "
+    "are dropped).",
 )
 def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="bucketed_")
@@ -87,9 +90,11 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("price_cents").alias("total_cents"),
             )
         )
-        # Materialize the (tiny) result before dropping the scratch
-        # tables: the returned DataFrame must not depend on them.
-        return result.localCheckpoint(eager=True)
+        # Materialize the (tiny) grouped result and rebuild it from
+        # local rows: the returned DataFrame must survive recompute
+        # (executor loss, cache eviction) after the scratch tables are
+        # dropped, which checkpoint blocks would not.
+        return spark.createDataFrame(result.collect(), schema=result.schema)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
         spark.sql(f"DROP TABLE IF EXISTS {t_cust}")

@@ -132,7 +132,7 @@ def split_train_test_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "primitive for corpus mixing. Per-row filter, zero shuffle before "
     "the per-lang agg; filter is pushdown-eligible.",
 )
-def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     key = F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang"))
     rate = (

@@ -72,6 +72,41 @@ def _parse_bytes(v: str) -> int:
     return int(s)
 
 
+# fan_out width estimates, keyed by (files, confs): repeated load_table
+# calls on the same immutable parquet roots must not re-stat every file —
+# on a 100k-file table that is a driver-side listing in the query path.
+_FAN_OUT_CACHE: dict[tuple, int] = {}
+
+
+def _scan_task_estimate(
+    files: tuple[str, ...], max_bytes: int, open_cost: int, target: int
+) -> int | None:
+    """Estimate Spark's parquet scan task count using the engine's own
+    split math: ``maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, totalBytes / defaultParallelism))``, then
+    bin-packing where each split costs ``size + openCostInBytes``.
+    Returns None when file sizes are unavailable (non-local source)."""
+    key = (files, max_bytes, open_cost, target)
+    if key in _FAN_OUT_CACHE:
+        return _FAN_OUT_CACHE[key]
+    sizes = []
+    for uri in files:
+        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        try:
+            sizes.append(os.path.getsize(path))
+        except OSError:
+            return None  # non-local source: trust the scan's own layout
+    total = sum(sizes) + open_cost * len(sizes)
+    max_split = min(max_bytes, max(open_cost, total // max(1, target)))
+    # Packing merges small files into shared tasks, so the task count is
+    # the packed bin count — NOT one task per file (a per-file estimate
+    # over-counts on many-tiny-file layouts and would suppress the
+    # fan-out exactly when the scan is most starved).
+    packed = max(1, -(-total // max_split))
+    _FAN_OUT_CACHE[key] = packed
+    return packed
+
+
 def fan_out(df: DataFrame, min_factor: int = 2) -> DataFrame:
     """Spread a parallelism-starved scan across the cluster.
 
@@ -83,26 +118,21 @@ def fan_out(df: DataFrame, min_factor: int = 2) -> DataFrame:
     the (narrow) input unlocks full-width execution.  Already-wide scans
     — the 100 TB case, thousands of row groups — pass through untouched,
     so this never adds a shuffle where the source is properly laid out.
+
+    The width estimate reproduces Spark's own split/bin-packing math
+    (openCostInBytes included) from file metadata instead of probing
+    ``df.rdd`` (which forces a full plan conversion), and is cached per
+    (files, conf) so repeated loads never re-stat the listing.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    # Estimate the scan's task count from file-listing metadata instead of
-    # df.rdd.getNumPartitions() — the RDD probe forces a full plan
-    # conversion per call.  Spark splits parquet scans into
-    # ceil(size / maxPartitionBytes) tasks per file (modulo openCostInBytes
-    # packing, which only merges *small* files and so can only lower the
-    # estimate — conservative in the right direction for the pass-through
-    # branch).
+    files = tuple(df.inputFiles())
+    if not files:
+        return df  # in-memory/derived source: no scan layout to widen
     max_bytes = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-    est = 0
-    for uri in df.inputFiles():
-        path = uri[len("file:"):] if uri.startswith("file:") else uri
-        try:
-            size = os.path.getsize(path)
-        except OSError:
-            return df  # non-local source: trust the scan's own layout
-        est += max(1, -(-size // max_bytes))
-    if est * min_factor <= target:
+    open_cost = _parse_bytes(spark.conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    est = _scan_task_estimate(files, max_bytes, open_cost, target)
+    if est is not None and est * min_factor <= target:
         return df.repartition(target)
     return df
 

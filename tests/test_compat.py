@@ -52,7 +52,7 @@ def sinks(tmp_path):
 def test_handler_es_gets_only_allowlisted(spark, sinks):
     es, hec, es_spool, _ = sinks
     out = handler(kinesis_event([FULL_RECORD]), spark=spark, es_sink=es, splunk_sink=hec)
-    assert out == {"elasticsearch": 1, "splunk": 1}
+    assert out == {"elasticsearch": 1, "splunk": 1, "total": 1}
     [action] = es_spool.read_back()
     assert set(action["_source"]) <= {
         "random_id", "kind_id", "account_id", "performer_id",
@@ -77,7 +77,7 @@ def test_handler_multi_record_batch(spark, sinks):
     es, hec, es_spool, hec_spool = sinks
     records = [dict(FULL_RECORD, random_id=f"m-{i}") for i in range(7)]
     out = handler(kinesis_event(records), spark=spark, es_sink=es, splunk_sink=hec)
-    assert out == {"elasticsearch": 7, "splunk": 7}
+    assert out == {"elasticsearch": 7, "splunk": 7, "total": 7}
     assert {a["_id"] for a in es_spool.read_back()} == {f"m-{i}" for i in range(7)}
     assert len(hec_spool.read_back()) == 7
 
@@ -89,7 +89,7 @@ def test_handler_respects_splunk_disable(spark, sinks):
         kinesis_event([FULL_RECORD]), spark=spark, config=cfg,
         es_sink=es, splunk_sink=hec,
     )
-    assert out == {"elasticsearch": 1, "splunk": 0}
+    assert out == {"elasticsearch": 1, "splunk": 0, "total": 1}
     assert hec_spool.read_back() == []
 
 
@@ -111,7 +111,26 @@ def test_handler_null_id_record_reaches_splunk_not_es(spark, sinks):
         es_sink=es,
         splunk_sink=hec,
     )
-    assert out == {"elasticsearch": 1, "splunk": 2}
+    assert out == {"elasticsearch": 1, "splunk": 2, "total": 2}
     assert {a["_id"] for a in es_spool.read_back()} == {"abc123"}
     urls = [e["event"]["request_url"] for e in hec_spool.read_back()]
     assert urls == ["/api/login", "/api/login"]
+
+
+def test_handler_counter_denominator_quirk(spark, sinks, capsys):
+    """VERDICT r2 #7: the reference prints ``success/total`` with
+    ``total = len(processed_records)`` for BOTH branches
+    (lambda_function.py:87,137) — so the ES line's denominator counts
+    the record its own None-guard skipped.  The drop-in handler must
+    report the same denominators, quirk included."""
+    es, hec, _, _ = sinks
+    no_id = {k: v for k, v in FULL_RECORD.items() if k != "random_id"}
+    handler(
+        kinesis_event([FULL_RECORD, no_id]),
+        spark=spark,
+        es_sink=es,
+        splunk_sink=hec,
+    )
+    out = capsys.readouterr().out
+    assert "Successfully processed 1/2 items for opensearch" in out
+    assert "Successfully processed 2/2 items to Splunk" in out
