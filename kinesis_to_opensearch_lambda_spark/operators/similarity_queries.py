@@ -334,3 +334,132 @@ def ann_topk_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("q_id", "vec_id", F.round("cos", 6).alias("cos"), "rnk")
     )
+
+
+_SQL_D2 = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(list_zip({a}, {b}), "
+    "z -> (z[1]::DOUBLE - z[2]::DOUBLE) * (z[1]::DOUBLE - z[2]::DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+@register(
+    "ivf_kmeans_lloyd_step",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label AS c_label, pos,
+             round(avg(embedding[pos + 1]::DOUBLE), 6) AS cv
+      FROM embeddings, range(64) t(pos)
+      GROUP BY label, pos
+    ), cvec AS (
+      SELECT c_label, list(cv ORDER BY pos) AS cvec
+      FROM cent GROUP BY c_label
+    ), dists AS (
+      SELECT e.vec_id, e.label, c.c_label,
+             {_SQL_D2.format(a='e.embedding', b='c.cvec')} AS d2
+      FROM embeddings e CROSS JOIN cvec c
+    ), best AS (
+      SELECT vec_id, label, c_label AS new_label FROM (
+        SELECT vec_id, label, c_label,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY d2, c_label
+               ) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    )
+    SELECT label, new_label, count(*) AS n_vectors
+    FROM best GROUP BY label, new_label
+    """,
+    doc="One Lloyd iteration of k-means over the embedding corpus (the "
+    "IVF coarse-quantizer training step): centroids = per-cell means "
+    "(posexplode + map-side-combine agg, rounded to engine-exact "
+    "millionths), then every vector is re-assigned to its nearest "
+    "centroid via a BROADCAST of the tiny centroid table and a "
+    "sequential-fold squared-L2 — deterministic argmin (min over "
+    "(d2, label) struct; ties break to the smaller cell id). Output is "
+    "the migration matrix old-cell -> new-cell. At 100 TB this is the "
+    "canonical Spark k-means shape: one shuffle for the means, one "
+    "broadcast + map-side argmin for assignment, one shuffle for the "
+    "matrix — the corpus is scanned twice and never shuffled by vector.",
+)
+def ivf_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cv"))
+    )
+    cvec = cent.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+        ).alias("cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "cvec",
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    dists = emb.crossJoin(F.broadcast(cvec)).select(
+        "vec_id", "label", F.struct(d2.alias("d2"), F.col("c_label")).alias("dc")
+    )
+    best = dists.groupBy("vec_id", "label").agg(
+        F.min("dc").getField("c_label").alias("new_label")
+    )
+    return best.groupBy("label", "new_label").agg(F.count("*").alias("n_vectors"))
+
+
+@register(
+    "emb_quantize_int8",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, embedding,
+             greatest(
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0,
+               1e-30
+             ) AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, round(scale, 6) AS scale,
+           round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(embedding,
+               x -> (x::DOUBLE - floor(x::DOUBLE / scale + 0.5) * scale)
+                  * (x::DOUBLE - floor(x::DOUBLE / scale + 0.5) * scale))),
+             (a, b) -> a + b)), 6) AS recon_err
+    FROM m
+    """,
+    doc="Symmetric int8 scalar quantization of the embedding column "
+    "(the 4x memory cut that makes billion-vector ANN indexes fit): "
+    "per-vector scale = max|x| / 127, code = floor(x/scale + 0.5) "
+    "(explicit half-up — engine-portable, unlike round()'s dialect-"
+    "dependent tie rule), reporting the L2 reconstruction error. Pure "
+    "per-row fold work, zero shuffle at any scale; max|x| is an exact "
+    "fold so the result is deterministic.",
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    mx = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    m = emb.select(
+        "vec_id", "embedding", F.greatest(mx / 127.0, F.lit(1e-30)).alias("scale")
+    )
+    err = lambda x: (
+        x.cast("double") - F.floor(x.cast("double") / F.col("scale") + 0.5) * F.col("scale")
+    )
+    err2 = F.aggregate(
+        F.transform("embedding", lambda x: err(x) * err(x)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    # recon_err must see the UNROUNDED scale: aliasing round(scale) as
+    # "scale" in the same select would shadow it via lateral-column-alias
+    # resolution, so the error fold runs first, rounding second.
+    raw = m.select("vec_id", "scale", F.sqrt(err2).alias("err"))
+    return raw.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round("err", 6).alias("recon_err"),
+    )

@@ -301,3 +301,96 @@ def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("shard", "bin").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
     )
+
+
+_SOURCE_CAP = 15
+
+
+@register(
+    "curation_source_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR || ':cap'), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN rk <= {_SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN rk > {_SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped
+    FROM ranked GROUP BY source
+    """,
+    doc="Per-source document cap (the per-domain/host page cap every "
+    "web-scale curation pipeline applies, C4/CCNet-style): rank docs "
+    "within each source by a deterministic hash order (md5, not rand() "
+    "— reproducible and engine-portable) and keep the first "
+    f"{_SOURCE_CAP}. The window is PARTITIONED by source, so at 100 TB "
+    "this is one shuffle on the source key with per-partition sorts — "
+    "no global order, and skewed mega-sources sort locally.",
+)
+def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("source", "doc_id")
+    order = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cap")))
+    w = Window.partitionBy("source").orderBy(order, "doc_id")
+    ranked = docs.select("source", F.row_number().over(w).alias("rk"))
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("rk") <= _SOURCE_CAP, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rk") > _SOURCE_CAP, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
+
+
+@register(
+    "corpus_mixture_weights",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source, CAST(sum(len({_SQL_WORDS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), scaled AS (
+      SELECT source, n_tokens,
+             CAST(round(sqrt(n_tokens::DOUBLE) * 1000000) AS BIGINT) AS sq_i
+      FROM per_source
+    ), z AS (
+      SELECT CAST(sum(sq_i) AS BIGINT) AS z FROM scaled
+    )
+    SELECT source, n_tokens,
+           round(sq_i::DOUBLE / z::DOUBLE, 6) AS weight
+    FROM scaled, z
+    """,
+    doc="Temperature-scaled corpus mixture weights (alpha = 0.5): per-"
+    "source token totals t_s -> sampling weight sqrt(t_s) / Z — the "
+    "standard up/down-sampling rebalance when composing a training mix "
+    "from skewed sources. The per-source sqrt is scaled to exact "
+    "integer millionths BEFORE the normalizer sum, so Z is an integer "
+    "and the result is engine-exact regardless of summation order. "
+    "Shape at 100 TB: map-side-combine token agg (one shuffle on "
+    "source), then a broadcast 1-row normalizer — no second pass over "
+    "the corpus.",
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_source = (
+        _docs(spark, sf_dir)
+        .select("source", F.size(words(F.col("text"))).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("n_tokens"))
+    )
+    scaled = per_source.withColumn(
+        "sq_i",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000).cast("bigint"),
+    )
+    z = scaled.agg(F.sum("sq_i").cast("bigint").alias("z"))
+    return scaled.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("sq_i").cast("double") / F.col("z").cast("double"), 6).alias(
+            "weight"
+        ),
+    )
