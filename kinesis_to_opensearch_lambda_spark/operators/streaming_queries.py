@@ -241,3 +241,77 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "streaming_stateful_user_totals",
+    oracle="""
+    SELECT user_id, count(*) AS total_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator through a real StreamingQuery "
+    "(streaming.stateful.running_user_cents, applyInPandasWithState): "
+    "events become 3 mtime-ordered parquet micro-batches "
+    "(maxFilesPerTrigger=1, availableNow); per-user (count, cents) "
+    "totals live in the GroupState store across batches and each batch "
+    "emits the running row. The final drained state per user must equal "
+    "the batch ground truth exactly — amounts are accumulated as "
+    "integer cents (floor(value*100 + 0.5), explicit half-up) so the "
+    "result is independent of batch/arrival order and engine-exact. "
+    "At scale the state store is hash-partitioned by the group key and "
+    "checkpointed incrementally; watermark/timeout bound its growth.",
+)
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.stateful import running_user_cents
+
+    d = tempfile.mkdtemp(prefix="stream_state_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        )
+        os.makedirs(f"{d}/src", exist_ok=True)
+        for b in (0, 1, 2):
+            tmp = f"{d}/tmp{b}"
+            ev.filter(F.col("event_id") % 3 == b).select(
+                "user_id", "cents"
+            ).coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+            dst = f"{d}/src/b{b}.parquet"
+            shutil.move(f"{tmp}/{part}", dst)
+            os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
+        stream = (
+            spark.readStream.schema("user_id bigint, cents bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/src")
+        )
+        name = f"state_{uuid.uuid4().hex[:12]}"
+        q = (
+            running_user_cents(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        # one emitted row per (user, batch-seen); totals are cumulative,
+        # so the struct max (events strictly grow) is the final state
+        final = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(F.max(F.struct("total_events", "total_cents")).alias("m"))
+            .select("user_id", "m.total_events", "m.total_cents")
+        )
+        return final
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

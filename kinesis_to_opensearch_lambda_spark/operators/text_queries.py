@@ -214,3 +214,79 @@ def text_regex_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.length(F.regexp_replace("text", "[aeiou]", "")).alias("n_consonant_chars"),
     )
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), dw AS (
+      SELECT doc_id, word, any_value(n_tokens) AS n_tokens, count(*) AS cnt
+      FROM tokens GROUP BY doc_id, word
+    ), wf AS (
+      SELECT word, CAST(sum(cnt) AS BIGINT) AS wcount FROM dw GROUP BY word
+    ), n AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM dw
+    ), lp AS (
+      SELECT word,
+             CAST(round(-log2(wcount::DOUBLE / n_total::DOUBLE) * 1000000)
+                  AS BIGINT) AS lp_i
+      FROM wf CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(any_value(n_tokens) AS BIGINT) AS n_tokens,
+           round(sum(cnt * lp_i)::DOUBLE
+                 / any_value(n_tokens)::DOUBLE / 1000000.0, 6) AS bits_per_token
+    FROM dw JOIN lp USING (word)
+    GROUP BY doc_id
+    """,
+    doc="Unigram language-model scoring (the CCNet/perplexity-filter "
+    "proxy): corpus unigram distribution -> per-token surprisal "
+    "-log2 p(w) -> per-doc mean bits-per-token; high values flag "
+    "gibberish, low values boilerplate. Per-token surprisal is scaled "
+    "to exact integer micro-bits BEFORE the per-doc sum, so the "
+    "aggregate is independent of summation order (a raw double sum "
+    "would drift between engines). Shape: ONE explode pass, the "
+    "frequency table and the 1-row total are dictionary-sized "
+    "broadcasts — at 100 TB the corpus is tokenized once and never "
+    "shuffled by token.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split("text", " ")).alias("word"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    dw = tokens.groupBy("doc_id", "word").agg(
+        F.any_value("n_tokens").alias("n_tokens"), F.count("*").alias("cnt")
+    )
+    wf = dw.groupBy("word").agg(F.sum("cnt").cast("bigint").alias("wcount"))
+    n1 = dw.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    lp = (
+        wf.crossJoin(F.broadcast(n1))
+        .select(
+            "word",
+            F.round(
+                -F.log2(F.col("wcount").cast("double") / F.col("n_total").cast("double"))
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("lp_i"),
+        )
+    )
+    return (
+        dw.join(F.broadcast(lp), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("lp_i")).cast("double")
+                / F.any_value("n_tokens").cast("double")
+                / 1_000_000.0,
+                6,
+            ).alias("bits_per_token"),
+        )
+    )

@@ -126,13 +126,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_fanout_counts",
     "streaming_watermark_drops",
     "streaming_stream_stream_join",
+    "streaming_stateful_user_totals",
     # bucketed co-located join
     "join_bucketed_colocated",
     # headline relational (not driver-verified in earlier rounds)
     "tpch_q9_product_profit",
     "tpch_q21_waiting_supplier",
     "cdc_merge_upsert",
-    "funnel_stages",
     "window_session_builtin",
 )
 

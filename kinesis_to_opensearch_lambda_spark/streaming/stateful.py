@@ -44,3 +44,36 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CENTS_OUTPUT_SCHEMA = "user_id bigint, total_events bigint, total_cents bigint"
+CENTS_STATE_SCHEMA = "n bigint, c bigint"
+
+
+def _update_user_cents(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Integer-cents accumulator: exact (order-independent) arithmetic,
+    so the drained result is oracle-comparable bit-for-bit."""
+    n, c = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        c += int(pdf["cents"].sum())
+    state.update((n, c))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "total_events": [n], "total_cents": [c]}
+    )
+
+
+def running_user_cents(events: DataFrame) -> DataFrame:
+    """Streaming per-user running (count, cents) totals over an integer
+    ``cents`` column — the exact-arithmetic twin of
+    :func:`running_user_totals` used by the oracle-checked
+    ``streaming_stateful_user_totals`` query entry."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_cents,
+        outputStructType=CENTS_OUTPUT_SCHEMA,
+        stateStructType=CENTS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
