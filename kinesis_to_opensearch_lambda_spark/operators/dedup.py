@@ -265,6 +265,46 @@ def jaccard_shingle_similarity(
     )
 
 
+def containment_shingle_similarity(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Asymmetric n-gram containment C(L, R) = |S_L ∩ S_R| / |S_L| for
+    paired documents, plus the symmetric Jaccard for comparison.
+
+    Containment is the verify metric for SUBSET duplication — a short
+    document quoted wholesale inside a longer one scores C ≈ 1 while
+    Jaccard (÷ union) stays low and symmetric near-dup thresholds miss
+    it.  Same single-equi-join shape as
+    :func:`jaccard_shingle_similarity`; rows whose left shingle set is
+    empty (doc shorter than ``shingle_n`` words) are dropped rather than
+    dividing by zero."""
+
+    def _shingled(df: DataFrame, out: str) -> DataFrame:
+        return df.withColumn("_w", words(F.col(text_col))).withColumn(
+            out, F.array_distinct(word_shingles(F.col("_w"), shingle_n))
+        )
+
+    l = _shingled(left, "_s1").select(on, "_s1")
+    r = _shingled(right, "_s2").select(on, "_s2")
+    inter = F.size(F.array_intersect("_s1", "_s2")).cast("double")
+    return (
+        l.join(r, on)
+        .filter(F.size("_s1") > 0)
+        .select(
+            on,
+            F.size("_s1").cast("long").alias("n_shingles_left"),
+            (inter / F.size("_s1").cast("double")).alias("containment"),
+            (inter / F.size(F.array_union("_s1", "_s2")).cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

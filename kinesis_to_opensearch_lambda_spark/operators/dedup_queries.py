@@ -214,6 +214,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.select("doc_id", F.round("jaccard", 6).alias("jaccard"))
 
 
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH mut AS (
+      SELECT doc_id - 100000 AS doc_id, text FROM ({_SQL_MUTATED})
+    ), pairs AS (
+      SELECT d.doc_id,
+             list_distinct({sql_word_shingles("string_split(m.text, ' ')")}) AS a,
+             list_distinct({sql_word_shingles("string_split(d.text, ' ')")}) AS b
+      FROM documents d JOIN mut m USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(a) AS BIGINT) AS n_shingles_left,
+           round(len(list_intersect(a, b))::DOUBLE / len(a)::DOUBLE, 6)
+             AS containment,
+           round(len(list_intersect(a, b))::DOUBLE
+                 / len(list_distinct(list_concat(a, b)))::DOUBLE, 6) AS jaccard
+    FROM pairs WHERE len(a) > 0
+    """,
+    doc="Asymmetric n-gram containment |A∩B| / |A| between each drop-"
+    "first-word mutation and its original, with symmetric Jaccard "
+    "alongside: the mutation's shingles are a strict subset of the "
+    "original's, so containment = 1.0 exactly while Jaccard < 1 — the "
+    "metric that catches quote/subset duplication symmetric thresholds "
+    "miss (operators.dedup.containment_shingle_similarity). Same "
+    "single equi-join + per-row set math as the Jaccard verify stage; "
+    "at 100 TB it runs over LSH candidate pairs only.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    mut = _mutated(docs).select((F.col("doc_id") - 100000).alias("doc_id"), "text")
+    out = D.containment_shingle_similarity(
+        mut, docs.filter(F.col("doc_id") < 50), on="doc_id"
+    )
+    return out.select(
+        "doc_id",
+        "n_shingles_left",
+        F.round("containment", 6).alias("containment"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 _SQL_PERTURB = (
     "list_transform(embedding, x -> x::DOUBLE + 0.01 * (x::DOUBLE * x::DOUBLE - 1.0))"
 )

@@ -336,6 +336,154 @@ def ann_topk_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+    WITH allowed AS (
+      SELECT vec_id, embedding,
+             {_sql_srp_bits('embedding')} AS bucket
+      FROM embeddings WHERE label % 2 = 0
+    ), q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec,
+             {_sql_srp_bits('embedding')} AS q_bucket
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), scored AS (
+      SELECT q.q_id, e.vec_id,
+             {sql_cosine('q.q_vec', 'e.embedding')} AS cos
+      FROM q JOIN allowed e
+        ON e.bucket = q.q_bucket AND e.vec_id != q.q_id
+    )
+    SELECT q_id, vec_id, round(cos, 6) AS cos, rnk
+    FROM (
+      SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 3
+    """,
+    doc="Metadata-filtered ANN (the RAG/ACL pattern: top-k among only the "
+    "vectors a predicate allows — here label mod 2 = 0 standing in for a "
+    "tenant/permission column). PRE-filter strategy: the predicate is "
+    "applied to the corpus BEFORE bucketing, so it pushes down to the "
+    "parquet scan and the SRP-LSH bucket equi-join only ever sees "
+    "allowed rows — top-k is exact over the filtered bucket, never a "
+    "post-filter that can return < k rows after discarding hits. At "
+    "100 TB the filter prunes row groups via parquet min/max stats "
+    "before any vector math runs.",
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    allowed = emb.filter(F.col("label") % 2 == 0).select(
+        "vec_id", "embedding", S.srp_bucket(F.col("embedding")).alias("bucket")
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        S.srp_bucket(F.col("embedding")).alias("q_bucket"),
+    )
+    pairs = allowed.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = pairs.select(
+        "q_id", "vec_id", cosine(F.col("q_vec"), F.col("embedding")).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("q_id", "vec_id", F.round("cos", 6).alias("cos"), "rnk")
+    )
+
+
+@register(
+    "emb_intra_inter_cosine",
+    oracle=f"""
+    WITH cent AS (
+      SELECT label AS c_label, pos,
+             round(avg(embedding[pos + 1]::DOUBLE), 6) AS cv
+      FROM embeddings, range(64) t(pos)
+      GROUP BY label, pos
+    ), cvec AS (
+      SELECT c_label, list(cv ORDER BY pos) AS cvec
+      FROM cent GROUP BY c_label
+    ), scored AS (
+      SELECT e.vec_id, e.label, c.c_label,
+             CAST(round({sql_cosine('e.embedding', 'c.cvec')} * 1000000)
+                  AS BIGINT) AS cos_i
+      FROM embeddings e CROSS JOIN cvec c
+    ), per_vec AS (
+      SELECT vec_id, label,
+             max(CASE WHEN c_label = label THEN cos_i END) AS intra_i,
+             max(CASE WHEN c_label != label THEN cos_i END) AS inter_i
+      FROM scored GROUP BY vec_id, label
+    )
+    SELECT label, count(*) AS n_vectors,
+           round(sum(intra_i)::DOUBLE / count(*) / 1000000.0, 6)
+             AS avg_intra_cos,
+           round(sum(inter_i)::DOUBLE / count(*) / 1000000.0, 6)
+             AS avg_nearest_other_cos,
+           round((sum(intra_i) - sum(inter_i))::DOUBLE / count(*) / 1000000.0, 6)
+             AS margin
+    FROM per_vec GROUP BY label
+    """,
+    doc="Embedding-space cluster diagnostics (the silhouette-style check "
+    "run before trusting an embedding column for dedup/retrieval): per "
+    "label, mean cosine of members to their OWN centroid vs to the "
+    "NEAREST OTHER centroid, and the margin between them. Centroids are "
+    "a tiny broadcast (n_labels x dim); each vector is scored against "
+    "all centroids in one map-side pass — the corpus is scanned once "
+    "and never self-joined. Per-vector cosines are scaled to exact "
+    "integer micro-units BEFORE the per-label mean so the aggregate is "
+    "independent of summation order (engine-exact vs the oracle).",
+)
+def emb_intra_inter_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cv"))
+    )
+    cvec = cent.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+        ).alias("cvec")
+    )
+    cos_i = (
+        F.round(cosine(F.col("embedding"), F.col("cvec")) * 1_000_000)
+        .cast("bigint")
+        .alias("cos_i")
+    )
+    scored = emb.crossJoin(F.broadcast(cvec)).select(
+        "vec_id", "label", "c_label", cos_i
+    )
+    per_vec = scored.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("c_label") == F.col("label"), F.col("cos_i"))).alias(
+            "intra_i"
+        ),
+        F.max(F.when(F.col("c_label") != F.col("label"), F.col("cos_i"))).alias(
+            "inter_i"
+        ),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.sum("intra_i").cast("double") / F.count("*") / 1_000_000.0, 6).alias(
+            "avg_intra_cos"
+        ),
+        F.round(F.sum("inter_i").cast("double") / F.count("*") / 1_000_000.0, 6).alias(
+            "avg_nearest_other_cos"
+        ),
+        F.round(
+            (F.sum("intra_i") - F.sum("inter_i")).cast("double")
+            / F.count("*")
+            / 1_000_000.0,
+            6,
+        ).alias("margin"),
+    )
+
+
 _SQL_D2 = (
     "list_reduce(list_prepend(0.0::DOUBLE, "
     "list_transform(list_zip({a}, {b}), "

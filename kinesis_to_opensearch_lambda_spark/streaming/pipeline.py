@@ -98,10 +98,15 @@ def dual_sink_fanout(
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()  # decode once, write twice (SURVEY §4)
         try:
-            es_sink.write(batch_df)       # projected inside the sink (R6)
-            splunk_sink.write(batch_df)   # full record (R13/R14)
+            _, es_total = es_sink.write(batch_df)      # projected (R6)
+            _, sp_total = splunk_sink.write(batch_df)  # full record (R13/R14)
             if on_batch is not None:
-                on_batch(epoch_id, batch_df.count())
+                # Row count comes from the sinks' write-job accumulators —
+                # no extra job per micro-batch.  Both sinks see every batch
+                # row, so max() covers a disabled sink (reports 0); the
+                # count() fallback fires only when both are disabled.
+                n = max(es_total, sp_total)
+                on_batch(epoch_id, n if n else batch_df.count())
         finally:
             batch_df.unpersist()
 

@@ -153,6 +153,30 @@ def test_embedding_dedup_candidates_are_hash_join(spark):
     assert has_broadcast_hash_join(q(spark, "dedup_embedding_near"))
 
 
+def test_filtered_ann_prefilter_pushed_and_hash_joined(spark):
+    # metadata-filtered ANN: the ACL predicate pushes down to the corpus
+    # parquet scan (PRE-filter, row groups pruned before vector math)
+    # and the candidate stage stays a bucket EQUI-join
+    from kinesis_to_opensearch_lambda_spark.plans import plan_string
+
+    df = q(spark, "ann_filtered_topk")
+    fs = pushed_filters(df)
+    assert any("label" in f for f in fs), fs
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan, plan
+    assert has_broadcast_hash_join(df)
+
+
+def test_centroid_diagnostics_broadcast_not_self_join(spark):
+    # every vector scores against the tiny broadcast centroid table in
+    # one map-side pass — no corpus self-join, no cartesian product
+    from kinesis_to_opensearch_lambda_spark.plans import plan_string
+
+    plan = plan_string(q(spark, "emb_intra_inter_cosine"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 10-row centroid side
+
+
 def test_simhash_near_bucket_join_shuffles(spark):
     # band-bucket groupBy + pair-distinct + final hamming-histogram agg:
     # pair expansion happens inside the bucket array, never via a

@@ -74,6 +74,29 @@ def test_dual_sink_fanout(spark, tmp_path, stream_records):
             assert "ip" not in d["_source"]
 
 
+def test_on_batch_reports_sink_counts(spark, tmp_path, stream_records):
+    """R17: the on_batch observability callback gets its row count from
+    the sinks' write-job accumulators — no extra count() job per
+    micro-batch — and the per-epoch totals sum to the delivered rows."""
+    src = str(tmp_path / "envelopes")
+    write_envelope_files(spark, src, stream_records)
+    es = OpenSearchBulkSink(
+        transport_factory=lambda: SpoolDirTransport(str(tmp_path / "es"))
+    )
+    hec = SplunkHECSink(
+        transport_factory=lambda: SpoolDirTransport(str(tmp_path / "hec"))
+    )
+    seen: list[tuple[int, int]] = []
+    stream = decode_stream(read_envelope_stream(spark, src))
+    q = dual_sink_fanout(
+        stream, es, hec, str(tmp_path / "ckpt"),
+        on_batch=lambda epoch, n: seen.append((epoch, n)),
+    )
+    q.awaitTermination(120)
+    assert sum(n for _, n in seen) == 12
+    assert len({epoch for epoch, _ in seen}) == len(seen)
+
+
 def test_restart_does_not_redeliver(spark, tmp_path, stream_records):
     """Checkpointed offsets: a second run over the same source delivers
     nothing new (the engine-side half of at-least-once; doc-id dedup
