@@ -60,6 +60,7 @@ from .operators import (  # noqa: E402,F401
     corpus_queries,
     training_queries,
     bucketed_queries,
+    graph_queries,
 )
 
 # ---------------------------------------------------------------------------
