@@ -203,3 +203,149 @@ def dedup_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") >= 3)
     )
+
+
+_SQL_W = "string_split(text, ' ')"
+_SQL_WLEN_SUM = (
+    "list_reduce(list_prepend(0, list_transform("
+    + _SQL_W
+    + ", t -> length(t))), (a, x) -> a + x)"
+)
+
+
+@register(
+    "text_gopher_filter",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id,
+             len({_SQL_W}) AS n_words,
+             {_SQL_WLEN_SUM}::DOUBLE / len({_SQL_W})::DOUBLE AS mean_word_len,
+             len(list_filter({_SQL_W}, t -> t = 'the' OR t = 'a')) AS stop_hits,
+             len(list_distinct({_SQL_W}))::DOUBLE / len({_SQL_W})::DOUBLE
+               AS frac_unique
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+           round(mean_word_len, 4) AS mean_word_len,
+           stop_hits,
+           round(frac_unique, 4) AS frac_unique,
+           (n_words BETWEEN 50 AND 100000) AS rule_word_count,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS rule_word_len,
+           (stop_hits >= 2) AS rule_stopwords,
+           (frac_unique >= 0.3) AS rule_unique,
+           ((n_words BETWEEN 50 AND 100000)
+             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND stop_hits >= 2 AND frac_unique >= 0.3) AS keep
+    FROM sig
+    """,
+    doc="Gopher-style quality gate (Rae et al. 2021, public heuristics): "
+    "word-count bounds, mean-word-length bounds, minimum stopword hits, "
+    "minimum unique-word fraction — each rule emitted as its own flag "
+    "plus the conjunction `keep`. All signals are single-pass per-row "
+    "array folds over the tokenized text (no explode, no shuffle at "
+    "all): the gate runs at scan speed and at 100 TB it is the cheap "
+    "first stage that shrinks the corpus before any shuffling operator "
+    "(dedup, TF-IDF) touches it. Symbol/ellipsis ratio rules are "
+    "omitted: the synthetic corpus has no punctuation, so they would "
+    "be constant-true (documented, not silently dropped).",
+)
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    ws = words("text")
+    wlen_sum = F.aggregate(
+        F.transform(ws, lambda t: F.length(t)),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    sig = docs.select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        (wlen_sum.cast("double") / F.size(ws).cast("double")).alias("mean_word_len"),
+        F.size(F.filter(ws, lambda t: (t == "the") | (t == "a"))).alias("stop_hits"),
+        (
+            F.size(F.array_distinct(ws)).cast("double") / F.size(ws).cast("double")
+        ).alias("frac_unique"),
+    )
+    rule_wc = F.col("n_words").between(50, 100000)
+    rule_wl = (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
+    rule_sw = F.col("stop_hits") >= 2
+    rule_uq = F.col("frac_unique") >= 0.3
+    return sig.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 4).alias("mean_word_len"),
+        "stop_hits",
+        F.round("frac_unique", 4).alias("frac_unique"),
+        rule_wc.alias("rule_word_count"),
+        rule_wl.alias("rule_word_len"),
+        rule_sw.alias("rule_stopwords"),
+        rule_uq.alias("rule_unique"),
+        (rule_wc & rule_wl & rule_sw & rule_uq).alias("keep"),
+    )
+
+
+@register(
+    "text_unigram_entropy",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_W}) AS word FROM documents
+    ), freq AS (
+      SELECT doc_id, word, count(*) AS n FROM tok GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_words,
+           count(*) AS vocab,
+           round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS entropy_bits
+    FROM freq GROUP BY doc_id
+    """,
+    doc="Per-document unigram Shannon entropy (token-diversity quality "
+    "signal; low entropy = repetitive/templated text, a standard "
+    "pre-training filter alongside the Gopher rules). Computed as "
+    "H = log2(N) - sum(n*log2(n))/N from exact integer counts, so both "
+    "engines evaluate the identical float expression. Explode + "
+    "two-level map-side-combinable aggregation — same scale shape as "
+    "text_repetition_signals; at 100 TB the (doc_id, word) partial "
+    "aggregate dominates and is shuffle-key-balanced because doc_id "
+    "leads the key.",
+)
+def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(words("text")).alias("word"))
+    freq = tok.groupBy("doc_id", "word").agg(F.count("*").alias("n"))
+    return freq.groupBy("doc_id").agg(
+        F.sum("n").alias("n_words"),
+        F.count("*").alias("vocab"),
+        F.round(
+            F.log2(F.sum("n")) - F.sum(F.col("n") * F.log2("n")) / F.sum("n"), 6
+        ).alias("entropy_bits"),
+    )
+
+
+@register(
+    "corpus_dup_rate_by_source",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 4)
+             AS dup_frac
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Per-source exact-duplication audit: which ingest source "
+    "contributes redundant documents (the first question asked of any "
+    "new crawl snapshot). Shuffles the 16-byte md5 digest, never the "
+    "document body — the same digest-first discipline as dedup_exact — "
+    "and the count(DISTINCT digest) runs with map-side partial "
+    "distinct per source. Output is one row per source: a safe "
+    "full-corpus aggregate at any scale.",
+)
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+        F.round(
+            1.0 - F.count_distinct(F.md5("text")) * 1.0 / F.count("*"), 4
+        ).alias("dup_frac"),
+    )

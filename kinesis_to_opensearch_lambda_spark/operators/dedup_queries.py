@@ -704,3 +704,69 @@ def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_mutation_pairs"),
     )
+
+
+@register(
+    "dedup_chunk_exact",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+    ), ch AS (
+      SELECT DISTINCT doc_id,
+             {SQL_MD5_LONG.format(
+                 x="array_to_string(ws[(i-1)*10+1 : (i-1)*10+10], ' ')"
+             )} AS h
+      FROM w, unnest(generate_series(1, len(ws) // 10)) t(i)
+    ), freq AS (
+      SELECT h, count(*) AS n_docs FROM ch GROUP BY h
+    )
+    SELECT ch.doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN freq.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           round(sum(CASE WHEN freq.n_docs > 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS shared_chunk_frac
+    FROM ch JOIN freq USING (h)
+    GROUP BY ch.doc_id
+    """,
+    doc="Chunk-level exact dedup (the word-soup analog of FineWeb/CCNet "
+    "line-level dedup): documents are cut into non-overlapping 10-word "
+    "chunks, each chunk hashed to a 60-bit digest, and a chunk is "
+    "'shared' when the identical chunk occurs in another document. "
+    "Output is the per-document shared-chunk fraction — the signal used "
+    "to strip boilerplate-heavy documents. Scale shape: only fixed-width "
+    "(doc_id, hash) rows ever shuffle (chunk text is hashed inside the "
+    "scan stage and dropped); the chunk-frequency aggregate and the "
+    "hash-equi-join back to documents are both map-side-combinable. "
+    "Documents shorter than 10 words produce no chunks and drop out "
+    "identically in both engines.",
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import md5_long
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    w = docs.select("doc_id", words("text").alias("ws"))
+    n_chunks = F.floor(F.size("ws") / 10).cast("int")
+    chunk_at = lambda i: F.array_join(F.slice("ws", i * 10 + 1, 10), " ")
+    chunks = F.when(
+        n_chunks >= 1,
+        F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk_at),
+    ).otherwise(F.array().cast("array<string>"))
+    ch = (
+        w.select("doc_id", F.explode(chunks).alias("chunk"))
+        .select("doc_id", md5_long("chunk").alias("h"))
+        .distinct()
+    )
+    freq = ch.groupBy("h").agg(F.count("*").alias("n_docs"))
+    shared = (F.col("n_docs") > 1).cast("long")
+    return (
+        ch.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(shared).alias("n_shared_chunks"),
+            F.round(F.sum(shared) * 1.0 / F.count("*"), 4).alias(
+                "shared_chunk_frac"
+            ),
+        )
+    )

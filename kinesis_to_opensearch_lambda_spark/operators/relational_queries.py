@@ -1829,3 +1829,54 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mkt_share")
     )
+
+
+_SKEW_SALT = 8
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Skew-mitigated (salted) shuffle join: the probe side tags each "
+    "row with a deterministic salt (l_linenumber % 8) and the build side "
+    "is replicated 8x via explode(sequence(0,7)), so the join key becomes "
+    "(orderkey, salt) and a single hot orderkey fans out over 8 reducer "
+    "partitions instead of melting one. The oracle is the plain unsalted "
+    "join — salting must be semantics-preserving. This is the manual "
+    "escape hatch for skew that AQE's skewJoin handles adaptively; at "
+    "100 TB you reach for it when the skew is known ahead of time (a "
+    "power-law key like a null-bucket or a mega-customer) and the build "
+    "side is small enough that 8x replication is cheaper than a stalled "
+    "straggler. Revenue accumulates in integer cents for exactness.",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    salted_orders = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode(F.sequence(F.lit(0), F.lit(_SKEW_SALT - 1))).alias("salt"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_linenumber") % _SKEW_SALT).alias("salt"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        li.join(
+            salted_orders,
+            (li.l_orderkey == salted_orders.o_orderkey)
+            & (li.salt == salted_orders.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+        )
+    )

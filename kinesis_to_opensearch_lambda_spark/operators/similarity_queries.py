@@ -611,3 +611,90 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("scale", 6).alias("scale"),
         F.round("err", 6).alias("recon_err"),
     )
+
+
+# --- product quantization ----------------------------------------------
+#
+# Codebook is a compile-time constant (deterministic Knuth-hash rationals,
+# same trick as similarity.srp_bucket): M=4 subspaces x K=4 codes x 16
+# dims. Python float repr round-trips, so embedding the literals gives
+# Spark and DuckDB bit-identical doubles.
+_PQ_M, _PQ_K, _PQ_SUB = 4, 4, 16
+
+
+def _pq_cb(s: int, k: int, d: int) -> float:
+    return ((s * 64 + k * 16 + d) * 2654435761 % 1000) / 1000.0 - 0.5
+
+
+def _pq_sql() -> str:
+    dist_cols = []
+    for s in range(_PQ_M):
+        for k in range(_PQ_K):
+            terms = " + ".join(
+                f"(embedding[{s * _PQ_SUB + d + 1}]::DOUBLE - ({_pq_cb(s, k, d)!r}))"
+                f" * (embedding[{s * _PQ_SUB + d + 1}]::DOUBLE - ({_pq_cb(s, k, d)!r}))"
+                for d in range(_PQ_SUB)
+            )
+            dist_cols.append(f"({terms}) AS d_{s}_{k}")
+    codes = []
+    errs = []
+    for s in range(_PQ_M):
+        d = [f"d_{s}_{k}" for k in range(_PQ_K)]
+        codes.append(
+            f"CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} AND {d[0]} <= {d[3]}"
+            f" THEN 0 WHEN {d[1]} <= {d[2]} AND {d[1]} <= {d[3]} THEN 1"
+            f" WHEN {d[2]} <= {d[3]} THEN 2 ELSE 3 END AS code_{s}"
+        )
+        errs.append(f"least({d[0]}, {d[1]}, {d[2]}, {d[3]})")
+    return f"""
+    WITH dists AS (
+      SELECT vec_id, {", ".join(dist_cols)} FROM embeddings
+    )
+    SELECT vec_id, {", ".join(codes)},
+           round({" + ".join(errs)}, 6) AS q_err
+    FROM dists
+    """
+
+
+@register(
+    "emb_pq_assign",
+    oracle=_pq_sql(),
+    doc="Product-quantization encoding (Jegou et al. 2011): the 64-dim "
+    "embedding splits into 4 subspaces of 16 dims; each subvector is "
+    "assigned its nearest of 4 per-subspace codebook centroids "
+    "(squared-L2, ties to the lowest code id), compressing the vector "
+    "to a 4-byte PQ code plus a reconstruction error. Codebooks here "
+    "are deterministic compile-time constants so both engines score "
+    "identical distances; in production they come from k-means "
+    "(ivf_kmeans_lloyd_step is the training step). Pure per-row "
+    "arithmetic — zero shuffle, runs at scan speed — and the PQ code "
+    "is what makes billion-scale ANN memory-resident: 64 floats -> 4 "
+    "bytes, with asymmetric distance computed against the codebook at "
+    "query time.",
+)
+def emb_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    dist_cols = []
+    for s in range(_PQ_M):
+        for k in range(_PQ_K):
+            term = None
+            for d in range(_PQ_SUB):
+                x = F.element_at("embedding", s * _PQ_SUB + d + 1).cast("double")
+                sq = (x - F.lit(_pq_cb(s, k, d))) * (x - F.lit(_pq_cb(s, k, d)))
+                term = sq if term is None else term + sq
+            dist_cols.append(term.alias(f"d_{s}_{k}"))
+    dists = emb.select("vec_id", *dist_cols)
+    codes = []
+    errs = []
+    for s in range(_PQ_M):
+        d = [F.col(f"d_{s}_{k}") for k in range(_PQ_K)]
+        codes.append(
+            F.when((d[0] <= d[1]) & (d[0] <= d[2]) & (d[0] <= d[3]), 0)
+            .when((d[1] <= d[2]) & (d[1] <= d[3]), 1)
+            .when(d[2] <= d[3], 2)
+            .otherwise(3)
+            .alias(f"code_{s}")
+        )
+        errs.append(F.least(*d))
+    err_sum = errs[0] + errs[1] + errs[2] + errs[3]
+    return dists.select("vec_id", *codes, F.round(err_sum, 6).alias("q_err"))

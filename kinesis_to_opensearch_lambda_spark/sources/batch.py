@@ -29,10 +29,13 @@ TABLES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# The testdata parquet stores timestamps as TIMESTAMP(NANOS); Spark's
-# TimestampType is microseconds, so the session reads nanos as long
-# (spark.sql.legacy.parquet.nanosAsLong) and the loader converts with
-# integer division (truncation — identical to the Arrow/DuckDB µs cast).
+# Testdata temporal encodings have varied across driver rounds:
+# TIMESTAMP(NANOS) (read as long via spark.sql.legacy.parquet.nanosAsLong,
+# converted with integer division — identical to the Arrow/DuckDB µs cast)
+# and plain timestamp[us] without timezone (read as TIMESTAMP_NTZ).  The
+# loader normalizes both to session-TZ TimestampType (session is pinned
+# UTC, so the NTZ→TZ cast is instant-preserving) so every downstream
+# operator sees one temporal type regardless of writer version.
 _NANO_TS_COLS: dict[str, tuple[str, ...]] = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -56,8 +59,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANO_TS_COLS.get(name, ()):
-        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+        if c not in df.columns:
+            continue
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.LongType):
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 
