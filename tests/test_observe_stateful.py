@@ -8,6 +8,7 @@ import time
 import pyspark.sql.functions as F
 
 from kinesis_to_opensearch_lambda_spark.sinks import SplunkHECSink, SpoolDirTransport
+from kinesis_to_opensearch_lambda_spark.sources.batch import load_table
 from kinesis_to_opensearch_lambda_spark.streaming.observe import (
     BatchProgressListener,
     observed,
@@ -61,9 +62,7 @@ def test_streaming_listener_counts_rows(spark, tmp_path):
 
 
 def test_stateful_running_totals_across_batches(spark, tmp_path):
-    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
     src = str(tmp_path / "src")
     # two files -> with maxFilesPerTrigger=1, two micro-batches
     events.limit(400).repartition(2).write.parquet(src)

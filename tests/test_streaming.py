@@ -15,6 +15,7 @@ from kinesis_to_opensearch_lambda_spark.sinks import (
     SplunkHECSink,
     SpoolDirTransport,
 )
+from kinesis_to_opensearch_lambda_spark.sources.batch import load_table
 from kinesis_to_opensearch_lambda_spark.sources.kinesis import read_envelope_stream
 from kinesis_to_opensearch_lambda_spark.streaming.pipeline import (
     decode_stream,
@@ -144,9 +145,7 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     """Tumbling-window streaming agg over the events table driven to
     completion with availableNow; late rows beyond the watermark are
     dropped from the final state."""
-    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
     src = str(tmp_path / "ev")
     events.write.parquet(src)
     stream = spark.readStream.schema(events.schema).parquet(src)
@@ -222,9 +221,7 @@ def test_sliding_and_session_window_streams(spark, tmp_path):
         sliding_counts,
     )
 
-    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
     src = str(tmp_path / "ev")
     events.write.parquet(src)
     stream = spark.readStream.schema(events.schema).parquet(src)
