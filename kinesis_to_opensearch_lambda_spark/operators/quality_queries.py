@@ -1,0 +1,268 @@
+"""Warehouse-operations operators: data-quality constraint auditing,
+join-key skew diagnostics, and SCD2 history construction.
+
+These are the operational layer a 100 TB lakehouse needs around the
+analytics surface (reference parity: none — the reference pipeline,
+lambda_function.py:140-148, trusts its input and keeps no history):
+
+- ``dq_constraints`` — Deequ-style constraint suite: every check is
+  either a conditional aggregation riding a single table scan or a
+  broadcast anti-join at dimension size, so the full audit costs one
+  pass per fact table regardless of how many checks share it.
+- ``diag_key_skew`` — heavy-hitter profile of a join key.  At scale
+  you run this BEFORE the big join: the output decides between plain
+  shuffle join, AQE skew handling, and explicit salting
+  (relational_queries.join_salted_skew is the remediation twin).
+- ``scd2_customer_history`` — slowly-changing-dimension (type 2)
+  intervals derived with one partitioned window pass; the shuffle key
+  is the dimension key, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries import register
+from ..sources.batch import fan_out, load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return fan_out(load_table(spark, sf_dir, name))
+
+
+@register(
+    "dq_constraints",
+    oracle="""
+    SELECT tbl, chk, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations
+    FROM (
+      SELECT 'orders' AS tbl, 'null_custkey' AS chk,
+             count(*) AS n_rows,
+             coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 END), 0) AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'fk_customer_orphan', (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'orders', 'nonpositive_totalprice', count(*),
+             coalesce(sum(CASE WHEN o_totalprice <= 0 THEN 1 END), 0)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem', 'nonpositive_quantity', count(*),
+             coalesce(sum(CASE WHEN l_quantity <= 0 THEN 1 END), 0)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem', 'discount_out_of_range', count(*),
+             coalesce(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END), 0)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem', 'fk_orders_orphan', (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+      UNION ALL
+      SELECT 'customer', 'duplicate_custkey', count(*),
+             count(*) - count(DISTINCT c_custkey)
+      FROM customer
+      UNION ALL
+      SELECT 'documents', 'empty_text', count(*),
+             coalesce(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 END), 0)
+      FROM documents
+    )
+    """,
+    doc="Deequ-style data-quality constraint suite: completeness "
+    "(null keys), referential integrity (FK orphans via broadcast "
+    "anti-join — the dimension side is the small one, so no fact "
+    "shuffle), range checks, uniqueness, and emptiness, each expressed "
+    "as a conditional aggregation so every check on the same table "
+    "rides ONE scan.  Output is the audit report: (table, check, "
+    "n_rows, n_violations).  At 100 TB this is the pre-ingest gate a "
+    "training-data pipeline runs before promoting a partition.",
+)
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    documents = _t(spark, sf_dir, "documents")
+
+    def one_pass(df: DataFrame, tbl: str, checks: dict[str, F.Column]) -> DataFrame:
+        """All conditional checks on one table in a single agg pass,
+        then unpivoted to (tbl, chk, n_rows, n_violations) rows."""
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.coalesce(F.sum(F.when(cond, 1)), F.lit(0)).alias(name)
+                for name, cond in checks.items()
+            ],
+        )
+        rows = None
+        for name in checks:
+            row = agg.select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(name).alias("chk"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col(name).cast("long").alias("n_violations"),
+            )
+            rows = row if rows is None else rows.unionAll(row)
+        return rows
+
+    def orphans(fact: DataFrame, key: str, dim: DataFrame, dim_key: str,
+                tbl: str, chk: str) -> DataFrame:
+        """Referential-integrity check: fact keys missing from the
+        dimension, via broadcast left-anti join (dim side is small)."""
+        n_all = fact.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        n_orphan = (
+            fact.join(
+                F.broadcast(dim.select(dim_key).distinct()),
+                F.col(key) == F.col(dim_key),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        )
+        return n_all.crossJoin(n_orphan).select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(chk).alias("chk"),
+            "n_rows",
+            "n_violations",
+        )
+
+    parts = [
+        one_pass(
+            orders,
+            "orders",
+            {
+                "null_custkey": F.col("o_custkey").isNull(),
+                "nonpositive_totalprice": F.col("o_totalprice") <= 0,
+            },
+        ),
+        orphans(orders, "o_custkey", customer, "c_custkey",
+                "orders", "fk_customer_orphan"),
+        one_pass(
+            lineitem,
+            "lineitem",
+            {
+                "nonpositive_quantity": F.col("l_quantity") <= 0,
+                "discount_out_of_range": (F.col("l_discount") < 0)
+                | (F.col("l_discount") > 1),
+            },
+        ),
+        orphans(lineitem, "l_orderkey", orders, "o_orderkey",
+                "lineitem", "fk_orders_orphan"),
+        customer.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count_distinct(F.col("c_custkey")))
+            .cast("long")
+            .alias("n_violations"),
+        ).select(
+            F.lit("customer").alias("tbl"),
+            F.lit("duplicate_custkey").alias("chk"),
+            "n_rows",
+            "n_violations",
+        ),
+        one_pass(
+            documents,
+            "documents",
+            {"empty_text": F.col("text").isNull() | (F.length("text") == 0)},
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@register(
+    "diag_key_skew",
+    oracle="""
+    WITH counts AS (
+      SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM counts
+    )
+    SELECT rnk, l_suppkey, cnt,
+           CAST((cnt * 1000000) // n_total AS BIGINT) AS share_ppm,
+           round(cnt::DOUBLE * n_keys::DOUBLE / n_total::DOUBLE, 6) AS skew_ratio
+    FROM (
+      SELECT l_suppkey, CAST(cnt AS BIGINT) AS cnt,
+             row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS rnk
+      FROM counts
+    ) CROSS JOIN tot
+    WHERE rnk <= 10
+    """,
+    doc="Join-key heavy-hitter profile: per-key counts (map-side partial "
+    "agg), 1-row corpus totals broadcast, top-10 keys with parts-per-"
+    "million share and ratio-to-mean.  skew_ratio >> 1 on the head key "
+    "is the signal to salt (join_salted_skew) or rely on AQE skew "
+    "splitting before running the real join; the profile itself is one "
+    "aggregation plus a driver-free top-k.",
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("l_suppkey"))
+    top = (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        "rnk",
+        "l_suppkey",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.expr("(cnt * 1000000) div n_total").cast("long").alias("share_ppm"),
+        F.round(
+            F.col("cnt").cast("double")
+            * F.col("n_keys").cast("double")
+            / F.col("n_total").cast("double"),
+            6,
+        ).alias("skew_ratio"),
+    )
+
+
+@register(
+    "scd2_customer_history",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           row_number() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS version,
+           o_orderkey,
+           round(o_totalprice, 2) AS totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           strftime(
+             lead(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ), '%Y-%m-%d') AS valid_to,
+           CASE WHEN lead(o_orderkey) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ) IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM orders
+    """,
+    doc="SCD type-2 history build: each order event becomes a versioned "
+    "validity interval per customer — version via row_number, valid_to "
+    "via lead (NULL = open interval), is_current flag.  One window pass "
+    "partitioned by the dimension key: the shuffle moves each "
+    "customer's rows once and there is no global sort, so the build "
+    "scales linearly with customers.  The standard warehouse pattern "
+    "for dimension snapshots the reference never kept.",
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w).alias("version"),
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd").alias("valid_to"),
+        F.when(F.lead("o_orderkey").over(w).isNull(), 1).otherwise(0).alias("is_current"),
+    )

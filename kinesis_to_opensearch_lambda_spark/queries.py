@@ -61,6 +61,7 @@ from .operators import (  # noqa: E402,F401
     training_queries,
     bucketed_queries,
     graph_queries,
+    quality_queries,
 )
 
 # ---------------------------------------------------------------------------
