@@ -17,6 +17,7 @@ from ..functions import (
     HASH_PRIME,
     SQL_MD5_LONG,
     cosine,
+    md5_long,
     minhash_values,
     rolling_hash,
     sql_cosine,
@@ -769,4 +770,75 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "shared_chunk_frac"
             ),
         )
+    )
+
+
+# --- exact-substring span dedup ----------------------------------------
+
+_SPAN_N = 5  # words per span (the dedup unit)
+
+
+@register(
+    "dedup_duplicate_spans",
+    oracle=f"""
+    WITH spans AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               {sql_word_shingles("string_split(text, ' ')", _SPAN_N)},
+               s -> {SQL_MD5_LONG.format(x='s')}))) AS h
+      FROM documents
+    ), nd AS (
+      SELECT h, count(*) AS n_docs FROM spans GROUP BY h
+    )
+    SELECT doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           round(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE, 6) AS dup_frac
+    FROM spans JOIN nd USING (h)
+    GROUP BY doc_id
+    HAVING count(*) > 0
+    """,
+    doc="Exact-substring span dedup (the ExactSubstr signal from Lee et "
+    "al. 2022, 'Deduplicating Training Data Makes Language Models "
+    "Better', at span granularity): every 5-word span is hashed to a "
+    "60-bit md5 integer, spans are deduplicated per doc, and a doc's "
+    "contamination score is the fraction of its distinct spans that "
+    "also appear in at least one other document.  The shuffle key is "
+    "the 8-byte span hash — never the span text — and per-doc "
+    "de-duplication happens before the global span aggregation, so "
+    "the exchanged volume is bounded by distinct spans per doc.  At "
+    "100 TB this is the deciding metric for cut-paste boilerplate "
+    "removal that document-level MinHash misses.",
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    word_shingles(words(F.col("text")), _SPAN_N),
+                    lambda s: md5_long(s),
+                )
+            )
+        ).alias("h"),
+    )
+    nd = spans.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    joined = spans.join(nd, "h")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+            F.round(
+                F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+        .filter(F.col("n_spans") > 0)
     )

@@ -89,3 +89,40 @@ def extract_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield out
 
     return df.select(id_col, "n_bytes").mapInPandas(_frames_of, FRAME_SCHEMA)
+
+
+SKETCH_SCHEMA = "doc_id bigint, phash bigint"
+_SKETCH_BITS = 60
+
+
+def payload_parity_sketch(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """60-bit near-dup sketch of an opaque binary payload, computed in
+    Arrow-batched ``mapInPandas`` (the codec seam: a DCT perceptual
+    hash over decoded pixels drops into ``_sketch_of`` unchanged).
+
+    Content-defined chunking (split on the 0x20 delimiter byte) hashes
+    each chunk to one of 60 buckets (md5, engine-portable); bit *i* of
+    the sketch is the PARITY of bucket *i*'s chunk count.  Editing one
+    chunk therefore flips at most 2 bits — the locality property that
+    makes banded-hamming candidate generation work — while unrelated
+    payloads differ in ~30 of 60 uniform bits.
+    """
+    import hashlib
+
+    def _sketch_of(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batch_iter:
+            hashes = []
+            for payload in pdf["payload"]:
+                counts = [0] * _SKETCH_BITS
+                for chunk in bytes(payload).split(b" "):
+                    h = int(hashlib.md5(chunk).hexdigest()[:15], 16) % _SKETCH_BITS
+                    counts[h] ^= 1
+                phash = 0
+                for i, parity in enumerate(counts):
+                    phash |= parity << i
+                hashes.append(phash)
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "phash": pd.array(hashes, dtype="int64")}
+            )
+
+    return df.select(id_col, "payload").mapInPandas(_sketch_of, SKETCH_SCHEMA)

@@ -107,3 +107,112 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload.mapInPandas(
         windows, "doc_id bigint, win_idx int, start_byte bigint, end_byte bigint"
     )
+
+
+# --- payload near-dup via parity sketch --------------------------------
+
+_SQL_SKETCH = """
+    SELECT doc_id,
+           CAST(coalesce(sum(CASE WHEN cnt % 2 = 1
+                             THEN (1::BIGINT << bucket) ELSE 0 END), 0)
+                AS BIGINT) AS phash
+    FROM (
+      SELECT doc_id,
+             (('0x' || substr(md5(w), 1, 15))::BIGINT) % 60 AS bucket,
+             count(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus)
+      GROUP BY doc_id, bucket
+    )
+    GROUP BY doc_id
+"""
+
+
+@register(
+    "mm_phash_neardup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             array_to_string((string_split(text, ' '))[2:], ' ') AS text
+      FROM documents WHERE doc_id < 50
+    ), sigs AS (
+      {_SQL_SKETCH}
+    ), buckets AS (
+      SELECT doc_id, phash, b AS band_idx,
+             (phash >> (b * 30)) & 1073741823 AS band_val
+      FROM sigs, range(2) t(b)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+      FROM buckets a JOIN buckets b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 1
+    )
+    SELECT hamming, count(*) AS n_pairs,
+           coalesce(sum(CASE WHEN doc_b - doc_a = 100000 THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_mutation_pairs
+    FROM pairs GROUP BY hamming
+    """,
+    doc="Binary-payload near-dup via the mapInPandas parity sketch "
+    "(operators.multimodal.payload_parity_sketch — the perceptual-hash "
+    "analogue computable without codec libraries; a DCT pHash slots "
+    "into the same Arrow seam).  Drop-one-chunk mutants sit at hamming "
+    "exactly 1, so 2 bands x 30 bits pigeonhole-guarantee candidate "
+    "recall at the hamming<=1 radius while 30-bit band values keep "
+    "buckets collision-free (expected bucket size ~ n/2^30 — no "
+    "mega-bucket pair blowup at any realistic corpus size; wider "
+    "payload classes would move to 4 x 15-bit bands plus the "
+    "dedup_lsh_bucket_cap guard).  Candidate generation is the banded "
+    "equi-join; the exact bit_count verify runs on candidates only.",
+)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_queries import _mutated
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    corpus = docs.union(_mutated(docs))
+    payload = corpus.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    sigs = MM.payload_parity_sketch(payload)
+    buckets = sigs.select(
+        "doc_id",
+        "phash",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("band_idx"),
+    ).withColumn(
+        "band_val",
+        F.when(
+            F.col("band_idx") == 0, F.col("phash").bitwiseAND(F.lit(1073741823))
+        ).otherwise(
+            F.shiftright(F.col("phash"), 30).bitwiseAND(F.lit(1073741823))
+        ),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 1)
+        .distinct()
+    )
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("doc_b") - F.col("doc_a") == 100000, 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_mutation_pairs"),
+    )

@@ -1880,3 +1880,36 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "join_shuffled_hash_hint",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_lines,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    WHERE s_acctbal > 0
+    GROUP BY l_returnflag
+    """,
+    doc="Equi-join pinned to shuffled-hash via the SHUFFLE_HASH hint: "
+    "the third join strategy (beside broadcast and sort-merge) — right "
+    "when both sides are too big to broadcast but one side's "
+    "PER-PARTITION hash table fits in memory, because it skips the "
+    "sort phase entirely.  At 100 TB the supplier side partitions hash "
+    "small, so SHJ beats SMJ on this shape; plan-asserted in "
+    "tests/test_plans.py.",
+)
+def join_shuffled_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0).hint(
+        "shuffle_hash"
+    )
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )

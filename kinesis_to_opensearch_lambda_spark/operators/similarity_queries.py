@@ -3,7 +3,7 @@ the embeddings table — brute-force baseline + bucketed scale path)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import SQL_DOT, cosine, sql_cosine
@@ -698,3 +698,155 @@ def emb_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         errs.append(F.least(*d))
     err_sum = errs[0] + errs[1] + errs[2] + errs[3]
     return dists.select("vec_id", *codes, F.round(err_sum, 6).alias("q_err"))
+
+
+# --- PQ asymmetric-distance search -------------------------------------
+
+_PQ_NQ = 8  # ADC query rows (vec_id < _PQ_NQ)
+
+
+def _pq_dt_sql() -> str:
+    """Query-side distance-table columns dt_{s}_{k} (squared L2 between
+    query subvector s and codebook centroid k) — DuckDB twin of the
+    Spark expressions in ann_topk_pq_adc."""
+    cols = []
+    for s in range(_PQ_M):
+        for k in range(_PQ_K):
+            terms = " + ".join(
+                f"(embedding[{s * _PQ_SUB + d + 1}]::DOUBLE - ({_pq_cb(s, k, d)!r}))"
+                f" * (embedding[{s * _PQ_SUB + d + 1}]::DOUBLE - ({_pq_cb(s, k, d)!r}))"
+                for d in range(_PQ_SUB)
+            )
+            cols.append(f"({terms}) AS dt_{s}_{k}")
+    return ", ".join(cols)
+
+
+def _pq_codes_sql() -> str:
+    """Corpus-side PQ code columns code_{s} — same assignment rule as
+    emb_pq_assign (nearest centroid, ties to the lowest code id)."""
+    dist_cols = []
+    for s in range(_PQ_M):
+        for k in range(_PQ_K):
+            terms = " + ".join(
+                f"(embedding[{s * _PQ_SUB + d + 1}]::DOUBLE - ({_pq_cb(s, k, d)!r}))"
+                f" * (embedding[{s * _PQ_SUB + d + 1}]::DOUBLE - ({_pq_cb(s, k, d)!r}))"
+                for d in range(_PQ_SUB)
+            )
+            dist_cols.append(f"({terms}) AS d_{s}_{k}")
+    codes = []
+    for s in range(_PQ_M):
+        d = [f"d_{s}_{k}" for k in range(_PQ_K)]
+        codes.append(
+            f"CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} AND {d[0]} <= {d[3]}"
+            f" THEN 0 WHEN {d[1]} <= {d[2]} AND {d[1]} <= {d[3]} THEN 1"
+            f" WHEN {d[2]} <= {d[3]} THEN 2 ELSE 3 END AS code_{s}"
+        )
+    return (
+        f"SELECT vec_id, {', '.join(codes)} FROM "
+        f"(SELECT vec_id, {', '.join(dist_cols)} FROM embeddings)"
+    )
+
+
+def _pq_adc_sql() -> str:
+    lookup = []
+    for s in range(_PQ_M):
+        branches = " ".join(
+            f"WHEN {k} THEN dt_{s}_{k}" for k in range(_PQ_K)
+        )
+        lookup.append(f"(CASE code_{s} {branches} END)")
+    adc = " + ".join(lookup)
+    return f"""
+    WITH codes AS (
+      {_pq_codes_sql()}
+    ), qdt AS (
+      SELECT vec_id AS q_id, {_pq_dt_sql()}
+      FROM embeddings WHERE vec_id < {_PQ_NQ}
+    ), scored AS (
+      SELECT q_id, vec_id, {adc} AS adc
+      FROM codes CROSS JOIN qdt
+      WHERE vec_id != q_id
+    )
+    SELECT q_id, vec_id, round(adc, 6) AS adc, rnk
+    FROM (
+      SELECT q_id, vec_id, adc,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 5
+    """
+
+
+@register(
+    "ann_topk_pq_adc",
+    oracle=_pq_adc_sql(),
+    doc="PQ asymmetric-distance (ADC) top-k search (Jegou et al. 2011): "
+    "the corpus is scanned as 4-byte PQ codes (emb_pq_assign's "
+    "assignment), each query precomputes a 4x4 distance table of "
+    "query-subvector-to-centroid squared L2, and the approximate "
+    "distance is 4 table lookups + 3 adds per corpus row.  The "
+    "distance tables ride a broadcast (queries x M*K doubles — KB "
+    "scale), the corpus side never shuffles, and top-k is a per-query "
+    "window.  This is the memory-resident billion-scale ANN layout: "
+    "the full-precision vectors are only needed for the final rerank, "
+    "never the scan.",
+)
+def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+
+    # corpus -> PQ codes (same expressions as emb_pq_assign)
+    dist_cols = []
+    for s in range(_PQ_M):
+        for k in range(_PQ_K):
+            term = None
+            for d in range(_PQ_SUB):
+                x = F.element_at("embedding", s * _PQ_SUB + d + 1).cast("double")
+                sq = (x - F.lit(_pq_cb(s, k, d))) * (x - F.lit(_pq_cb(s, k, d)))
+                term = sq if term is None else term + sq
+            dist_cols.append(term.alias(f"d_{s}_{k}"))
+    dists = emb.select("vec_id", *dist_cols)
+    codes = []
+    for s in range(_PQ_M):
+        d = [F.col(f"d_{s}_{k}") for k in range(_PQ_K)]
+        codes.append(
+            F.when((d[0] <= d[1]) & (d[0] <= d[2]) & (d[0] <= d[3]), 0)
+            .when((d[1] <= d[2]) & (d[1] <= d[3]), 1)
+            .when(d[2] <= d[3], 2)
+            .otherwise(3)
+            .alias(f"code_{s}")
+        )
+    code_df = dists.select("vec_id", *codes)
+
+    # query -> distance tables (small: _PQ_NQ rows x 16 doubles)
+    dt_cols = []
+    for s in range(_PQ_M):
+        for k in range(_PQ_K):
+            term = None
+            for d in range(_PQ_SUB):
+                x = F.element_at("embedding", s * _PQ_SUB + d + 1).cast("double")
+                sq = (x - F.lit(_pq_cb(s, k, d))) * (x - F.lit(_pq_cb(s, k, d)))
+                term = sq if term is None else term + sq
+            dt_cols.append(term.alias(f"dt_{s}_{k}"))
+    qdt = emb.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("q_id"), *dt_cols
+    )
+
+    adc = None
+    for s in range(_PQ_M):
+        lk = (
+            F.when(F.col(f"code_{s}") == 0, F.col(f"dt_{s}_0"))
+            .when(F.col(f"code_{s}") == 1, F.col(f"dt_{s}_1"))
+            .when(F.col(f"code_{s}") == 2, F.col(f"dt_{s}_2"))
+            .otherwise(F.col(f"dt_{s}_3"))
+        )
+        adc = lk if adc is None else adc + lk
+    scored = (
+        code_df.crossJoin(F.broadcast(qdt))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", adc.alias("adc"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "vec_id", F.round("adc", 6).alias("adc"), "rnk")
+    )

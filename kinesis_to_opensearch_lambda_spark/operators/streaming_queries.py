@@ -315,3 +315,80 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         return final
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# NOT @register-ed: transformWithStateInPandas needs the protobuf
+# python package for its state-server protocol and this container lacks
+# it — the operator + lifecycle stay importable and are exercised by
+# tests/test_streaming.py::test_stateful_highwater_state_v2, which
+# skips cleanly when protobuf is absent (per the environment rule:
+# gate, do not fake).  The oracle for reference:
+#   SELECT user_id, count(DISTINCT event_id % 3) AS n_batches,
+#          max(floor(value*100+0.5)::BIGINT) AS max_cents
+#   FROM events GROUP BY user_id
+def _unregistered_doc() -> str:
+    return (
+        "Spark 4 arbitrary-state streaming operator through a real "
+    "StreamingQuery (streaming.stateful.running_user_highwater, "
+    "transformWithStateInPandas / SPARK-49564): per-user typed "
+    "ValueState holds (batches_seen, max_cents) across 3 mtime-ordered "
+    "parquet micro-batches; each batch emits the running row and the "
+    "drained final state must equal the batch ground truth (batch "
+    "membership is event_id % 3, amounts are exact integer cents). "
+    "This is the state-v2 successor to applyInPandasWithState "
+    "(streaming_stateful_user_totals is the v1 twin): named typed "
+    "states per key, TTL, and timers — the API a production pipeline "
+    "targets on Spark 4."
+    )
+
+
+def streaming_stateful_highwater(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.stateful import running_user_highwater
+
+    d = tempfile.mkdtemp(prefix="stream_hwm_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        )
+        os.makedirs(f"{d}/src", exist_ok=True)
+        for b in (0, 1, 2):
+            tmp = f"{d}/tmp{b}"
+            ev.filter(F.col("event_id") % 3 == b).select(
+                "user_id", "cents"
+            ).coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+            dst = f"{d}/src/b{b}.parquet"
+            shutil.move(f"{tmp}/{part}", dst)
+            os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
+        stream = (
+            spark.readStream.schema("user_id bigint, cents bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/src")
+        )
+        name = f"hwm_{uuid.uuid4().hex[:12]}"
+        q = (
+            running_user_highwater(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        # batch counter strictly grows, so the struct max is final state
+        return (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(F.max(F.struct("n_batches", "max_cents")).alias("m"))
+            .select("user_id", "m.n_batches", "m.max_cents")
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -394,3 +394,102 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight"
         ),
     )
+
+
+# --- CCNet-style perplexity bucketing + mixture sampling ---------------
+
+# Bucket thresholds in bits-per-token.  CCNet (Wenzek et al. 2020)
+# derives these from a held-out reference model/corpus and ships them as
+# constants — which is exactly what keeps the operator scale-free: the
+# bucket decision is a per-row comparison, no global percentile pass
+# over 100 TB at run time.
+_PPL_HEAD_MAX = 4.905
+_PPL_MID_MAX = 4.915
+# Per-bucket keep rates for the training mixture (head kept whole,
+# middle half, tail decimated), applied via the same deterministic
+# md5 sampling used by split_train_test_hash.
+_PPL_RATES = {"head": 100, "middle": 50, "tail": 10}
+_PPL_SALT = "ppl-v1"
+
+# text_queries registers before training_queries (queries.py import order),
+# so its oracle SQL is available for composition here.
+from ..queries import REGISTRY as _REGISTRY  # noqa: E402
+
+_TEXT_REGISTRY_UNIGRAM_ORACLE = _REGISTRY["text_unigram_logprob"].oracle
+
+
+@register(
+    "curation_perplexity_buckets",
+    oracle=f"""
+    WITH bpt AS (
+      {{unigram}}
+    ), bucketed AS (
+      SELECT doc_id, n_tokens, bits_per_token,
+             CASE WHEN bits_per_token < {_PPL_HEAD_MAX} THEN 'head'
+                  WHEN bits_per_token < {_PPL_MID_MAX} THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             CAST(round(bits_per_token * 1000000) AS BIGINT) AS bpt_i,
+             {{hash_bucket}} AS h
+      FROM bpt
+    )
+    SELECT bucket,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN (CASE bucket WHEN 'head' THEN {_PPL_RATES["head"]}
+                               WHEN 'middle' THEN {_PPL_RATES["middle"]}
+                               ELSE {_PPL_RATES["tail"]} END) > h
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN (CASE bucket WHEN 'head' THEN {_PPL_RATES["head"]}
+                               WHEN 'middle' THEN {_PPL_RATES["middle"]}
+                               ELSE {_PPL_RATES["tail"]} END) > h
+                    THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+           round(sum(bpt_i)::DOUBLE / count(*)::DOUBLE / 1000000.0, 6) AS avg_bpt
+    FROM bucketed
+    GROUP BY bucket
+    """.format(
+        unigram=_TEXT_REGISTRY_UNIGRAM_ORACLE,
+        hash_bucket=_sql_hash_bucket("doc_id", _PPL_SALT, 100),
+    ),
+    doc="CCNet-style perplexity bucketing + mixture sampling (Wenzek et "
+    "al. 2020): unigram bits-per-token (text_unigram_logprob) buckets "
+    "every document into head/middle/tail against fixed precomputed "
+    "thresholds, then a deterministic md5 sample keeps 100%/50%/10% "
+    "per bucket — the standard quality-mixture knob for web-scale "
+    "pretraining corpora.  Per-row decisions only (threshold compare + "
+    "hash), so the curation pass adds zero shuffles beyond the scoring "
+    "aggregation; avg bits-per-token is summed as exact integer "
+    "micro-bits so the report is independent of summation order.",
+)
+def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_queries import text_unigram_logprob
+
+    bpt = text_unigram_logprob(spark, sf_dir)
+    rate = (
+        F.when(F.col("bucket") == "head", F.lit(_PPL_RATES["head"]))
+        .when(F.col("bucket") == "middle", F.lit(_PPL_RATES["middle"]))
+        .otherwise(F.lit(_PPL_RATES["tail"]))
+    )
+    bucketed = bpt.select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("bits_per_token") < _PPL_HEAD_MAX, "head")
+        .when(F.col("bits_per_token") < _PPL_MID_MAX, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        F.round(F.col("bits_per_token") * 1_000_000)
+        .cast("bigint")
+        .alias("bpt_i"),
+        _hash_bucket(F.col("doc_id"), _PPL_SALT, 100).alias("h"),
+    )
+    kept = rate > F.col("h")
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("n_tokens_kept"),
+        F.round(
+            F.sum("bpt_i").cast("double") / F.count(F.lit(1)).cast("double") / 1e6, 6
+        ).alias("avg_bpt"),
+    )

@@ -94,6 +94,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_lsh_bucket_cap",
     "dedup_semantic_keep_best",
     "dedup_boilerplate_ngrams",
+    "dedup_duplicate_spans",
     "curation_pipeline",
     # similarity / ANN
     "ann_topk_bruteforce",
@@ -101,6 +102,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_topk_ivf_multiprobe",
     "ann_topk_srp_lsh",
     "ann_ivf_recall",
+    "ann_topk_pq_adc",
     "emb_label_centroids",
     "emb_normalize",
     # text analysis
@@ -109,7 +111,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_langid",
     "text_fingerprint",
     "text_tfidf_top_term",
-    "text_regex_stats",
     # corpus curation
     "text_repetition_signals",
     "text_pii_redaction",
@@ -120,10 +121,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "decontam_ngram_overlap",
     "quality_percentile_filter",
     "token_budget_pack",
+    "curation_perplexity_buckets",
     # multimodal
     "mm_binary_metadata",
     "mm_frame_extract",
     "mm_audio_windows",
+    "mm_phash_neardup",
     # streaming (real StreamingQuery lifecycle)
     "streaming_fanout_counts",
     "streaming_watermark_drops",
@@ -131,11 +134,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_stateful_user_totals",
     # bucketed co-located join
     "join_bucketed_colocated",
-    # headline relational (not driver-verified in earlier rounds)
-    "tpch_q9_product_profit",
-    "tpch_q21_waiting_supplier",
-    "cdc_merge_upsert",
-    "window_session_builtin",
+    # data-quality / warehouse ops
+    "dq_constraints",
 )
 
 

@@ -77,3 +77,58 @@ def running_user_cents(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- Spark 4 arbitrary-state API (transformWithStateInPandas) ----------
+
+HWM_OUTPUT_SCHEMA = "user_id bigint, n_batches bigint, max_cents bigint"
+
+
+def _hwm_processor():
+    """Per-user high-water-mark processor on the Spark 4
+    ``transformWithStateInPandas`` API (SPARK-49564 state-v2): typed
+    ``ValueState`` replaces the single GroupState tuple, the handle can
+    hold several named states per key, and timers/TTL bound state
+    growth without watermark gymnastics.  Emits one row per (user,
+    batch) carrying the batch counter and the running max."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class HighWaterMark(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("hwm", "n_batches bigint, max_cents bigint")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n_batches, max_cents = (
+                self._state.get() if self._state.exists() else (0, None)
+            )
+            for pdf in rows:
+                batch_max = int(pdf["cents"].max())
+                max_cents = batch_max if max_cents is None else max(max_cents, batch_max)
+            n_batches += 1
+            self._state.update((n_batches, max_cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_batches": [n_batches],
+                    "max_cents": [max_cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return HighWaterMark()
+
+
+def running_user_highwater(events: DataFrame) -> DataFrame:
+    """Streaming per-user high-water mark over ``cents`` via the Spark 4
+    arbitrary-state API; output mode Update, processing-time mode."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_hwm_processor(),
+        outputStructType=HWM_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -78,7 +78,12 @@ def test_minhash_signatures_shuffle_free(spark):
 
 # The only queries allowed to run (Arrow-batched) Python: multimodal
 # decode plumbing and the grouped-map model-fitting operator.
-ARROW_ALLOWLIST = {"mm_frame_extract", "mm_audio_windows", "grouped_map_regression"}
+ARROW_ALLOWLIST = {
+    "mm_frame_extract",
+    "mm_audio_windows",
+    "mm_phash_neardup",
+    "grouped_map_regression",
+}
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
@@ -197,3 +202,22 @@ def test_bucketed_join_is_exchange_free(spark):
     assert "SelectedBucketsCount: 8 out of 8" in plan, plan
     # exactly one exchange: the final group-by agg, never the join
     assert plan.count("+- Exchange") + plan.count(":- Exchange") == 1, plan
+
+
+def test_shuffled_hash_join_hint_pins_shj(spark):
+    # SHUFFLE_HASH hint must yield ShuffledHashJoin (not SMJ; AQE may
+    # still not broadcast because the hint wins over size estimation)
+    from kinesis_to_opensearch_lambda_spark.plans import plan_string
+
+    plan = plan_string(q(spark, "join_shuffled_hash_hint"))
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_phash_neardup_bucket_equijoin(spark):
+    # banded parity-sketch candidates come from an equi-join on
+    # (band_idx, band_val) — a hash join, never a nested-loop over the
+    # hamming predicate
+    from kinesis_to_opensearch_lambda_spark.plans import plan_string
+
+    plan = plan_string(q(spark, "mm_phash_neardup"))
+    assert "NestedLoop" not in plan, plan

@@ -148,3 +148,49 @@ def test_splunk_branch_matches_reference_model(spark, records):
     for e in expected:
         g = got_by_id[e["random_id"]]
         assert g == e, f"\nspark={g}\nmodel={e}"
+
+
+# --- MinHash statistical property -------------------------------------
+
+
+@settings(deadline=None, max_examples=30)
+@given(
+    base=st.sets(st.text(min_size=1, max_size=12), min_size=8, max_size=60),
+    drop=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_minhash_collision_rate_tracks_jaccard(base, drop):
+    """P(minhash_i(A) == minhash_i(B)) = J(A,B) — the estimator that
+    makes MinHash-LSH work.  Checked WITHOUT Spark against the same
+    pipeline the engine runs (md5 -> 60-bit int mod HASH_PRIME, then
+    the functions.MINHASH_A/B affine permutations) over hypothesis-
+    generated shingle SETS.  Hashing through md5 matters: raw small
+    integers would never wrap the modulus, the permutations would stay
+    order-preserving, and the mins would correlate — hypothesis finds
+    that counterexample immediately if the hash step is skipped."""
+    import hashlib
+
+    from kinesis_to_opensearch_lambda_spark.functions import (
+        HASH_PRIME,
+        MINHASH_A,
+        MINHASH_B,
+    )
+
+    def h60(token: str) -> int:
+        return int(hashlib.md5(token.encode()).hexdigest()[:15], 16) % HASH_PRIME
+
+    toks = sorted(base)
+    a = [h60(t) for t in toks]
+    b = [h60(t) for t in toks[: max(1, int(len(toks) * (1.0 - drop)))]]
+    inter = len(set(a) & set(b))
+    union = len(set(a) | set(b))
+    true_j = inter / union
+
+    collisions = 0
+    k = len(MINHASH_A)
+    for ai, bi in zip(MINHASH_A, MINHASH_B):
+        ha = min((ai * h + bi) % HASH_PRIME for h in a)
+        hb = min((ai * h + bi) % HASH_PRIME for h in b)
+        collisions += ha == hb
+    est = collisions / k
+    # 12 permutations -> sd = sqrt(j(1-j)/12) <= 0.145; allow 3.5 sd
+    assert abs(est - true_j) <= 0.51

@@ -254,3 +254,16 @@ def test_sliding_and_session_window_streams(spark, tmp_path):
     assert sessions.count() > 0
     # session windows close only after ≥30min gaps: no zero-length junk
     assert sessions.filter(F.col("n_events") <= 0).count() == 0
+
+
+def test_stateful_highwater_state_v2(spark):
+    """Spark 4 transformWithStateInPandas lifecycle — runs only when
+    the protobuf package (required by the state-v2 python worker) is
+    available in the environment."""
+    pytest.importorskip("google.protobuf")
+    from kinesis_to_opensearch_lambda_spark.operators.streaming_queries import (
+        streaming_stateful_highwater,
+    )
+
+    out = streaming_stateful_highwater(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
