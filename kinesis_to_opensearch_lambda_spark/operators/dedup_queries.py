@@ -780,6 +780,7 @@ _SPAN_N = 5  # words per span (the dedup unit)
 
 @register(
     "dedup_duplicate_spans",
+    headline=True,
     oracle=f"""
     WITH spans AS (
       SELECT doc_id,

@@ -33,6 +33,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @register(
     "dq_constraints",
+    headline=True,
     oracle="""
     SELECT tbl, chk, CAST(n_rows AS BIGINT) AS n_rows,
            CAST(n_violations AS BIGINT) AS n_violations
@@ -90,7 +91,9 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def one_pass(df: DataFrame, tbl: str, checks: dict[str, F.Column]) -> DataFrame:
         """All conditional checks on one table in a single agg pass,
-        then unpivoted to (tbl, chk, n_rows, n_violations) rows."""
+        unpivoted to (tbl, chk, n_rows, n_violations) rows via an
+        explode of check structs — the aggregation subtree executes
+        ONCE per table (a per-check union would re-run the scan)."""
         agg = df.agg(
             F.count(F.lit(1)).alias("n_rows"),
             *[
@@ -98,16 +101,21 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for name, cond in checks.items()
             ],
         )
-        rows = None
-        for name in checks:
-            row = agg.select(
-                F.lit(tbl).alias("tbl"),
-                F.lit(name).alias("chk"),
-                F.col("n_rows").cast("long").alias("n_rows"),
-                F.col(name).cast("long").alias("n_violations"),
-            )
-            rows = row if rows is None else rows.unionAll(row)
-        return rows
+        return agg.select(
+            F.lit(tbl).alias("tbl"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("chk"),
+                            F.col(name).cast("long").alias("n_violations"),
+                        )
+                        for name in checks
+                    ]
+                )
+            ).alias("c"),
+        ).select("tbl", "c.chk", "n_rows", "c.n_violations")
 
     def orphans(fact: DataFrame, key: str, dim: DataFrame, dim_key: str,
                 tbl: str, chk: str) -> DataFrame:

@@ -779,6 +779,7 @@ def _pq_adc_sql() -> str:
 @register(
     "ann_topk_pq_adc",
     oracle=_pq_adc_sql(),
+    headline=True,
     doc="PQ asymmetric-distance (ADC) top-k search (Jegou et al. 2011): "
     "the corpus is scanned as 4-byte PQ codes (emb_pq_assign's "
     "assignment), each query precomputes a 4x4 distance table of "
