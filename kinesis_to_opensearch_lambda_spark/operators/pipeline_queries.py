@@ -162,3 +162,52 @@ def pipeline_ip_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "random_id",
         F.regexp_replace("ip", r"\.[0-9]+$", ".***").alias("ip_masked"),
     )
+
+
+@register(
+    "pipeline_dlq_stats",
+    oracle="""
+    SELECT CASE WHEN event_id % 7 = 0 THEN 'bad_base64'
+                WHEN event_id % 7 = 1 THEN 'bad_json'
+                ELSE 'ok' END AS class,
+           count(*) AS n_records
+    FROM events
+    GROUP BY 1
+    """,
+    doc="R11 error containment as an oracle-checked batch query: every "
+    "7th envelope is corrupted to invalid base64 and every 7th+1 to "
+    "valid-base64/invalid-JSON, the tolerant decode (try_to_binary + "
+    "from_json — pipeline.decode_kinesis(tolerant=True)) classifies "
+    "rows into ok / bad_base64 / bad_json without failing the batch, "
+    "and the class counts must match the corruption rule exactly.  "
+    "This is the dead-letter-queue split the strict reference lacks "
+    "(lambda_function.py:141 fails the whole invocation on one bad "
+    "record; :84-86 only contains SINK errors) — at scale a poison "
+    "pill must cost one DLQ row, not a batch retry storm.",
+)
+def pipeline_dlq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = fan_out(load_table(spark, sf_dir, "events"))
+    audit = audit_events_from_events(events)
+    doc = F.to_json(F.struct(*[audit[c] for c in audit.columns]))
+    eid = F.regexp_extract("random_id", "^ev-(\\d+)$", 1).cast("long")
+    env = audit.select(
+        eid.alias("event_id"),
+        F.base64(doc.cast("binary")).alias("kinesis_data"),
+    )
+    corrupted = env.select(
+        F.when(F.col("event_id") % 7 == 0, F.lit("%%%not-base64%%%"))
+        .when(
+            F.col("event_id") % 7 == 1,
+            F.base64(F.lit('{"broken').cast("binary")),
+        )
+        .otherwise(F.col("kinesis_data"))
+        .alias("kinesis_data"),
+    )
+    dec = P.decode_kinesis(corrupted, tolerant=True)
+    classed = dec.select(
+        F.when(F.col("_raw").isNull(), "bad_base64")
+        .when(F.col("random_id").isNull(), "bad_json")
+        .otherwise("ok")
+        .alias("class")
+    )
+    return classed.groupBy("class").agg(F.count(F.lit(1)).alias("n_records"))

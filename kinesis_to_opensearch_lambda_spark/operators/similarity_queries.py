@@ -851,3 +851,177 @@ def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("q_id", "vec_id", F.round("adc", 6).alias("adc"), "rnk")
     )
+
+
+_SQL_L2SQ = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "list_transform(list_zip({a}, {b}), "
+    "z -> (z[1]::DOUBLE - z[2]::DOUBLE) * (z[1]::DOUBLE - z[2]::DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _l2sq(a, b):
+    """Squared L2 distance over array<float>, strictly sequential fold
+    (DuckDB twin: _SQL_L2SQ) — engine-identical doubles."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "ann_pq_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec
+      FROM embeddings WHERE vec_id < {_PQ_NQ}
+    ), brute AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_SQL_L2SQ.format(a='q.q_vec', b='e.embedding')}, e.vec_id
+               ) AS rnk
+        FROM q JOIN embeddings e ON e.vec_id != q.q_id
+      ) WHERE rnk <= 5
+    ), codes AS (
+      {_pq_codes_sql()}
+    ), qdt AS (
+      SELECT vec_id AS q_id, {_pq_dt_sql()}
+      FROM embeddings WHERE vec_id < {_PQ_NQ}
+    ), adc AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY
+                 {" + ".join(f"(CASE code_{s} WHEN 0 THEN dt_{s}_0 WHEN 1 THEN dt_{s}_1 WHEN 2 THEN dt_{s}_2 ELSE dt_{s}_3 END)" for s in range(_PQ_M))},
+                 vec_id) AS rnk
+        FROM codes CROSS JOIN qdt
+        WHERE vec_id != q_id
+      ) WHERE rnk <= 5
+    )
+    SELECT b.q_id,
+           coalesce(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_hits,
+           round(coalesce(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+                 / 5.0, 6) AS recall_at_5
+    FROM brute b LEFT JOIN adc a ON b.q_id = a.q_id AND b.vec_id = a.vec_id
+    GROUP BY b.q_id
+    """,
+    doc="Recall@5 of PQ ADC search vs exact squared-L2 brute force on "
+    "the same queries: quantifies what the 16-byte-code compression "
+    "(M=4, K=4 — deliberately tiny codebooks) gives up, the same "
+    "accuracy/cost contract ann_ivf_recall publishes for the IVF "
+    "path.  In production the rerank stage re-scores the ADC top-k' "
+    "(k' > k) with full-precision vectors, recovering most of the "
+    "gap at k'/corpus cost.",
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    q = emb.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _l2sq(F.col("q_vec"), F.col("embedding")).alias("d"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("vec_id"))
+    brute = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "vec_id")
+    )
+    adc = (
+        ann_topk_pq_adc(spark, sf_dir)
+        .select(
+            F.col("q_id").alias("a_q_id"), F.col("vec_id").alias("a_vec_id")
+        )
+    )
+    hits = brute.join(
+        adc,
+        (brute.q_id == adc.a_q_id) & (brute.vec_id == adc.a_vec_id),
+        "left",
+    )
+    return hits.groupBy("q_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("a_vec_id").isNotNull(), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_hits"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("a_vec_id").isNotNull(), 1).otherwise(0)),
+                F.lit(0),
+            )
+            / 5.0,
+            6,
+        ).alias("recall_at_5"),
+    )
+
+
+# --- distributed Gram matrix (the PCA/whitening building block) --------
+
+_GRAM_Q = 1000  # fixed-point quantization: exact integer arithmetic
+
+
+@register(
+    "emb_gram_matrix",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(x::DOUBLE * {_GRAM_Q}) AS BIGINT)) AS xq
+      FROM embeddings
+    ), cells AS (
+      SELECT i.i AS i, j.j AS j, xq[i.i + 1] * xq[j.j + 1] AS prod
+      FROM q, range(64) i(i), range(64) j(j)
+      WHERE j.j >= i.i
+    )
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST(sum(prod) AS BIGINT) AS gram_q
+    FROM cells GROUP BY i, j
+    """,
+    doc="Distributed Gram matrix X'X over the embedding column — the "
+    "building block of large-scale PCA/whitening (and ridge "
+    "regression): each Arrow batch computes a PARTIAL 64x64 Gram with "
+    "one numpy matmul, partials are summed by (i,j) — so 100 TB of "
+    "vectors reduce to n_batches x 2080 cells on the wire, never a "
+    "row-level shuffle, and the driver-side result is dimension^2 "
+    "regardless of corpus size (the classic partial-aggregate "
+    "linear-algebra pattern; tree-reduce at extreme partition counts). "
+    "Vectors are fixed-point quantized (x1000) first, so the integer "
+    "accumulation is EXACT and engine-order-independent — no float "
+    "summation drift between Spark and the oracle.  Upper triangle "
+    "only (Gram is symmetric).",
+)
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings").select("embedding"))
+
+    iu = None  # lazily built upper-triangle index pair cache
+
+    def partial_grams(batch_iter):
+        nonlocal iu
+        for pdf in batch_iter:
+            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            xq = np.rint(x * _GRAM_Q).astype("int64")
+            g = xq.T @ xq  # one BLAS-shaped matmul per Arrow batch
+            if iu is None:
+                iu = np.triu_indices(g.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype("int32"),
+                    "j": iu[1].astype("int32"),
+                    "gram_q": g[iu],
+                }
+            )
+
+    partials = emb.mapInPandas(partial_grams, "i int, j int, gram_q long")
+    return partials.groupBy("i", "j").agg(
+        F.sum("gram_q").cast("bigint").alias("gram_q")
+    )

@@ -82,6 +82,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pipeline_dedup_replay",
     "pipeline_splunk_envelope",
     "pipeline_ip_masking",
+    "pipeline_dlq_stats",
     # dedup family
     "dedup_exact",
     "dedup_minhash_signature",
@@ -99,12 +100,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # similarity / ANN
     "ann_topk_bruteforce",
     "ann_topk_ivf_bucketed",
-    "ann_topk_ivf_multiprobe",
     "ann_topk_srp_lsh",
     "ann_ivf_recall",
     "ann_topk_pq_adc",
     "emb_label_centroids",
-    "emb_normalize",
     # text analysis
     "text_token_stats",
     "text_quality_score",
@@ -136,6 +135,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_bucketed_colocated",
     # data-quality / warehouse ops
     "dq_constraints",
+    # headline relational
+    "tpch_q9_product_profit",
 )
 
 

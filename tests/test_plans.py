@@ -83,6 +83,7 @@ ARROW_ALLOWLIST = {
     "mm_audio_windows",
     "mm_phash_neardup",
     "grouped_map_regression",
+    "emb_gram_matrix",
 }
 
 
