@@ -674,35 +674,55 @@ def _pq_sql() -> str:
 )
 def emb_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
-    dist_cols = []
-    for s in range(_PQ_M):
-        for k in range(_PQ_K):
-            term = None
-            for d in range(_PQ_SUB):
-                x = F.element_at("embedding", s * _PQ_SUB + d + 1).cast("double")
-                sq = (x - F.lit(_pq_cb(s, k, d))) * (x - F.lit(_pq_cb(s, k, d)))
-                term = sq if term is None else term + sq
-            dist_cols.append(term.alias(f"d_{s}_{k}"))
-    dists = emb.select("vec_id", *dist_cols)
-    codes = []
-    errs = []
-    for s in range(_PQ_M):
-        d = [F.col(f"d_{s}_{k}") for k in range(_PQ_K)]
-        codes.append(
-            F.when((d[0] <= d[1]) & (d[0] <= d[2]) & (d[0] <= d[3]), 0)
-            .when((d[1] <= d[2]) & (d[1] <= d[3]), 1)
-            .when(d[2] <= d[3], 2)
-            .otherwise(3)
-            .alias(f"code_{s}")
-        )
-        errs.append(F.least(*d))
-    err_sum = errs[0] + errs[1] + errs[2] + errs[3]
-    return dists.select("vec_id", *codes, F.round(err_sum, 6).alias("q_err"))
+    # SQL-string construction (see _spark_dist_exprs): the nested-Column
+    # form costs seconds of py4j round trips per call for zero plan gain.
+    dists = emb.selectExpr("vec_id", *_spark_dist_exprs())
+    err_sum = " + ".join(
+        f"least({', '.join(f'd_{s}_{k}' for k in range(_PQ_K))})"
+        for s in range(_PQ_M)
+    )
+    return dists.selectExpr(
+        "vec_id", *_spark_code_exprs(), f"round({err_sum}, 6) AS q_err"
+    )
 
 
 # --- PQ asymmetric-distance search -------------------------------------
 
 _PQ_NQ = 8  # ADC query rows (vec_id < _PQ_NQ)
+
+
+def _spark_dist_exprs(alias_prefix: str = "d") -> list[str]:
+    """Spark-SQL distance-column strings (one selectExpr argument per
+    subspace x code).  Building these as SQL text instead of nested
+    Column arithmetic matters: the Column form costs ~3000 py4j round
+    trips (~4.5s of DataFrame CONSTRUCTION per call, dwarfing the 1.1s
+    execution); the string form is 16 expressions parsed JVM-side.
+    Arithmetic order matches the DuckDB twin exactly (left-assoc sum)."""
+    cols = []
+    for s in range(_PQ_M):
+        for k in range(_PQ_K):
+            terms = " + ".join(
+                f"(CAST(element_at(embedding, {s * _PQ_SUB + d + 1}) AS DOUBLE)"
+                f" - {_pq_cb(s, k, d)!r}D)"
+                f" * (CAST(element_at(embedding, {s * _PQ_SUB + d + 1}) AS DOUBLE)"
+                f" - {_pq_cb(s, k, d)!r}D)"
+                for d in range(_PQ_SUB)
+            )
+            cols.append(f"({terms}) AS {alias_prefix}_{s}_{k}")
+    return cols
+
+
+def _spark_code_exprs() -> list[str]:
+    """Spark-SQL nearest-code CASE strings (ties to lowest code id)."""
+    codes = []
+    for s in range(_PQ_M):
+        d = [f"d_{s}_{k}" for k in range(_PQ_K)]
+        codes.append(
+            f"CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} AND {d[0]} <= {d[3]}"
+            f" THEN 0 WHEN {d[1]} <= {d[2]} AND {d[1]} <= {d[3]} THEN 1"
+            f" WHEN {d[2]} <= {d[3]} THEN 2 ELSE 3 END AS code_{s}"
+        )
+    return codes
 
 
 def _pq_dt_sql() -> str:
@@ -794,56 +814,37 @@ def _pq_adc_sql() -> str:
 def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
 
-    # corpus -> PQ codes (same expressions as emb_pq_assign)
-    dist_cols = []
-    for s in range(_PQ_M):
-        for k in range(_PQ_K):
-            term = None
-            for d in range(_PQ_SUB):
-                x = F.element_at("embedding", s * _PQ_SUB + d + 1).cast("double")
-                sq = (x - F.lit(_pq_cb(s, k, d))) * (x - F.lit(_pq_cb(s, k, d)))
-                term = sq if term is None else term + sq
-            dist_cols.append(term.alias(f"d_{s}_{k}"))
-    dists = emb.select("vec_id", *dist_cols)
-    codes = []
-    for s in range(_PQ_M):
-        d = [F.col(f"d_{s}_{k}") for k in range(_PQ_K)]
-        codes.append(
-            F.when((d[0] <= d[1]) & (d[0] <= d[2]) & (d[0] <= d[3]), 0)
-            .when((d[1] <= d[2]) & (d[1] <= d[3]), 1)
-            .when(d[2] <= d[3], 2)
-            .otherwise(3)
-            .alias(f"code_{s}")
-        )
-    code_df = dists.select("vec_id", *codes)
-
-    # query -> distance tables (small: _PQ_NQ rows x 16 doubles)
-    dt_cols = []
-    for s in range(_PQ_M):
-        for k in range(_PQ_K):
-            term = None
-            for d in range(_PQ_SUB):
-                x = F.element_at("embedding", s * _PQ_SUB + d + 1).cast("double")
-                sq = (x - F.lit(_pq_cb(s, k, d))) * (x - F.lit(_pq_cb(s, k, d)))
-                term = sq if term is None else term + sq
-            dt_cols.append(term.alias(f"dt_{s}_{k}"))
-    qdt = emb.filter(F.col("vec_id") < _PQ_NQ).select(
-        F.col("vec_id").alias("q_id"), *dt_cols
+    # corpus -> PQ codes (same expressions as emb_pq_assign), built as
+    # SQL strings (see _spark_dist_exprs on why), behind a Generate
+    # barrier (explode of a 1-element array, the pipeline.decode_kinesis
+    # idiom): without it Catalyst collapses the dists->codes projections
+    # into the join's output projection and the 16 subspace distances
+    # re-evaluate 4x per CASE arm and once per joined query row.
+    dists = emb.selectExpr("vec_id", *_spark_dist_exprs())
+    code_struct = "struct(" + ", ".join(
+        e.replace(f" AS code_{s}", "") for s, e in enumerate(_spark_code_exprs())
+    ) + ")"
+    code_df = dists.selectExpr(
+        "vec_id", f"explode(array({code_struct})) AS _c"
+    ).selectExpr(
+        "vec_id",
+        *[f"_c.col{s + 1} AS code_{s}" for s in range(_PQ_M)],
     )
 
-    adc = None
-    for s in range(_PQ_M):
-        lk = (
-            F.when(F.col(f"code_{s}") == 0, F.col(f"dt_{s}_0"))
-            .when(F.col(f"code_{s}") == 1, F.col(f"dt_{s}_1"))
-            .when(F.col(f"code_{s}") == 2, F.col(f"dt_{s}_2"))
-            .otherwise(F.col(f"dt_{s}_3"))
-        )
-        adc = lk if adc is None else adc + lk
+    # query -> distance tables (small: _PQ_NQ rows x 16 doubles)
+    qdt = emb.filter(F.col("vec_id") < _PQ_NQ).selectExpr(
+        "vec_id AS q_id", *_spark_dist_exprs("dt")
+    )
+
+    adc_expr = " + ".join(
+        f"(CASE code_{s} WHEN 0 THEN dt_{s}_0 WHEN 1 THEN dt_{s}_1"
+        f" WHEN 2 THEN dt_{s}_2 ELSE dt_{s}_3 END)"
+        for s in range(_PQ_M)
+    )
     scored = (
         code_df.crossJoin(F.broadcast(qdt))
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", adc.alias("adc"))
+        .selectExpr("q_id", "vec_id", f"({adc_expr}) AS adc")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
     return (

@@ -222,3 +222,43 @@ def test_phash_neardup_bucket_equijoin(spark):
 
     plan = plan_string(q(spark, "mm_phash_neardup"))
     assert "NestedLoop" not in plan, plan
+
+
+def test_dq_orphan_checks_are_broadcast_anti_joins(spark):
+    # referential-integrity checks must broadcast the dimension key set;
+    # the fact side never shuffles for the join
+    from kinesis_to_opensearch_lambda_spark.plans import plan_string
+
+    plan = plan_string(q(spark, "dq_constraints"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pq_adc_corpus_never_shuffles_for_scoring(spark):
+    # ADC scoring is corpus-scan x broadcast distance tables (an
+    # intentional broadcast cross join); the only exchange is the
+    # per-query top-k window partitioning
+    from kinesis_to_opensearch_lambda_spark.plans import plan_string
+
+    plan = plan_string(q(spark, "ann_topk_pq_adc"))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_gram_matrix_single_shuffle(spark):
+    # partial Gram per Arrow batch -> one exchange on (i, j) cells
+    assert shuffle_exchange_count(q(spark, "emb_gram_matrix")) == 1
+
+
+def test_duplicate_spans_shuffles_hashes_not_text(spark):
+    # the exchanged columns are the 8-byte span hash + doc id — span
+    # TEXT never reaches an exchange
+    from kinesis_to_opensearch_lambda_spark.plans import plan_string
+
+    plan = plan_string(q(spark, "dedup_duplicate_spans"))
+    assert "Exchange" in plan
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
