@@ -826,8 +826,15 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    nd = spans.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
-    joined = spans.join(nd, "h")
+    # window count over the span hash instead of aggregate-then-join:
+    # one explode pass and two exchanges (h, then doc_id) — the join
+    # formulation re-evaluates the explode lineage on both sides and
+    # shuffles three times for the same result
+    from pyspark.sql import Window
+
+    joined = spans.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
     return (
         joined.groupBy("doc_id")
         .agg(

@@ -262,3 +262,46 @@ def test_duplicate_spans_shuffles_hashes_not_text(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Spark's runtime Bloom-filter join pruning — the 100 TB feature
+    that lets a selective dim filter prune the FACT side's shuffle
+    input at runtime (SPARK-32268).  Production defaults trigger it
+    when the application side scans >10GB; at test scale we lower that
+    threshold (and disable broadcast, which would subsume it) and
+    assert the might_contain filter lands on the fact scan."""
+    import pyspark.sql.functions as F
+
+    from kinesis_to_opensearch_lambda_spark.sources.batch import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_DIR, "lineitem")
+        orders = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
