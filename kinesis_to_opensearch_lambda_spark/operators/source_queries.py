@@ -1,0 +1,111 @@
+"""Source-format breadth: JSON-lines and CSV scan paths.
+
+The engine's canonical batch format is parquet (sources/batch.py), but
+real ingest surfaces hand you text formats first — the reference itself
+consumes JSON payloads (lambda_function.py:45).  These queries exercise
+Spark's native json/csv DataSources end-to-end: events are serialized
+to a temp directory by one Spark job, read back with an EXPLICIT schema
+(schema inference is a full extra pass at 100 TB — never rely on it in
+production paths), and aggregated; the DuckDB oracle computes the same
+result straight from the parquet table, so the whole
+serialize -> scan -> parse roundtrip is verified.
+
+Scale notes: text sources are splittable (json-lines by newline, csv
+without embedded newlines), so they parallelize like parquet minus
+column pruning and predicate pushdown — the queries project early so
+the parser still drops unused fields; PERMISSIVE mode routes malformed
+lines to nulls rather than failing the scan (same containment stance
+as pipeline_dlq_stats).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import register
+from ..sources.batch import fan_out, load_table
+
+_EVENT_SCHEMA = (
+    "event_id bigint, user_id bigint, event_type string, cents bigint"
+)
+
+
+def _events_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fan_out(load_table(spark, sf_dir, "events")).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+
+
+_ORACLE_BY_TYPE = """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@register(
+    "source_jsonl_scan",
+    oracle=_ORACLE_BY_TYPE,
+    doc="JSON-lines source path: events serialized to .jsonl by one "
+    "Spark job, read back via spark.read.schema(...).json (explicit "
+    "schema — inference is an extra full pass at scale; PERMISSIVE "
+    "parse), aggregated per event_type with exact integer cents.  The "
+    "oracle computes the same aggregate from the parquet table, so "
+    "the serialize->scan->parse roundtrip is what's verified.",
+)
+def source_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tempfile.mkdtemp(prefix="src_jsonl_")
+    try:
+        _events_cents(spark, sf_dir).write.mode("overwrite").json(f"{d}/ev")
+        df = spark.read.schema(_EVENT_SCHEMA).json(f"{d}/ev")
+        return _materialized(spark, _agg_by_type(df))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "source_csv_scan",
+    oracle=_ORACLE_BY_TYPE,
+    doc="CSV source path: events serialized with a header by one Spark "
+    "job, read back via spark.read.schema(...).csv(header=True) — "
+    "explicit schema again, and the projection still prunes parse "
+    "work per line.  Same oracle as source_jsonl_scan: the roundtrip "
+    "is the test.",
+)
+def source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tempfile.mkdtemp(prefix="src_csv_")
+    try:
+        _events_cents(spark, sf_dir).write.mode("overwrite").option(
+            "header", True
+        ).csv(f"{d}/ev")
+        df = spark.read.schema(_EVENT_SCHEMA).option("header", True).csv(f"{d}/ev")
+        return _materialized(spark, _agg_by_type(df))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _materialized(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Execute the tiny aggregate NOW and rebuild it as a local frame —
+    the returned DataFrame must stay valid after the temp source dir is
+    deleted (lazy lineage over a dropped path fails on recompute; same
+    recompute-safety fix as bucketed_queries.join_bucketed_colocated)."""
+    return spark.createDataFrame(df.collect(), df.schema)
+
+
+def _agg_by_type(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )

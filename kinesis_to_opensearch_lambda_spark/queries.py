@@ -62,6 +62,7 @@ from .operators import (  # noqa: E402,F401
     bucketed_queries,
     graph_queries,
     quality_queries,
+    source_queries,
 )
 
 # ---------------------------------------------------------------------------
