@@ -349,3 +349,134 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.count_distinct(F.md5("text")) * 1.0 / F.count("*"), 4
         ).alias("dup_frac"),
     )
+
+
+@register(
+    "corpus_zipf_fit",
+    oracle="""
+    WITH freqs AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    ), ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rnk
+      FROM freqs
+    ), pts AS (
+      SELECT CAST(round(ln(rnk::DOUBLE) * 1000000) AS BIGINT) AS x_i,
+             CAST(round(ln(cnt::DOUBLE) * 1000000) AS BIGINT) AS y_i
+      FROM ranked WHERE rnk <= 200
+    ), sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x_i) AS BIGINT) AS sx,
+             CAST(sum(y_i) AS BIGINT) AS sy,
+             CAST(sum(x_i * y_i) AS BIGINT) AS sxy,
+             CAST(sum(x_i * x_i) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_points,
+           round((n * sxy - sx * sy)::DOUBLE
+                 / (n * sxx - sx * sx)::DOUBLE, 4) AS zipf_slope,
+           round((sy::DOUBLE / 1000000.0
+                  - ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE)
+                    * (sx::DOUBLE / 1000000.0)) / n::DOUBLE, 4) AS ln_c
+    FROM sums
+    """,
+    doc="Zipf's-law fit over the corpus word-frequency distribution: "
+    "closed-form least squares of ln(freq) on ln(rank) over the top "
+    "200 words — slope near -1 is the healthy-natural-text signature; "
+    "flat slopes flag template/boilerplate corpora and steep ones tiny "
+    "vocabularies.  The rank window sorts the DICTIONARY (vocab-sized, "
+    "corpus-size-independent — the only single-partition sort in the "
+    "engine and it is dictionary-bounded by construction); regression "
+    "terms are rounded to integer micro-units per point before "
+    "summing, so the fit is independent of summation order.",
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    freqs = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    ranked = freqs.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("cnt").desc(), "word"))
+    ).filter(F.col("rnk") <= 200)
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("x_i"),
+        F.round(F.log(F.col("cnt").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("y_i"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x_i").cast("bigint").alias("sx"),
+        F.sum("y_i").cast("bigint").alias("sy"),
+        F.sum(F.col("x_i") * F.col("y_i")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x_i") * F.col("x_i")).cast("bigint").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return sums.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(
+            (
+                F.col("sy").cast("double") / 1e6
+                - slope * (F.col("sx").cast("double") / 1e6)
+            )
+            / F.col("n").cast("double"),
+            4,
+        ).alias("ln_c"),
+    )
+
+
+from .training_queries import _SQL_SCORE_I as _SQL_TRAIN_SCORE_I  # noqa: E402
+
+
+@register(
+    "corpus_quality_vs_dup",
+    oracle=f"""
+    WITH scored AS (
+      SELECT text,
+             least(({_SQL_TRAIN_SCORE_I}) // 100000, 9) AS band
+      FROM documents
+    )
+    SELECT band,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*)::DOUBLE, 4)
+             AS dup_frac
+    FROM scored
+    GROUP BY band
+    """,
+    doc="Quality-band vs duplication-rate correlation: documents bucket "
+    "into 10 fixed quality bands (per-row threshold on the blended "
+    "quality score — no global percentile pass) and each band reports "
+    "its exact-duplicate fraction (digest-distinct, md5 shuffled — "
+    "never text).  The question every curation pipeline asks before "
+    "setting a quality cutoff: are the low-quality bands also the "
+    "duplicated ones (crawler spam) or independent axes?",
+)
+def corpus_quality_vs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_queries import _score_i
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select("text", _score_i().alias("score_i")).select(
+        "text",
+        F.least(F.expr("score_i div 100000"), F.lit(9)).cast("bigint").alias("band"),
+    )
+    return scored.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5("text")).cast("bigint").alias("n_unique"),
+        F.round(
+            1.0
+            - F.count_distinct(F.md5("text")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("dup_frac"),
+    )
