@@ -222,23 +222,33 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "k = ck AND cts >= its AND cts < its + interval 45 minutes"
             ),
         )
-        name = f"ssj_{uuid.uuid4().hex[:12]}"
+        # Spool the RAW join output to a parquet sink (executor-side
+        # files), never a driver-memory sink: matched pairs grow with
+        # the data (1.8M rows at sf0.1 already OOMs a default 1g heap
+        # if collected in a memory sink) while the post-hoc aggregate
+        # is 24 rows.  Aggregations after stream-stream joins are
+        # append-only in Spark, which would drop the last unsealed
+        # windows — aggregating the spooled files sidesteps that while
+        # keeping the drained result exactly equal to the batch join.
         q = (
             joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
+            .format("parquet")
+            .option("path", f"{d}/out")
             .option("checkpointLocation", f"{d}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(600)
-        return (
-            spark.table(name)
+        agg = (
+            spark.read.schema("k bigint, its timestamp, ck bigint, cts timestamp")
+            .parquet(f"{d}/out")
             .groupBy(
                 F.date_format("its", "yyyy-MM-dd HH:mm:ss").alias("hour_start")
             )
-            .agg(F.count("*").alias("n_matches"))
+            .agg(F.count(F.lit(1)).alias("n_matches"))
         )
+        # materialize before the temp dir is removed (recompute safety)
+        return spark.createDataFrame(agg.collect(), agg.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
