@@ -407,3 +407,46 @@ def window_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sessions"),
         F.sum("dur_us").alias("total_dur_us"),
     )
+
+
+@register(
+    "window_gap_islands",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             event_id - row_number() OVER (
+               PARTITION BY user_id ORDER BY event_id
+             ) AS grp
+      FROM events
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(max(island_len) AS BIGINT) AS longest_island,
+           CAST(sum(island_len) AS BIGINT) AS n_events
+    FROM (
+      SELECT user_id, grp, count(*) AS island_len
+      FROM seq GROUP BY user_id, grp
+    )
+    GROUP BY user_id
+    """,
+    doc="Gaps-and-islands: maximal runs of consecutive event_ids per "
+    "user via the classic id-minus-row_number constant-group trick — "
+    "the sequence analytics pattern (uptime runs, streak detection, "
+    "contiguous-range compaction) that complements time-gap "
+    "sessionization (window_sessionization).  One window pass + two "
+    "aggregations, all hash-partitioned by user — no global sort at "
+    "any scale.",
+)
+def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = events.withColumn("grp", F.col("event_id") - F.row_number().over(w))
+    islands = seq.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("island_len")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.max("island_len").cast("bigint").alias("longest_island"),
+        F.sum("island_len").cast("bigint").alias("n_events"),
+    )

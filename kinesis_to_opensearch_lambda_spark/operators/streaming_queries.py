@@ -402,3 +402,84 @@ def streaming_stateful_highwater(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "streaming_dlq_split",
+    oracle="""
+    SELECT CASE WHEN event_id % 7 IN (0, 1) THEN 'dead' ELSE 'good' END
+             AS branch,
+           count(*) AS n_records
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Streaming dead-letter split through a real StreamingQuery: "
+    "corrupted envelopes (the pipeline_dlq_stats rule — every 7th "
+    "invalid base64, every 7th+1 invalid JSON) flow through the "
+    "tolerant decode and streaming.pipeline.split_dead_letters routes "
+    "each micro-batch into good/dead frames inside foreachBatch; both "
+    "branches spool to parquet and the drained branch counts must "
+    "match the corruption rule.  This is the streaming face of R11 "
+    "error containment: a poison pill costs one DLQ row and the query "
+    "keeps running (the reference fails the whole invocation, "
+    "lambda_function.py:141).",
+)
+def streaming_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..operators import pipeline as P
+    from ..sources.kinesis import audit_events_from_events
+    from ..streaming.pipeline import split_dead_letters
+
+    d = tempfile.mkdtemp(prefix="stream_dlq_")
+    try:
+        events = load_table(spark, sf_dir, "events")
+        audit = audit_events_from_events(events)
+        doc = F.to_json(F.struct(*[audit[c] for c in audit.columns]))
+        eid = F.regexp_extract("random_id", "^ev-(\\d+)$", 1).cast("long")
+        env = audit.select(
+            eid.alias("event_id"),
+            F.base64(doc.cast("binary")).alias("kinesis_data"),
+        )
+        corrupted = env.select(
+            F.when(F.col("event_id") % 7 == 0, F.lit("%%%not-base64%%%"))
+            .when(
+                F.col("event_id") % 7 == 1,
+                F.base64(F.lit('{"broken').cast("binary")),
+            )
+            .otherwise(F.col("kinesis_data"))
+            .alias("kinesis_data"),
+        )
+        corrupted.write.parquet(f"{d}/src")
+        stream = (
+            spark.readStream.schema("kinesis_data string").parquet(f"{d}/src")
+        )
+        decoded = P.decode_kinesis(stream, tolerant=True)
+
+        def _route(batch_df, epoch_id):
+            good, dead = split_dead_letters(batch_df)
+            good.select(F.lit("good").alias("branch")).write.mode(
+                "append"
+            ).parquet(f"{d}/good")
+            dead.select(F.lit("dead").alias("branch")).write.mode(
+                "append"
+            ).parquet(f"{d}/dead")
+
+        q = (
+            decoded.writeStream.foreachBatch(_route)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        out = (
+            spark.read.parquet(f"{d}/good")
+            .unionAll(spark.read.parquet(f"{d}/dead"))
+            .groupBy("branch")
+            .agg(F.count(F.lit(1)).alias("n_records"))
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
