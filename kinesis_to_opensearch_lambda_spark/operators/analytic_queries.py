@@ -450,3 +450,107 @@ def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("island_len").cast("bigint").alias("longest_island"),
         F.sum("island_len").cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "window_percent_of_total",
+    oracle="""
+    WITH nat AS (
+      SELECT n_regionkey, n_nationkey, n_name FROM nation
+    ), rev AS (
+      SELECT n_regionkey, n_name,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nat ON c_nationkey = n_nationkey
+      GROUP BY n_regionkey, n_name
+    )
+    SELECT r_name, n_name, rev_cents,
+           round(rev_cents::DOUBLE
+                 / sum(rev_cents) OVER (PARTITION BY n_regionkey)::DOUBLE, 6)
+             AS region_share,
+           rank() OVER (PARTITION BY n_regionkey ORDER BY rev_cents DESC, n_name)
+             AS rank_in_region
+    FROM rev JOIN region ON rev.n_regionkey = r_regionkey
+    """,
+    doc="Ratio-to-report: each nation's share of its region's order "
+    "revenue plus in-region rank — the BI staple combining a window "
+    "SUM over the aggregation's own output with rank().  Revenue "
+    "reduces to integer cents BEFORE the group-by (order-independent), "
+    "the window runs over the nation-level aggregate (25 rows however "
+    "big the fact table), and dims broadcast — the fact table is "
+    "touched exactly once.",
+)
+def window_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("n_regionkey")
+    wr = Window.partitionBy("n_regionkey").orderBy(
+        F.col("rev_cents").desc(), "n_name"
+    )
+    return (
+        rev.join(F.broadcast(region), rev.n_regionkey == region.r_regionkey)
+        .select(
+            "r_name",
+            "n_name",
+            "rev_cents",
+            F.round(
+                F.col("rev_cents").cast("double")
+                / F.sum("rev_cents").over(w).cast("double"),
+                6,
+            ).alias("region_share"),
+            F.rank().over(wr).alias("rank_in_region"),
+        )
+    )
+
+
+@register(
+    "agg_decimal_money",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(28,2)))
+                AS VARCHAR) AS total_money,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Exact DECIMAL money aggregation: o_totalprice cast to "
+    "DECIMAL(18,2) at the row level, summed in DECIMAL(28,2) — "
+    "base-10 exact, so the result is identical regardless of partial-"
+    "aggregation order WITHOUT the integer-cents trick the double "
+    "columns need (decimals are the schema-level fix; cents are the "
+    "retrofit).  Output rendered as a canonical string so both "
+    "engines hash the same '123.45' form.",
+)
+def agg_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("money"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.col("money").cast("decimal(28,2)"))
+            .cast("decimal(28,2)")
+            .cast("string")
+            .alias("total_money"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )

@@ -450,3 +450,41 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@register(
+    "lateral_topk_per_nation",
+    oracle="""
+    SELECT n_name, t.c_name, t.c_acctbal_cents
+    FROM nation, LATERAL (
+      SELECT c_name,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS c_acctbal_cents
+      FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY round(c_acctbal * 100) DESC, c_name
+      LIMIT 3
+    ) t
+    """,
+    doc="Correlated LATERAL subquery (SQL:1999 lateral derived table, "
+    "Spark 4 SQL support): top-3 customers by balance per nation, "
+    "written as the per-row correlated form users port from "
+    "Postgres/DuckDB.  Catalyst decorrelates it into the same "
+    "partitioned window top-k a hand-written row_number() plan "
+    "produces — asserted by result parity with the oracle running the "
+    "IDENTICAL lateral text — so the ergonomic form costs nothing at "
+    "scale.  Balances compared as exact integer cents.",
+)
+def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql("""
+      SELECT n_name, t.c_name, t.c_acctbal_cents
+      FROM nation_lat, LATERAL (
+        SELECT c_name,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS c_acctbal_cents
+        FROM customer_lat
+        WHERE c_nationkey = n_nationkey
+        ORDER BY round(c_acctbal * 100) DESC, c_name
+        LIMIT 3
+      ) t
+    """)
