@@ -77,3 +77,40 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
     return ranks.join(
         deg.select(F.col("src").alias("node"), F.col("deg").alias("degree")), "node"
     ).select("node", "degree", "rank_i")
+
+
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over a
+    directed edge list ``(src, dst)`` — undirected graphs union both
+    directions, as for :func:`pagerank`.
+
+    Every node starts labeled with itself; each round a node adopts the
+    most frequent label among its neighbors, ties broken by the
+    lexicographically smallest label — the determinism rule that makes
+    sync LPA engine-exact (asynchronous/random-order LPA converges
+    faster but is irreproducible, the wrong trade for a verified
+    pipeline).  Fixed round count, same per-round shape as pagerank:
+    one join + one shuffle on the neighbor key + the window pick, with
+    lineage truncated per round.
+
+    Returns ``(node, lbl)`` after ``iters`` rounds.
+    """
+    from pyspark.sql import Window
+
+    nodes = edges.select("src").distinct()
+    labels = nodes.select(F.col("src").alias("node"), F.col("src").alias("lbl"))
+    e = edges.localCheckpoint()
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
+    for _ in range(iters):
+        neigh = e.join(labels, e.src == labels.node).select(
+            F.col("dst").alias("node"), "lbl"
+        )
+        labels = (
+            neigh.groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels

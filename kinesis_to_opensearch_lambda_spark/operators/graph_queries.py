@@ -84,3 +84,78 @@ def graph_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("i").alias("src"), F.col("u").alias("dst"))
     )
     return G.pagerank(edges, iters=_PR_ITERS)
+
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle(iters: int) -> str:
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""l{i} AS (
+      SELECT node, lbl FROM (
+        SELECT e.dst AS node, l.lbl AS lbl,
+               row_number() OVER (
+                 PARTITION BY e.dst ORDER BY count(*) DESC, l.lbl
+               ) AS rn
+        FROM edges e JOIN l{i - 1} l ON e.src = l.node
+        GROUP BY e.dst, l.lbl
+      ) WHERE rn = 1
+    )"""
+        )
+    joined = ",\n    ".join(rounds)
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT 'u:' || user_id::VARCHAR AS u,
+             'i:' || json_extract_string(props, '$.k') AS i
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ), edges AS (
+      SELECT u AS src, i AS dst FROM pairs
+      UNION ALL
+      SELECT i AS src, u AS dst FROM pairs
+    ), l0 AS (
+      SELECT DISTINCT src AS node, src AS lbl FROM edges
+    ),
+    {joined}
+    SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+           min(node) AS exemplar
+    FROM l{iters}
+    GROUP BY lbl
+    """
+
+
+@register(
+    "graph_lpa_communities",
+    oracle=_lpa_oracle(_LPA_ITERS),
+    doc="Community detection by synchronous label propagation (Raghavan "
+    "et al. 2007) on the bipartite user-item graph: each round every "
+    "node adopts its neighbors' most frequent label, ties to the "
+    "lexicographically smallest — the determinism rule that lets the "
+    f"oracle unroll the same {_LPA_ITERS} rounds as CTE stages and "
+    "match bit-for-bit (random-order LPA would be irreproducible). "
+    "Complements connected_components (structural reachability) with "
+    "density-sensitive grouping; per round one join + one shuffle on "
+    "fixed-width node keys, O(E) per round regardless of corpus size "
+    "(operators.graph.label_propagation).",
+)
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    item = F.get_json_object("props", "$.k")
+    pairs = (
+        ev.filter(item.isNotNull())
+        .select(
+            F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("u"),
+            F.concat(F.lit("i:"), item).alias("i"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("u").alias("src"), F.col("i").alias("dst")).unionAll(
+        pairs.select(F.col("i").alias("src"), F.col("u").alias("dst"))
+    )
+    labels = G.label_propagation(edges, iters=_LPA_ITERS)
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("node").alias("exemplar"),
+    )
