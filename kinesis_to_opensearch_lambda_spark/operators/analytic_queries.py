@@ -554,3 +554,66 @@ def agg_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         )
     )
+
+
+@register(
+    "anomaly_hourly_zscore",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, hr
+    ), stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(n) AS BIGINT) AS s1,
+             CAST(sum(n * n) AS BIGINT) AS s2
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type,
+           strftime(h.hr, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           h.n,
+           round((h.n - s1::DOUBLE / n_hours)
+                 / sqrt(greatest(s2::DOUBLE / n_hours
+                                 - (s1::DOUBLE / n_hours) * (s1::DOUBLE / n_hours),
+                                 1e-12)), 4) AS zscore
+    FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    WHERE abs((h.n - s1::DOUBLE / n_hours)
+              / sqrt(greatest(s2::DOUBLE / n_hours
+                              - (s1::DOUBLE / n_hours) * (s1::DOUBLE / n_hours),
+                              1e-12))) > 2.0
+    """,
+    doc="Volume-anomaly detection: hourly event counts per type scored "
+    "against that type's own mean/std (z-score), emitting only |z|>2 "
+    "hours — the ops-analytics alert query.  Moments come from exact "
+    "integer sums (sum, sum-of-squares over bigint counts), so the "
+    "variance is order-independent; the only shuffles are the two "
+    "count aggregations, and the per-type stats table is "
+    "broadcast-sized however large the event stream.",
+)
+def anomaly_hourly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("n").cast("bigint").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    var = F.greatest(
+        F.col("s2").cast("double") / F.col("n_hours") - mean * mean,
+        F.lit(1e-12),
+    )
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.0)
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "n",
+            F.round(z, 4).alias("zscore"),
+        )
+    )
