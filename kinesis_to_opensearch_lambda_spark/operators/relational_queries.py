@@ -1913,3 +1913,51 @@ def join_shuffled_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT e.event_id,
+           strftime(max(o.o_orderdate), '%Y-%m-%d') AS last_order_date,
+           CAST(date_diff('day', max(o.o_orderdate), e.ts) AS BIGINT)
+             AS staleness_days
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id
+     AND o.o_orderdate <= e.ts
+     AND o.o_orderdate >= e.ts - INTERVAL 90 DAY
+    GROUP BY e.event_id, e.ts
+    """,
+    doc="As-of join with a staleness tolerance (the market-data "
+    "semantics: a quote older than the bound is no match at all): the "
+    "same union + running-last() single-shuffle plan as "
+    "join_asof_last_order, then matches farther than 90 days back are "
+    "nulled — correct because the unconstrained latest match IS the "
+    "max of the tolerance-constrained set whenever one exists.  No "
+    "second join, no non-equi blowup; the tolerance is a per-row "
+    "filter on the carried timestamp.",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events").select("event_id", F.col("user_id"), "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    joined = asof_join(
+        events,
+        orders,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderdate"],
+    )
+    in_tol = F.datediff(F.col("ts"), F.col("o_orderdate")) <= 90
+    return joined.select(
+        "event_id",
+        F.when(in_tol, F.date_format("o_orderdate", "yyyy-MM-dd")).alias(
+            "last_order_date"
+        ),
+        F.when(in_tol, F.datediff(F.col("ts"), F.col("o_orderdate")))
+        .cast("bigint")
+        .alias("staleness_days"),
+    )

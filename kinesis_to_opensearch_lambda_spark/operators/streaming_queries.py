@@ -483,3 +483,81 @@ def streaming_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "streaming_sliding_counts",
+    oracle="""
+    WITH starts AS (
+      SELECT make_timestamp(
+               (epoch_us(ts) - epoch_us(ts) % 900000000) - i.i * 900000000
+             ) AS win_start
+      FROM events, range(4) i(i)
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           count(*) AS n_events
+    FROM starts
+    GROUP BY 1
+    """,
+    doc="Sliding-window streaming aggregation through a real "
+    "StreamingQuery (streaming.pipeline.sliding_counts): 1-hour "
+    "windows sliding every 15 minutes, so each event lands in exactly "
+    "4 overlapping windows; 3 mtime-ordered micro-batches drain under "
+    "availableNow in update mode and the max per window across batch "
+    "emissions equals the batch ground truth (counts only grow).  The "
+    "oracle derives each event's 4 epoch-aligned window starts "
+    "directly — the overlap factor is the thing sliding windows cost "
+    "at scale (4x state rows vs tumbling), which the watermark bounds.",
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.pipeline import sliding_counts
+
+    d = tempfile.mkdtemp(prefix="stream_slide_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+        os.makedirs(f"{d}/src", exist_ok=True)
+        for b in (0, 1, 2):
+            tmp = f"{d}/tmp{b}"
+            ev.filter(F.col("event_id") % 3 == b).select("ts").coalesce(
+                1
+            ).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+            dst = f"{d}/src/b{b}.parquet"
+            shutil.move(f"{tmp}/{part}", dst)
+            os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
+        stream = (
+            spark.readStream.schema("ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/src")
+        )
+        # watermark wider than the whole event-time span: batches split
+        # by event_id are time-interleaved, so any tighter bound would
+        # drop legitimate cross-batch rows (streaming_watermark_drops
+        # is the entry that demonstrates eviction on purpose)
+        agg = sliding_counts(
+            stream, window="1 hour", slide="15 minutes", watermark="2000 hours"
+        )
+        name = f"slide_{uuid.uuid4().hex[:12]}"
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        return (
+            spark.table(name)
+            .groupBy(
+                F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start")
+            )
+            .agg(F.max("n").cast("bigint").alias("n_events"))
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
