@@ -7,8 +7,10 @@ lambda_function.py:140-148, trusts its input and keeps no history):
 
 - ``dq_constraints`` — Deequ-style constraint suite: every check is
   either a conditional aggregation riding a single table scan or a
-  broadcast anti-join at dimension size, so the full audit costs one
-  pass per fact table regardless of how many checks share it.
+  keys-only shuffled-hash anti-join (referenced-key sets are
+  fact-sized at 100 TB — never broadcast them), so the full audit
+  costs one pass per fact table regardless of how many checks share
+  it.
 - ``diag_key_skew`` — heavy-hitter profile of a join key.  At scale
   you run this BEFORE the big join: the output decides between plain
   shuffle join, AQE skew handling, and explicit salting
@@ -75,9 +77,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
     """,
     doc="Deequ-style data-quality constraint suite: completeness "
-    "(null keys), referential integrity (FK orphans via broadcast "
-    "anti-join — the dimension side is the small one, so no fact "
-    "shuffle), range checks, uniqueness, and emptiness, each expressed "
+    "(null keys), referential integrity (FK orphans via shuffled-hash "
+    "anti-join on the distinct referenced keys — orders/customer key "
+    "sets are fact-sized at 100 TB, so no broadcast; each task's hash "
+    "table holds keys/n_partitions), range checks, uniqueness, and "
+    "emptiness, each expressed "
     "as a conditional aggregation so every check on the same table "
     "rides ONE scan.  Output is the audit report: (table, check, "
     "n_rows, n_violations).  At 100 TB this is the pre-ingest gate a "
@@ -118,13 +122,26 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("tbl", "c.chk", "n_rows", "c.n_violations")
 
     def orphans(fact: DataFrame, key: str, dim: DataFrame, dim_key: str,
-                tbl: str, chk: str) -> DataFrame:
+                tbl: str, chk: str, broadcast_dim: bool = False) -> DataFrame:
         """Referential-integrity check: fact keys missing from the
-        dimension, via broadcast left-anti join (dim side is small)."""
+        referenced table, via left-anti join.  Default is a SHUFFLED
+        HASH anti-join: the build side is the referenced table's
+        distinct keys (8 bytes/row), hash-partitioned so each task's
+        hash table holds keys/n_partitions — this is the shape that
+        holds when the referenced side is itself fact-sized (orders,
+        customer at 100 TB are billions of keys; their distinct-key
+        set does NOT fit in a broadcast).  A Bloom filter can't
+        replace the anti-join here — 'maybe present' cannot prove an
+        orphan.  Pass ``broadcast_dim=True`` only for genuinely
+        dimension-sized sides (region/nation scale)."""
+        dim_keys = dim.select(dim_key).distinct()
+        dim_keys = (
+            F.broadcast(dim_keys) if broadcast_dim else dim_keys.hint("shuffle_hash")
+        )
         n_all = fact.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
         n_orphan = (
             fact.join(
-                F.broadcast(dim.select(dim_key).distinct()),
+                dim_keys,
                 F.col(key) == F.col(dim_key),
                 "left_anti",
             )

@@ -1918,16 +1918,24 @@ def join_shuffled_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_asof_tolerance",
     oracle="""
-    SELECT e.event_id,
-           strftime(max(o.o_orderdate), '%Y-%m-%d') AS last_order_date,
-           CAST(date_diff('day', max(o.o_orderdate), e.ts) AS BIGINT)
+    WITH o AS (
+        SELECT o_custkey AS user_id,
+               o_orderdate + INTERVAL 9500 DAY AS o_orderdate
+        FROM orders
+    ),
+    m AS (
+        SELECT e.event_id, e.ts, max(o.o_orderdate) AS last_dt
+        FROM events e
+        LEFT JOIN o ON o.user_id = e.user_id AND o.o_orderdate <= e.ts
+        GROUP BY e.event_id, e.ts
+    )
+    SELECT event_id,
+           CASE WHEN date_diff('day', last_dt, ts) <= 90
+                THEN strftime(last_dt, '%Y-%m-%d') END AS last_order_date,
+           CASE WHEN date_diff('day', last_dt, ts) <= 90
+                THEN CAST(date_diff('day', last_dt, ts) AS BIGINT) END
              AS staleness_days
-    FROM events e
-    LEFT JOIN orders o
-      ON o.o_custkey = e.user_id
-     AND o.o_orderdate <= e.ts
-     AND o.o_orderdate >= e.ts - INTERVAL 90 DAY
-    GROUP BY e.event_id, e.ts
+    FROM m
     """,
     doc="As-of join with a staleness tolerance (the market-data "
     "semantics: a quote older than the bound is no match at all): the "
@@ -1936,12 +1944,20 @@ def join_shuffled_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nulled — correct because the unconstrained latest match IS the "
     "max of the tolerance-constrained set whenever one exists.  No "
     "second join, no non-equi blowup; the tolerance is a per-row "
-    "filter on the carried timestamp.",
+    "filter on the carried timestamp.  Tolerance is CALENDAR-DAY on "
+    "both engines (datediff / date_diff('day', ...) — both cast the "
+    "timestamp to its date before differencing), so an order exactly "
+    "90 days before the event's date matches regardless of the "
+    "event's time-of-day.  Order dates are shifted by a fixed +9500 "
+    "days (exact day arithmetic, no month-length ambiguity) so the "
+    "1995-2001 order range overlaps the 2024 event range and the "
+    "in-tolerance path is genuinely exercised, not vacuously green.",
 )
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events").select("event_id", F.col("user_id"), "ts")
     orders = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"), "o_orderdate"
+        F.col("o_custkey").alias("user_id"),
+        F.date_add("o_orderdate", 9500).alias("o_orderdate"),
     )
     joined = asof_join(
         events,

@@ -69,75 +69,82 @@ from .operators import (  # noqa: E402,F401
 # Driver verification window.
 #
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries in
-# iteration order, so the front of the registry must be a representative
-# cross-section of every SURVEY.md §2 category — reference pipeline,
-# dedup, similarity/ANN, text, corpus curation, training-data ops,
-# multimodal, streaming, bucketed join — plus headline relational
-# queries.  Everything else keeps full local parity coverage via
-# tests/test_oracle_parity.py (all entries, same compare).
+# iteration order.  Rounds 1/2/4 drove 96 distinct queries green
+# (CORRECTNESS_r01/r02/r04.json); this round the window rotates to 50
+# of the 63 entries that have NEVER had a driver CORRECTNESS row, per
+# the round-4 verdict ("swap out the r4-greens, keep 0") — cumulative
+# driver coverage across rounds is the bar, and every entry keeps full
+# local parity coverage via tests/test_oracle_parity.py (all entries,
+# same compare) regardless of window membership.  The 13 remaining
+# never-verified entries (agg_histogram, window_ntile_quartiles,
+# cdc_merge_upsert, join_salted_skew, join_shuffled_hash_hint,
+# dedup_containment, dedup_chunk_exact, emb_normalize,
+# ann_topk_ivf_multiprobe, emb_intra_inter_cosine,
+# ivf_kmeans_lloyd_step, emb_quantize_int8, emb_gram_matrix) rotate in
+# next round, completing driver coverage of the whole registry.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
-    # reference-derived pipeline (SURVEY §2A)
-    "pipeline_daily_index",
-    "pipeline_es_projection",
-    "pipeline_dedup_replay",
-    "pipeline_splunk_envelope",
-    "pipeline_ip_masking",
-    "pipeline_dlq_stats",
-    # dedup family
-    "dedup_exact",
-    "dedup_minhash_signature",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
-    "dedup_simhash_near",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_near",
-    "dedup_duplicate_clusters",
-    "dedup_lsh_bucket_cap",
-    "dedup_semantic_keep_best",
-    "dedup_boilerplate_ngrams",
-    "dedup_duplicate_spans",
-    "curation_pipeline",
-    # similarity / ANN
-    "ann_topk_bruteforce",
-    "ann_topk_ivf_bucketed",
-    "ann_topk_srp_lsh",
-    "ann_ivf_recall",
-    "ann_topk_pq_adc",
-    "emb_label_centroids",
-    # text analysis
-    "text_token_stats",
-    "text_quality_score",
-    "text_langid",
-    "text_fingerprint",
-    "text_tfidf_top_term",
-    # corpus curation
-    "text_repetition_signals",
-    "text_pii_redaction",
-    "text_chunk_overlap",
-    # training-data ops
-    "split_train_test_hash",
-    "sample_stratified_deterministic",
-    "decontam_ngram_overlap",
-    "quality_percentile_filter",
-    "token_budget_pack",
-    "curation_perplexity_buckets",
-    # multimodal
-    "mm_binary_metadata",
-    "mm_frame_extract",
-    "mm_audio_windows",
-    "mm_phash_neardup",
+    # late TPC-H (never driver-verified)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_value",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive",
+    "tpch_q20_excess_supply",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_customers",
+    # graph
+    "graph_pagerank_items",
+    "graph_lpa_communities",
+    # warehouse ops / diagnostics
+    "diag_key_skew",
+    "scd2_customer_history",
+    # source scans
+    "source_jsonl_scan",
+    "source_csv_scan",
+    # aggregation / anomaly extensions
+    "agg_decimal_money",
+    "anomaly_hourly_zscore",
+    # PQ sub-steps + filtered ANN
+    "emb_pq_assign",
+    "ann_pq_recall",
+    "ann_topk_rerank",
+    "ann_filtered_topk",
+    # as-of tolerance join (oracle aligned to calendar-day this round)
+    "join_asof_tolerance",
     # streaming (real StreamingQuery lifecycle)
-    "streaming_fanout_counts",
-    "streaming_watermark_drops",
-    "streaming_stream_stream_join",
-    "streaming_stateful_user_totals",
-    # bucketed co-located join
-    "join_bucketed_colocated",
-    # data-quality / warehouse ops
-    "dq_constraints",
-    # headline relational
-    "tpch_q9_product_profit",
+    "streaming_dlq_split",
+    "streaming_sliding_counts",
+    # text analysis extensions
+    "text_regex_stats",
+    "text_unigram_logprob",
+    "text_gopher_filter",
+    "text_unigram_entropy",
+    # corpus statistics
+    "corpus_dup_rate_by_source",
+    "corpus_zipf_fit",
+    "curation_source_cap",
+    "corpus_mixture_weights",
+    "corpus_quality_vs_dup",
+    # analytic / window extensions
+    "lateral_topk_per_nation",
+    "agg_percentiles",
+    "agg_mode_deterministic",
+    "agg_listagg",
+    "lateral_posexplode",
+    "window_value_functions",
+    "window_rank_distribution",
+    "funnel_stages",
+    "cohort_retention",
+    "agg_conditional",
+    "window_session_builtin",
+    "window_gap_islands",
+    "window_percent_of_total",
 )
 
 

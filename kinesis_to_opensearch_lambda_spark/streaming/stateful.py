@@ -105,7 +105,10 @@ def _hwm_processor():
                 self._state.get() if self._state.exists() else (0, None)
             )
             for pdf in rows:
-                batch_max = int(pdf["cents"].max())
+                cents = pdf["cents"].dropna()
+                if cents.empty:  # empty / all-null chunk: int(NaN) would raise
+                    continue
+                batch_max = int(cents.max())
                 max_cents = batch_max if max_cents is None else max(max_cents, batch_max)
             n_batches += 1
             self._state.update((n_batches, max_cents))

@@ -56,28 +56,28 @@ def test_comparator_detects_negative_zero():
     assert _rows(a) != _rows(b)
 
 
-def test_driver_window_covers_every_category():
+def test_driver_window_is_the_never_verified_rotation():
     """The driver's CORRECTNESS gate checks the first 50 registry entries
-    in iteration order — that window must stay a cross-section of every
-    SURVEY.md §2 category (round-2 verdict: 67 queries, including every
-    dedup/ANN/text/multimodal/streaming entry, had never been
-    driver-verified because registration order front-loaded relational)."""
+    in iteration order.  Rounds 1/2/4 drove 96 distinct queries green;
+    the round-5 window must be drawn ENTIRELY from the 63 entries with
+    no driver row in any prior round (round-4 verdict: 'swap out the
+    r4-greens, keep 0'), leaving at most 13 never-verified entries for
+    the round-6 rotation."""
+    import json
+    from pathlib import Path
+
     from kinesis_to_opensearch_lambda_spark.queries import DRIVER_WINDOW
 
     first50 = list(REGISTRY)[:50]
     assert len(DRIVER_WINDOW) == 50
     assert first50 == list(DRIVER_WINDOW)
-    for prefix in (
-        "pipeline_",
-        "dedup_",
-        "ann_",
-        "emb_",
-        "text_",
-        "split_",
-        "token_",
-        "mm_",
-        "streaming_",
-        "join_bucketed",
-        "tpch_",
-    ):
-        assert any(n.startswith(prefix) for n in first50), prefix
+
+    root = Path(__file__).resolve().parent.parent
+    prior = set()
+    for f in sorted(root.glob("CORRECTNESS_r0[124].json")):
+        prior |= set(json.loads(f.read_text()).keys())
+    assert prior, "prior CORRECTNESS files missing"
+    already = set(DRIVER_WINDOW) & prior
+    assert not already, f"window wastes slots on already-verified: {sorted(already)}"
+    never_left = set(REGISTRY) - prior - set(DRIVER_WINDOW)
+    assert len(never_left) <= 13, sorted(never_left)

@@ -224,15 +224,18 @@ def test_phash_neardup_bucket_equijoin(spark):
     assert "NestedLoop" not in plan, plan
 
 
-def test_dq_orphan_checks_are_broadcast_anti_joins(spark):
-    # referential-integrity checks must broadcast the dimension key set;
-    # the fact side never shuffles for the join
+def test_dq_orphan_checks_are_shuffled_hash_anti_joins(spark):
+    # referential-integrity checks anti-join against the referenced
+    # table's DISTINCT keys via shuffled hash: the referenced-key sets
+    # (orders, customer) are fact-sized at 100 TB, so broadcasting them
+    # would not hold — and no sort is needed for an anti probe
     from kinesis_to_opensearch_lambda_spark.plans import plan_string
 
     plan = plan_string(q(spark, "dq_constraints"))
-    assert "BroadcastHashJoin" in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
     assert "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
 
 
 def test_pq_adc_corpus_never_shuffles_for_scoring(spark):

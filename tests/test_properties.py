@@ -185,12 +185,30 @@ def test_minhash_collision_rate_tracks_jaccard(base, drop):
     union = len(set(a) | set(b))
     true_j = inter / union
 
+    # The engine's own 12 permutations give sd <= 0.145 — too loose to
+    # have power anywhere (|est - true_j| <= 0.51 can never fail when
+    # both are in [0,1] and true_j ~ 0.5).  Average over 8 independent
+    # permutation sets (the engine's MINHASH_A/B first, then 7
+    # seed-derived sets): 96 permutations -> sd = sqrt(j(1-j)/96)
+    # <= 0.051, so a 0.2 bound is ~4 sd — tight enough to catch a
+    # broken estimator, loose enough not to flake.
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    perm_sets = [list(zip(MINHASH_A, MINHASH_B))]
+    for _ in range(7):
+        perm_sets.append(
+            [
+                (rng.randrange(1, HASH_PRIME), rng.randrange(HASH_PRIME))
+                for _ in range(len(MINHASH_A))
+            ]
+        )
     collisions = 0
-    k = len(MINHASH_A)
-    for ai, bi in zip(MINHASH_A, MINHASH_B):
-        ha = min((ai * h + bi) % HASH_PRIME for h in a)
-        hb = min((ai * h + bi) % HASH_PRIME for h in b)
-        collisions += ha == hb
+    k = sum(len(ps) for ps in perm_sets)
+    for ps in perm_sets:
+        for ai, bi in ps:
+            ha = min((ai * h + bi) % HASH_PRIME for h in a)
+            hb = min((ai * h + bi) % HASH_PRIME for h in b)
+            collisions += ha == hb
     est = collisions / k
-    # 12 permutations -> sd = sqrt(j(1-j)/12) <= 0.145; allow 3.5 sd
-    assert abs(est - true_j) <= 0.51
+    assert abs(est - true_j) <= 0.2

@@ -267,3 +267,41 @@ def test_stateful_highwater_state_v2(spark):
 
     out = streaming_stateful_highwater(spark, "/root/testdata/sf0.001").collect()
     assert len(out) > 0
+
+
+def test_stateful_highwater_processor_skips_empty_and_allnull_chunks():
+    """The per-key processor must not raise int(NaN) when a pandas
+    chunk for a key is empty or all-null in ``cents`` (advice r4):
+    such chunks contribute nothing but still count the batch."""
+    import pandas as pd
+
+    from kinesis_to_opensearch_lambda_spark.streaming.stateful import _hwm_processor
+
+    class FakeState:
+        def __init__(self):
+            self.value = None
+
+        def exists(self):
+            return self.value is not None
+
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value = v
+
+    proc = _hwm_processor()
+    proc._state = FakeState()
+    chunks = [
+        pd.DataFrame({"cents": pd.Series([], dtype="float64")}),
+        pd.DataFrame({"cents": [None, float("nan")]}),
+        pd.DataFrame({"cents": [250.0, None, 700.0]}),
+    ]
+    [row] = list(proc.handleInputRows(("u1",), iter(chunks), None))
+    assert row["max_cents"].iloc[0] == 700
+    # a second batch that is entirely null keeps the prior high water
+    [row2] = list(
+        proc.handleInputRows(("u1",), iter([pd.DataFrame({"cents": [None]})]), None)
+    )
+    assert row2["max_cents"].iloc[0] == 700
+    assert row2["n_batches"].iloc[0] == 2
