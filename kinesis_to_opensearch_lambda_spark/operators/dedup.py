@@ -310,6 +310,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster candidate-duplicate pairs into components: each node gets
     ``cluster_id`` = the minimum node id reachable from it.
@@ -319,29 +320,32 @@ def connected_components(
     each round joins every node's current label against its neighbours'
     labels and keeps the min; converges in O(diameter) rounds.  Per
     round: one join shuffle on node id, then exactly ONE job — the
-    eager ``localCheckpoint`` that truncates lineage also carries an
+    eager lineage cut that truncates the plan also carries an
     ``Observation`` whose executor-aggregated ``n_changed`` metric
     drives the convergence exit, so there is no separate driver-side
     count/collect action in the loop.  Duplicate clusters from LSH have
     tiny diameters (near-cliques), so 3-4 rounds settle in practice;
     ``max_iter`` bounds the worst case.
 
-    Fault-tolerance note: ``localCheckpoint`` stores blocks on
-    executors — fast, but not resilient to executor loss.  On a
-    long-running 1000-executor job, set a reliable checkpoint dir
-    (``sc.setCheckpointDir`` on HDFS/S3) and swap ``localCheckpoint``
-    for ``checkpoint``; the algorithm is unchanged.
+    Fault tolerance: the default executor-local checkpoint is fast but
+    lost on executor failure; on a long-running 1000-executor job pass
+    ``checkpoint_dir`` (HDFS/S3) to switch every lineage cut to a
+    reliable ``checkpoint()`` — the algorithm is unchanged (see
+    operators.lineage).
     """
     from pyspark.sql import Observation
 
-    edges = (
+    from .lineage import truncate_lineage
+
+    edges = truncate_lineage(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .distinct()
+        .distinct(),
         # Materialize once: `pairs` is typically the whole LSH candidate
         # pipeline (shingle -> minhash -> band join); without this every
         # propagation round would recompute it from the raw corpus.
-        .localCheckpoint()
+        checkpoint_dir,
+        eager=False,
     )
     labels = (
         edges.select("src")
@@ -366,12 +370,12 @@ def connected_components(
             ).alias("_changed"),
         )
         obs = Observation()
-        labels = (
+        labels = truncate_lineage(
             updated.observe(
                 obs, F.sum(F.col("_changed").cast("long")).alias("n_changed")
-            )
-            .drop("_changed")
-            .localCheckpoint(eager=True)
+            ).drop("_changed"),
+            checkpoint_dir,
+            eager=True,
         )
         if obs.get["n_changed"] == 0:
             break

@@ -26,12 +26,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .lineage import truncate_lineage
+
 RANK_UNIT = 1_000_000
 TELEPORT_I = 150_000  # 0.15 in micro-units
 DAMPING_PCT = 85  # 0.85 as an integer percentage
 
 
-def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
+def pagerank(
+    edges: DataFrame, iters: int = 5, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Integer-exact PageRank over a directed edge list ``(src, dst)``.
 
     Assumes every node has at least one out-edge (callers modelling an
@@ -40,12 +44,12 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
 
     Per round: ONE shuffle (the ``groupBy(dst)`` aggregation; the
     rank-to-edge join reuses the same hash partitioning on the join
-    key) and an eager ``localCheckpoint`` to truncate lineage.  Rounds
-    are bounded by ``iters`` — PageRank is a fixed-point iteration, not
+    key) and an eager lineage cut to stop plan growth.  Rounds are
+    bounded by ``iters`` — PageRank is a fixed-point iteration, not
     a convergence race, so a fixed small round count is the standard
-    production choice.  On a real cluster swap ``localCheckpoint`` for
-    reliable ``checkpoint`` (executor-loss resilience), as in
-    ``connected_components``.
+    production choice.  On a real cluster pass ``checkpoint_dir``
+    (HDFS/S3) for executor-loss-resilient reliable checkpoints; the
+    default is executor-local (see operators.lineage).
 
     Returns ``(node, degree, rank_i)`` with ``rank_i`` in micro-units.
     """
@@ -53,7 +57,7 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
     # Static per-round operand: edge list with the source's out-degree
     # attached, materialized ONCE (the join would otherwise recompute
     # the degree aggregation every round).
-    ew = edges.join(deg, "src").localCheckpoint()
+    ew = truncate_lineage(edges.join(deg, "src"), checkpoint_dir, eager=False)
     ranks = deg.select(
         F.col("src").alias("node"),
         F.lit(RANK_UNIT).cast("long").alias("rank_i"),
@@ -72,14 +76,16 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
                     + F.expr(f"({DAMPING_PCT} * s) DIV 100")
                 ).alias("rank_i"),
             )
-            .localCheckpoint(eager=True)
         )
+        ranks = truncate_lineage(ranks, checkpoint_dir, eager=True)
     return ranks.join(
         deg.select(F.col("src").alias("node"), F.col("deg").alias("degree")), "node"
     ).select("node", "degree", "rank_i")
 
 
-def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, iters: int = 3, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) over a
     directed edge list ``(src, dst)`` — undirected graphs union both
     directions, as for :func:`pagerank`.
@@ -91,7 +97,8 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
     faster but is irreproducible, the wrong trade for a verified
     pipeline).  Fixed round count, same per-round shape as pagerank:
     one join + one shuffle on the neighbor key + the window pick, with
-    lineage truncated per round.
+    lineage truncated per round (reliable when ``checkpoint_dir`` is
+    set — see operators.lineage).
 
     Returns ``(node, lbl)`` after ``iters`` rounds.
     """
@@ -99,7 +106,7 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
 
     nodes = edges.select("src").distinct()
     labels = nodes.select(F.col("src").alias("node"), F.col("src").alias("lbl"))
-    e = edges.localCheckpoint()
+    e = truncate_lineage(edges, checkpoint_dir, eager=False)
     w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
     for _ in range(iters):
         neigh = e.join(labels, e.src == labels.node).select(
@@ -111,6 +118,6 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", "lbl")
-            .localCheckpoint(eager=True)
         )
+        labels = truncate_lineage(labels, checkpoint_dir, eager=True)
     return labels

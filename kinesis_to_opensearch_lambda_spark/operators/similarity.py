@@ -67,6 +67,38 @@ def sql_srp_bits(vec: str, n_planes: int = 8, dim: int = 64) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def windowed_topk(
+    scored: DataFrame,
+    key: str,
+    score: str,
+    tiebreak: str,
+    k: int,
+    ascending: bool = False,
+) -> DataFrame:
+    """Exact per-key top-k: ``row_number() over (partition by key order
+    by score, tiebreak) <= k``.
+
+    Scale note — the exchange this plans is BOUNDED, not the scored
+    corpus: because the rank filter sits directly on the window,
+    Catalyst's rank-limit pushdown (InferWindowGroupLimit,
+    SPARK-37099) inserts a ``WindowGroupLimit … Partial`` node BELOW
+    the shuffle, so each map task forwards at most k rows per key and
+    the exchange carries ≤ n_partitions × n_keys × k rows — the
+    per-partition combine the 100 TB shape needs, entirely JVM-side
+    (no Python, no extra exchange).  tests/test_plans.py::
+    test_ann_topk_partial_limit_below_exchange pins this: if a future
+    refactor breaks the pushdown precondition (e.g. a projection
+    between window and filter), the plan test fails loudly.
+
+    The (score, tiebreak) pair must be a strict total order or top-k
+    membership is nondeterministic across partitions."""
+    order = F.col(score).asc() if ascending else F.col(score).desc()
+    w = Window.partitionBy(key).orderBy(order, F.col(tiebreak))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -76,18 +108,16 @@ def brute_force_topk(
     c_id: str = "vec_id",
     c_vec: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast queries × corpus scan + window."""
+    """Exact cosine top-k: broadcast queries × corpus scan + window
+    top-k (see :func:`windowed_topk` for why the window's exchange is
+    bounded at n_partitions×k rows, not the scored corpus)."""
     pairs = corpus.join(F.broadcast(queries), F.col(c_id) != F.col(q_id))
     scored = pairs.select(
         F.col(q_id),
         F.col(c_id),
         cosine(F.col(q_vec), F.col(c_vec)).alias("cos"),
     )
-    w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-    )
+    return windowed_topk(scored, q_id, "cos", c_id, k, ascending=False)
 
 
 def ivf_topk(

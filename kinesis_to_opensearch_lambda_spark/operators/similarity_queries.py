@@ -37,7 +37,11 @@ _N_QUERIES = 20
     """,
     headline=True,
     doc="Exact cosine top-5 for 20 query vectors: broadcast queries, one "
-    "corpus scan, window top-k (operators.similarity.brute_force_topk).",
+    "corpus scan, window top-k (operators.similarity.brute_force_topk). "
+    "The window's exchange is bounded, not corpus-sized: the rank "
+    "filter triggers Catalyst's WindowGroupLimit Partial pushdown "
+    "(SPARK-37099) below the shuffle — ≤ n_partitions*k rows per "
+    "query cross the wire; plan-asserted in tests/test_plans.py.",
 )
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
@@ -806,8 +810,11 @@ def _pq_adc_sql() -> str:
     "query-subvector-to-centroid squared L2, and the approximate "
     "distance is 4 table lookups + 3 adds per corpus row.  The "
     "distance tables ride a broadcast (queries x M*K doubles — KB "
-    "scale), the corpus side never shuffles, and top-k is a per-query "
-    "window.  This is the memory-resident billion-scale ANN layout: "
+    "scale), the corpus side never shuffles, and the top-k window's "
+    "exchange is bounded by the WindowGroupLimit Partial pushdown "
+    "(≤ n_partitions*k rows per query, plan-asserted) — the scored "
+    "set never crosses the wire.  This is the "
+    "memory-resident billion-scale ANN layout: "
     "the full-precision vectors are only needed for the final rerank, "
     "never the scan.",
 )
@@ -846,11 +853,8 @@ def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("q_id"))
         .selectExpr("q_id", "vec_id", f"({adc_expr}) AS adc")
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select("q_id", "vec_id", F.round("adc", 6).alias("adc"), "rnk")
+    return S.windowed_topk(scored, "q_id", "adc", "vec_id", 5, ascending=True).select(
+        "q_id", "vec_id", F.round("adc", 6).alias("adc"), "rnk"
     )
 
 
@@ -929,11 +933,8 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", _l2sq(F.col("q_vec"), F.col("embedding")).alias("d"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("vec_id"))
-    brute = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select("q_id", "vec_id")
+    brute = S.windowed_topk(scored, "q_id", "d", "vec_id", 5, ascending=True).select(
+        "q_id", "vec_id"
     )
     adc = (
         ann_topk_pq_adc(spark, sf_dir)
@@ -1089,21 +1090,21 @@ def ann_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" WHEN 2 THEN dt_{s}_2 ELSE dt_{s}_3 END)"
         for s in range(_PQ_M)
     )
-    w_adc = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
-    shortlist = (
+    adc_scored = (
         code_df.crossJoin(F.broadcast(qdt))
         .filter(F.col("vec_id") != F.col("q_id"))
         .selectExpr("q_id", "vec_id", f"({adc_expr}) AS adc")
-        .withColumn("rnk", F.row_number().over(w_adc))
-        .filter(F.col("rnk") <= 20)
-        .select("q_id", "vec_id")
     )
+    shortlist = S.windowed_topk(
+        adc_scored, "q_id", "adc", "vec_id", 20, ascending=True
+    ).select("q_id", "vec_id")
     qv = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     reranked = (
         shortlist.join(F.broadcast(qv), "q_id")
         .join(emb, "vec_id")
         .select("q_id", "vec_id", cosine(F.col("q_vec"), F.col("embedding")).alias("cos"))
     )
+    # rerank set is already ≤ 20×|Q| rows — the plain window is fine here
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         reranked.withColumn("rnk", F.row_number().over(w))

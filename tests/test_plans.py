@@ -238,6 +238,39 @@ def test_dq_orphan_checks_are_shuffled_hash_anti_joins(spark):
     assert "BroadcastHashJoin" not in plan, plan
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["ann_topk_bruteforce", "ann_topk_pq_adc", "ann_topk_rerank", "ann_pq_recall"],
+)
+def test_ann_topk_partial_limit_below_exchange(spark, name):
+    """The per-query top-k window's exchange must NOT carry the full
+    scored corpus: Catalyst's rank-limit pushdown (SPARK-37099) must
+    place a ``WindowGroupLimit … Partial`` node BELOW the q_id shuffle,
+    so each map task forwards at most k rows per query and the
+    exchange carries ≤ n_partitions × n_queries × k rows.  The
+    pushdown silently stops firing if anything (a projection, a
+    non-rank window, a filter not directly on the rank column) slips
+    between the window and its rank filter — this test pins it."""
+    from kinesis_to_opensearch_lambda_spark.plans import plan_string
+
+    plan = plan_string(q(spark, name), "simple")
+    lines = plan.splitlines()
+    partials = [
+        i
+        for i, ln in enumerate(lines)
+        if "WindowGroupLimit" in ln and "Partial" in ln
+    ]
+    exchanges = [
+        i for i, ln in enumerate(lines) if "Exchange hashpartitioning(q_id" in ln
+    ]
+    assert partials, plan
+    assert exchanges, plan
+    # tree prints parent above child: every q_id exchange must have a
+    # Partial WindowGroupLimit below (= after) it feeding the shuffle
+    for ex in exchanges:
+        assert any(p > ex for p in partials), plan
+
+
 def test_pq_adc_corpus_never_shuffles_for_scoring(spark):
     # ADC scoring is corpus-scan x broadcast distance tables (an
     # intentional broadcast cross join); the only exchange is the
