@@ -70,6 +70,7 @@ def main() -> None:
     timings = {
         name: round(statistics.median(vals), 3) for name, vals in samples.items()
     }
+    regressions = _regressions_vs_previous_round(timings)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
@@ -87,7 +88,49 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    if regressions is not None:
+        out["vs_previous_round"] = regressions
     print(json.dumps(out))
+    if regressions and regressions.get("regressed"):
+        # fail-loud: a >1.5x per-query slowdown vs the last recorded
+        # round is a plan regression, not sandbox noise (medians of 3)
+        print(
+            f"# REGRESSION GUARD: {regressions['regressed']}",
+            file=sys.stderr,
+        )
+        sys.exit(3)
+
+
+def _regressions_vs_previous_round(timings: dict[str, float]) -> dict | None:
+    """Diff per-query medians against the latest BENCH_r*.json in the
+    repo (same sf only — cross-sf comparisons are meaningless).
+    Returns {"baseline": fname, "regressed": {q: [old, new]}} or None
+    when no comparable baseline exists."""
+    import glob
+    import re
+
+    benches = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not benches:
+        return None
+    prev_path = benches[-1]
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return None
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    if str(prev.get("sf")) != sf:
+        return None
+    prev_q = prev.get("queries", {})
+    regressed = {
+        name: [prev_q[name], sec]
+        for name, sec in timings.items()
+        if name in prev_q and prev_q[name] > 0 and sec > 1.5 * prev_q[name]
+    }
+    return {"baseline": os.path.basename(prev_path), "regressed": regressed}
 
 
 if __name__ == "__main__":

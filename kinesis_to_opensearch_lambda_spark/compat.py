@@ -26,7 +26,15 @@ from .sinks.splunk import is_disabled
 
 def records_to_envelope_df(spark: SparkSession, event: dict[str, Any]):
     """AWS event dict -> one-column envelope frame
-    (``record["kinesis"]["data"]``, lambda_function.py:44-45)."""
+    (``record["kinesis"]["data"]``, lambda_function.py:44-45).
+
+    Driver-side by construction AND bounded by construction: the input
+    is a Lambda event — a dict AWS materialized in the function's
+    memory, capped by the service at 10,000 records / 6 MB per
+    invocation — so building rows on the driver is inherent to the
+    shim's contract, not a scale leak.  Unbounded sources (real
+    streams, files) never pass through here; they enter via
+    ``sources.kinesis`` / ``sources.batch`` as distributed reads."""
     rows = [(r["kinesis"]["data"],) for r in event.get("Records", [])]
     return spark.createDataFrame(rows, "kinesis_data: string")
 

@@ -18,13 +18,55 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import word_shingles, words
+from ..functions import sql_word_shingles, word_shingles, words
 from ..queries import register
 from ..sources.batch import load_table
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "corpus_ngram_lm_counts",
+    oracle=f"""
+    WITH grams AS (
+      SELECT unnest({sql_word_shingles("string_split(text, ' ')")}) AS ngram
+      FROM documents
+    ), counts AS (
+      SELECT ngram, count(*) AS n FROM grams GROUP BY ngram HAVING count(*) >= 3
+    )
+    SELECT ngram, CAST(n AS BIGINT) AS n
+    FROM counts ORDER BY n DESC, ngram LIMIT 100
+    """,
+    doc="Count-based n-gram LM statistics — the first stage of every "
+    "corpus-scale LM count pipeline (Kneser-Ney training, infini-gram "
+    "indexes, contamination lookups): explode 3-gram shingles, count, "
+    "prune singletons/doubletons (the count cutoff that keeps "
+    "count-based LM tables tractable — at 100 TB the pruned tail IS "
+    "most of the table), then the deterministic top-100 head.  One "
+    "shuffle total: the shingle explode pipelines inside the scan "
+    "stage, the count is map-side combinable, and the global top-k is "
+    "TakeOrdered (per-partition heads merged on the driver — no sort "
+    "shuffle, no single-partition window).  Ties broken by the ngram "
+    "text so the LIMIT boundary is a strict total order on both "
+    "engines.",
+)
+def corpus_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        F.explode(word_shingles(words("text"))).alias("ngram")
+    )
+    counts = (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+    )
+    return (
+        counts.orderBy(F.col("n").desc(), "ngram")
+        .limit(100)
+        .select("ngram", F.col("n").cast("long").alias("n"))
+    )
 
 
 @register(

@@ -745,9 +745,11 @@ def _pq_dt_sql() -> str:
     return ", ".join(cols)
 
 
-def _pq_codes_sql() -> str:
+def _pq_codes_sql(extra: str = "") -> str:
     """Corpus-side PQ code columns code_{s} — same assignment rule as
-    emb_pq_assign (nearest centroid, ties to the lowest code id)."""
+    emb_pq_assign (nearest centroid, ties to the lowest code id).
+    ``extra`` appends passthrough columns (e.g. ``", label"`` for the
+    IVF cell id)."""
     dist_cols = []
     for s in range(_PQ_M):
         for k in range(_PQ_K):
@@ -766,8 +768,8 @@ def _pq_codes_sql() -> str:
             f" WHEN {d[2]} <= {d[3]} THEN 2 ELSE 3 END AS code_{s}"
         )
     return (
-        f"SELECT vec_id, {', '.join(codes)} FROM "
-        f"(SELECT vec_id, {', '.join(dist_cols)} FROM embeddings)"
+        f"SELECT vec_id{extra}, {', '.join(codes)} FROM "
+        f"(SELECT vec_id{extra}, {', '.join(dist_cols)} FROM embeddings)"
     )
 
 
@@ -1110,4 +1112,81 @@ def ann_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         reranked.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
         .select("q_id", "vec_id", F.round("cos", 6).alias("cos"), "rnk")
+    )
+
+
+def _ivf_pq_sql() -> str:
+    adc = " + ".join(
+        f"(CASE code_{s} WHEN 0 THEN dt_{s}_0 WHEN 1 THEN dt_{s}_1"
+        f" WHEN 2 THEN dt_{s}_2 ELSE dt_{s}_3 END)"
+        for s in range(_PQ_M)
+    )
+    return f"""
+    WITH codes AS (
+      {_pq_codes_sql(", label")}
+    ), qdt AS (
+      SELECT vec_id AS q_id, label AS q_label, {_pq_dt_sql()}
+      FROM embeddings WHERE vec_id < {_PQ_NQ}
+    ), scored AS (
+      SELECT q_id, vec_id, {adc} AS adc
+      FROM codes JOIN qdt ON codes.label = qdt.q_label AND vec_id != q_id
+    )
+    SELECT q_id, vec_id, round(adc, 6) AS adc, rnk
+    FROM (
+      SELECT q_id, vec_id, adc,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 3
+    """
+
+
+@register(
+    "ann_topk_ivf_pq",
+    oracle=_ivf_pq_sql(),
+    doc="IVF+PQ composed search — the FAISS-IVFPQ layout, THE "
+    "billion-scale production ANN index: the coarse quantizer (label "
+    "column as cell id, stand-in for learned k-means cells as in "
+    "ann_topk_ivf_bucketed) restricts candidates to the query's cell "
+    "via an equi-join, and WITHIN the cell distances are asymmetric "
+    "PQ lookups over 4-byte codes (ann_topk_pq_adc's scan), so the "
+    "probe touches 1/n_cells of the corpus AND reads only codes, "
+    "never float vectors.  At 100 TB the corpus is hash-partitioned "
+    "(or bucketed on disk) by cell id, queries broadcast with their "
+    "KB-scale distance tables, and the per-query top-k window's "
+    "exchange is bounded by the WindowGroupLimit Partial pushdown "
+    "like every other top-k here.",
+)
+def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    )
+    # corpus -> (cell, 4-byte PQ code); the explode barrier keeps the
+    # 16 subspace distances evaluated once (see ann_topk_pq_adc)
+    dists = emb.selectExpr("vec_id", "label", *_spark_dist_exprs())
+    code_struct = "struct(" + ", ".join(
+        e.replace(f" AS code_{s}", "") for s, e in enumerate(_spark_code_exprs())
+    ) + ")"
+    code_df = dists.selectExpr(
+        "vec_id", "label", f"explode(array({code_struct})) AS _c"
+    ).selectExpr(
+        "vec_id", "label", *[f"_c.col{s + 1} AS code_{s}" for s in range(_PQ_M)]
+    )
+    qdt = emb.filter(F.col("vec_id") < _PQ_NQ).selectExpr(
+        "vec_id AS q_id", "label AS q_label", *_spark_dist_exprs("dt")
+    )
+    adc_expr = " + ".join(
+        f"(CASE code_{s} WHEN 0 THEN dt_{s}_0 WHEN 1 THEN dt_{s}_1"
+        f" WHEN 2 THEN dt_{s}_2 ELSE dt_{s}_3 END)"
+        for s in range(_PQ_M)
+    )
+    scored = (
+        code_df.join(
+            F.broadcast(qdt),
+            (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .selectExpr("q_id", "vec_id", f"({adc_expr}) AS adc")
+    )
+    return S.windowed_topk(scored, "q_id", "adc", "vec_id", 3, ascending=True).select(
+        "q_id", "vec_id", F.round("adc", 6).alias("adc"), "rnk"
     )

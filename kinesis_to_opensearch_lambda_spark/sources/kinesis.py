@@ -5,10 +5,16 @@ payload base64-encoded JSON at ``record["kinesis"]["data"]``
 (lambda_function.py:44-45,140-141; envelope reproduced by the test
 helper test_lambda_function.py:64-67).
 
-In production the engine would bind ``spark.readStream.format("kinesis")``
-(the Structured Streaming Kinesis connector); that jar is not in this
-image, so the source is pluggable:
+In production the engine binds ``spark.readStream.format("aws-kinesis")``
+(the Structured Streaming Kinesis connector) — :func:`open_audit_stream`
+probes the session's DataSource registry and uses the real connector
+whenever its jar is on the classpath, falling back to file-based
+envelope emulation otherwise (this image has no connector jar, so CI
+exercises the fallback branch and the probe's False path):
 
+- :func:`kinesis_connector_available` — classpath capability probe.
+- :func:`open_audit_stream` — probe-and-bind R1 source; both branches
+  emit the same one-column base64(JSON) ``kinesis_data`` shape.
 - :func:`audit_events_from_events` — deterministic mapping of the driver's
   ``events`` table into audit-shaped records (fixture generator).
 - :func:`kinesis_envelope` — wraps any frame into the one-column
@@ -60,6 +66,69 @@ def audit_events_from_events(events: DataFrame) -> DataFrame:
 def kinesis_envelope(audit_df: DataFrame) -> DataFrame:
     """Wrap audit records into the base64(JSON) Kinesis payload column."""
     return encode_kinesis(audit_df)
+
+
+def kinesis_connector_available(
+    spark: SparkSession, source_format: str = "aws-kinesis"
+) -> bool:
+    """Capability probe: is the Structured Streaming Kinesis connector
+    registered on this session's classpath?
+
+    Asks Spark's own DataSource registry (the exact lookup
+    ``readStream.format(...)`` performs) instead of guessing class
+    names — connector distributions register different provider
+    classes under the same short name.  No stream is opened; the probe
+    is a metadata lookup.
+    """
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            source_format, jvm.org.apache.spark.sql.internal.SQLConf.get()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def open_audit_stream(
+    spark: SparkSession,
+    *,
+    stream_name: str | None = None,
+    region: str | None = None,
+    fallback_path: str | None = None,
+    source_format: str = "aws-kinesis",
+    endpoint_url: str | None = None,
+    initial_position: str = "LATEST",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The R1 source with a capability probe (lambda_function.py:140-141
+    is the consumed Kinesis envelope): bind the REAL connector when its
+    jar is on the classpath and a ``stream_name`` is configured, else
+    fall back to the file-based envelope emulation at ``fallback_path``.
+
+    Both branches emit the identical one-column ``kinesis_data``
+    base64(JSON) shape, so the downstream decode chain
+    (operators.pipeline.decode_kinesis) is source-agnostic — swapping
+    emulation for the live stream is a config change, not a code
+    change.
+    """
+    if stream_name is not None and kinesis_connector_available(spark, source_format):
+        return read_kinesis_stream(
+            spark,
+            stream_name,
+            region or "us-east-1",
+            endpoint_url=endpoint_url,
+            initial_position=initial_position,
+            source_format=source_format,
+        )
+    if fallback_path is None:
+        raise ValueError(
+            f"Kinesis connector '{source_format}' unavailable (or no "
+            "stream_name configured) and no fallback_path given"
+        )
+    return read_envelope_stream(
+        spark, fallback_path, max_files_per_trigger=max_files_per_trigger
+    )
 
 
 def read_kinesis_stream(
