@@ -1144,6 +1144,7 @@ def _ivf_pq_sql() -> str:
 @register(
     "ann_topk_ivf_pq",
     oracle=_ivf_pq_sql(),
+    headline=True,
     doc="IVF+PQ composed search — the FAISS-IVFPQ layout, THE "
     "billion-scale production ANN index: the coarse quantizer (label "
     "column as cell id, stand-in for learned k-means cells as in "

@@ -14,6 +14,48 @@ from . import text as TX
 _W = "string_split(text, ' ')"
 _SQL_STOP = "list_filter({w}, x -> x = 'the' OR x = 'a')"
 
+# BPE-ish pre-tokenizer regex (GPT-2 family, simplified to the subset
+# with identical semantics in Java regex (Spark) and RE2 (DuckDB) —
+# both leftmost-first alternation): optional leading space + letter
+# run | up-to-3-digit run (BPE number chunking) | punctuation run.
+_BPE_RE = " ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9 ]+"
+
+
+@register(
+    "text_bpe_token_estimate",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len({_W}) AS BIGINT) AS n_ws_tokens,
+           round(length(text)::DOUBLE
+                 / len(regexp_extract_all(text, '{_BPE_RE}'))::DOUBLE, 4)
+             AS chars_per_token
+    FROM documents
+    """,
+    doc="Tokenizer-aware size estimation — the driver-mandated BPE-ish "
+    "token count beside the whitespace count: a GPT-2-style "
+    "pre-tokenizer regex (letter runs / <=3-digit number chunks / "
+    "punctuation runs, optional leading space) counts the units a BPE "
+    "vocabulary would start from, and chars-per-token is the budget "
+    "planners' sizing ratio (~4 for English).  Pure per-row "
+    "regexp_extract_all — codegen, zero shuffle, linear scan; the "
+    "regex subset is chosen for identical leftmost-first semantics in "
+    "Java regex and RE2 so both engines count the same tokens.",
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    n_bpe = F.expr(f"size(regexp_extract_all(text, '{_BPE_RE}', 0))")
+    n_ws = F.size(F.split("text", " "))
+    return docs.select(
+        "doc_id",
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        F.round(
+            F.length("text").cast("double") / n_bpe.cast("double"), 4
+        ).alias("chars_per_token"),
+    )
+
 
 @register(
     "text_token_stats",

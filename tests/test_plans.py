@@ -238,9 +238,41 @@ def test_dq_orphan_checks_are_shuffled_hash_anti_joins(spark):
     assert "BroadcastHashJoin" not in plan, plan
 
 
+def test_ivf_pq_cell_equijoin_and_code_scan(spark):
+    # IVF+PQ: candidate generation must be a broadcast HASH join on the
+    # cell id (never a nested loop over the corpus), and the corpus
+    # side reaches the join as codes — no SMJ anywhere
+    from kinesis_to_opensearch_lambda_spark.plans import plan_string
+
+    plan = plan_string(q(spark, "ann_topk_ivf_pq"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ngram_lm_counts_single_shuffle_takeordered(spark):
+    # explode pipelines in the scan; one exchange for the count agg;
+    # the top-100 head is TakeOrdered, not a global sort shuffle
+    from kinesis_to_opensearch_lambda_spark.plans import plan_string
+
+    assert shuffle_exchange_count(q(spark, "corpus_ngram_lm_counts")) == 1
+    assert "TakeOrderedAndProject" in plan_string(q(spark, "corpus_ngram_lm_counts"))
+
+
+def test_bpe_token_estimate_no_shuffle(spark):
+    # pure per-row regexp work: zero exchanges
+    assert shuffle_exchange_count(q(spark, "text_bpe_token_estimate")) == 0
+
+
 @pytest.mark.parametrize(
     "name",
-    ["ann_topk_bruteforce", "ann_topk_pq_adc", "ann_topk_rerank", "ann_pq_recall"],
+    [
+        "ann_topk_bruteforce",
+        "ann_topk_pq_adc",
+        "ann_topk_rerank",
+        "ann_pq_recall",
+        "ann_topk_ivf_pq",
+    ],
 )
 def test_ann_topk_partial_limit_below_exchange(spark, name):
     """The per-query top-k window's exchange must NOT carry the full
