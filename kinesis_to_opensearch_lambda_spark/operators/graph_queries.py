@@ -159,3 +159,156 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.min("node").alias("exemplar"),
     )
+
+
+def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected part-part edges: two parts co-ordered in one order.
+
+    The per-order self-join is bounded by TPC-H's <=7 lineitems/order,
+    so edge generation is O(E) with no quadratic blowup — the standard
+    co-occurrence projection (market-basket graph).  Edges are stored
+    id-ordered (u < v) so the undirected set has one canonical row per
+    edge.
+    """
+    li = (
+        fan_out(load_table(spark, sf_dir, "lineitem"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+
+
+# MATERIALIZED matters: DuckDB inlines plain CTEs per-reference, so a
+# CTE used k times re-executes k times — the edge build and triangle
+# join below are each referenced more than once.  (Spark-side the same
+# hazard is avoided structurally: explode() instead of N-way self-union.)
+_SQL_CO_ORDER_EDGES = """
+    pairs AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM pairs a JOIN pairs b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_SQL_CO_ORDER_EDGES}, deg AS MATERIALIZED (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT unnest([u, v]) AS node FROM e)
+      GROUP BY node
+    ), oriented AS MATERIALIZED (
+      SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS src,
+             CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS dst
+      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ), tri AS (
+      SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+      FROM oriented o1 JOIN oriented o2
+        ON o1.src = o2.src AND o1.dst < o2.dst
+      JOIN e ON e.u = o1.dst AND e.v = o2.dst
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+    GROUP BY node
+    """,
+    doc="Exact per-node triangle participation over the part-part "
+    "co-order graph (parts sharing an order — the market-basket "
+    "projection; edge build is bounded by <=7 lineitems/order so it is "
+    "O(E), never quadratic). Algorithm: degree-ordered compact-forward "
+    "(Latapy 2008) — each undirected edge is oriented from the "
+    "(degree, id)-smaller endpoint, wedges are enumerated only at each "
+    "triangle's unique minimum-rank vertex, and closed by an equi-join "
+    "against the canonical id-ordered edge set.  Degree orientation is "
+    "the 100 TB skew fix: a celebrity node of degree d contributes "
+    "O(d) oriented out-edges only if nothing heavier is adjacent, so "
+    "wedge counts are Sum C(out_deg, 2) with out_deg <= O(sqrt(E)) "
+    "instead of C(d, 2).  All joins are hash equi-joins on fixed-width "
+    "int keys; no iteration, no driver state.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _co_order_edges(spark, sf_dir)
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src")) & (F.col("o1.dst") < F.col("o2.dst")),
+    ).select(
+        F.col("o1.src").alias("a"),
+        F.col("o1.dst").alias("b"),
+        F.col("o2.dst").alias("c"),
+    )
+    tri = wedges.join(
+        e, (F.col("b") == F.col("u")) & (F.col("c") == F.col("v"))
+    ).select("a", "b", "c")
+    members = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    return members.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH {_SQL_CO_ORDER_EDGES}, deg AS (
+      SELECT node, count(*) AS deg
+      FROM (SELECT unnest([u, v]) AS node FROM e)
+      GROUP BY node
+    )
+    SELECT CAST(floor(ln(deg) / ln(2)) AS BIGINT) AS degree_bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(deg) AS BIGINT) AS min_degree,
+           CAST(max(deg) AS BIGINT) AS max_degree
+    FROM deg
+    GROUP BY degree_bucket
+    """,
+    doc="Log2-bucketed degree distribution of the part-part co-order "
+    "graph — the first diagnostic run on any production graph (skew "
+    "detection before choosing join strategies; a heavy tail here is "
+    "what motivates the degree orientation in graph_triangle_count). "
+    "Two shuffles total: degree groupBy on int node keys, then a "
+    "bucket groupBy over one row per node.  floor(log2(deg)) stays "
+    "engine-exact because degrees are integers and log2 boundaries "
+    "are only crossed at exact powers of two.",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _co_order_edges(spark, sf_dir)
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return deg.groupBy(
+        F.floor(F.log2("deg")).cast("bigint").alias("degree_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.min("deg").cast("bigint").alias("min_degree"),
+        F.max("deg").cast("bigint").alias("max_degree"),
+    )

@@ -9,6 +9,7 @@ import pytest
 from kinesis_to_opensearch_lambda_spark.plans import (
     broadcast_join_count,
     has_broadcast_hash_join,
+    plan_string,
     pushed_filters,
     python_eval_nodes,
     read_schemas,
@@ -373,3 +374,27 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_triangle_count_all_hash_joins(spark):
+    """Compact-forward triangle counting must stay hash equi-joins end
+    to end: edge build joins on l_orderkey (the < predicate is a post-
+    join filter, not a join strategy degradation), wedge enumeration
+    joins oriented out-edges on src, and closure is an equi-join on the
+    (b, c) edge key.  A BroadcastNestedLoopJoin anywhere would be the
+    all-pairs trap this design exists to avoid."""
+    df = q(spark, "graph_triangle_count")
+    plan = plan_string(df)
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert not python_eval_nodes(df)
+
+
+def test_degree_distribution_two_aggregations(spark):
+    """Degree histogram: beyond the bounded per-order edge build, the
+    only exchanges are the degree groupBy and the bucket groupBy (both
+    with map-side partial aggregation on int keys)."""
+    df = q(spark, "graph_degree_distribution")
+    plan = plan_string(df)
+    assert "NestedLoop" not in plan, plan
+    assert not python_eval_nodes(df)
