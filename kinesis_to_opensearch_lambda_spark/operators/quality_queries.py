@@ -291,3 +291,131 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd").alias("valid_to"),
         F.when(F.lead("o_orderkey").over(w).isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+# ---- snapshot reconciliation + incremental MV maintenance ------------
+#
+# Two warehouse patterns the reference never had but every production
+# table needs: diffing two snapshots of the same table (audit after a
+# backfill / replication check) and merging a new partition's partial
+# aggregates into a stored rollup without rescanning history.
+
+_SNAP_KEY = "o_orderkey::VARCHAR"
+_SQL_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+
+
+def _sql_pct(salt: str) -> str:
+    from ..functions import SQL_MD5_LONG
+
+    return f"({SQL_MD5_LONG.format(x=_SNAP_KEY + f' || {salt!r}')} % 100)"
+
+
+def _pct(salt: str) -> F.Column:
+    from ..functions import md5_long
+
+    return md5_long(F.concat(F.col("o_orderkey").cast("string"), F.lit(salt))) % 100
+
+
+@register(
+    "snapshot_diff",
+    oracle=f"""
+    WITH old AS (
+      SELECT o_orderkey, {_SQL_CENTS} AS cents FROM orders
+      WHERE {_sql_pct(":snapold")} < 95
+    ), new AS (
+      SELECT o_orderkey,
+             {_SQL_CENTS}
+               + CASE WHEN {_sql_pct(":snapchg")} < 10 THEN 500 ELSE 0 END AS cents
+      FROM orders
+      WHERE {_sql_pct(":snapnew")} < 95
+    )
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.cents <> n.cents THEN 'changed'
+                ELSE 'unchanged' END AS change_class,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(coalesce(o.o_orderkey, n.o_orderkey)) AS BIGINT) AS key_checksum
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    GROUP BY change_class
+    """,
+    doc="Snapshot reconciliation: FULL OUTER join of two table versions "
+    "on the primary key, every row classified added / removed / "
+    "changed / unchanged, rolled up to per-class counts plus a key "
+    "checksum — the audit you run after a backfill, a replication "
+    "cutover, or a CDC resync.  The two versions are derived "
+    "deterministically from orders via salted md5 keep/mutate rules "
+    "(engine-portable, so the oracle builds bit-identical snapshots). "
+    "One shuffle each side on the join key, then a 4-group rollup; at "
+    "100 TB both sides hash-partition by key and the diff streams — "
+    "no driver state, no collect.  Spark-side the FULL OUTER is a "
+    "SortMergeJoin on fixed-width keys; AQE handles the residual "
+    "skew.",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    old = orders.filter(_pct(":snapold") < 95).select(
+        F.col("o_orderkey").alias("ok"), cents.alias("old_cents")
+    )
+    new = orders.filter(_pct(":snapnew") < 95).select(
+        F.col("o_orderkey").alias("nk"),
+        (cents + F.when(_pct(":snapchg") < 10, 500).otherwise(0)).alias("new_cents"),
+    )
+    j = old.join(new, old.ok == new.nk, "full_outer")
+    cls = (
+        F.when(F.col("ok").isNull(), "added")
+        .when(F.col("nk").isNull(), "removed")
+        .when(F.col("old_cents") != F.col("new_cents"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(cls.alias("change_class")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.coalesce(F.col("ok"), F.col("nk"))).cast("bigint").alias("key_checksum"),
+    )
+
+
+_MV_CUTOFF = "1999-01-01"
+
+
+@register(
+    "incremental_agg_merge",
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum({_SQL_CENTS}) AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY order_month, o_orderpriority
+    """,
+    doc="Incremental materialized-view maintenance: the stored rollup "
+    f"(orders before {_MV_CUTOFF}, pre-aggregated to partial states) "
+    "is merged with the new partition's partials by RE-AGGREGATING THE "
+    "PARTIALS — sum of counts, sum of sums — never rescanning history. "
+    "The oracle computes the same rollup directly from all raw rows, "
+    "so parity PROVES the partial-merge identity the pattern depends "
+    "on (count and integer-cents sum are commutative monoids; avg/"
+    "percentiles would need their decomposed states).  At 100 TB this "
+    "is the nightly-refresh pattern: the history scan is O(groups), "
+    "only the delta partition is read at full width.  Integer cents "
+    "keep the merged sum bit-exact regardless of partial order.",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(month, "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("pn"), F.sum(cents).alias("ps")
+        )
+
+    base = partials(orders.filter(F.col("o_orderdate") < _MV_CUTOFF))
+    delta = partials(orders.filter(F.col("o_orderdate") >= _MV_CUTOFF))
+    return (
+        base.unionAll(delta)
+        .groupBy("order_month", "o_orderpriority")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_orders"),
+            F.sum("ps").cast("bigint").alias("total_cents"),
+        )
+    )

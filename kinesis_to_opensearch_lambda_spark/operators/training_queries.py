@@ -493,3 +493,76 @@ def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bpt_i").cast("double") / F.count(F.lit(1)).cast("double") / 1e6, 6
         ).alias("avg_bpt"),
     )
+
+
+@register(
+    "sample_bottom_k_per_key",
+    oracle=f"""
+    SELECT event_type, event_id, CAST(rn AS BIGINT) AS sample_rank
+    FROM (
+      SELECT event_type, event_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY {SQL_MD5_LONG.format(x="event_id::VARCHAR || ':bk'")}, event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn <= 10
+    """,
+    doc="Per-key uniform sample of k=10 rows via the bottom-k (KMV) "
+    "technique: rank rows inside each key by a salted md5 of their id "
+    "and keep the k smallest.  This is the DISTRIBUTED, MERGEABLE "
+    "replacement for driver-side reservoir sampling — bottom-k sets "
+    "from disjoint partitions merge by just re-taking the k smallest, "
+    "so map-side partial limits apply: Spark plans a WindowGroupLimit "
+    "Partial below the key exchange (SPARK-37099) and each task "
+    "forwards at most k rows per key, never the full key group.  "
+    "Deterministic (salted-hash order, id tiebreak) hence engine-"
+    "portable and reproducible across reruns — the property that "
+    "makes the sample auditable in a training-data pipeline.",
+)
+def sample_bottom_k_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    h = md5_long(F.concat(F.col("event_id").cast("string"), F.lit(":bk")))
+    w = Window.partitionBy("event_type").orderBy(h, "event_id")
+    return (
+        ev.select("event_type", "event_id", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 10)
+        .select("event_type", "event_id", F.col("sample_rank").cast("bigint"))
+    )
+
+
+@register(
+    "sample_weighted_bernoulli",
+    oracle=f"""
+    WITH kept AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE {SQL_MD5_LONG.format(x="o_orderkey::VARCHAR || ':wb'")} % 1000000
+            < least(CAST(round(o_totalprice * 100) AS BIGINT) / 100, 1000000)
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(cents) AS BIGINT) AS sampled_cents
+    FROM kept GROUP BY o_orderpriority
+    """,
+    doc="Weighted Bernoulli sampling: each order's inclusion "
+    "probability is proportional to its value (min(cents/100, 1e6) "
+    "out of 1e6), decided by a salted md5 threshold — all-integer "
+    "arithmetic, so the oracle reproduces the exact sample.  The "
+    "size-biased sampling primitive behind importance-weighted "
+    "corpus subsets (sample big documents proportionally to token "
+    "count); per-row filter with zero shuffle before the per-group "
+    "rollup, embarrassingly parallel at any scale, and re-running "
+    "on appended data never reassigns old rows (hash, not RNG).",
+)
+def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = fan_out(load_table(spark, sf_dir, "orders"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    h = md5_long(F.concat(F.col("o_orderkey").cast("string"), F.lit(":wb")))
+    kept = orders.filter(
+        (h % 1000000) < F.least(cents / 100, F.lit(1000000))
+    ).select("o_orderpriority", cents.alias("cents"))
+    return kept.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum("cents").cast("bigint").alias("sampled_cents"),
+    )
