@@ -850,3 +850,135 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_spans") > 0)
     )
+
+
+@register(
+    "dedup_lsh_length_prune",
+    oracle=f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      {_SQL_MUTATED}
+    ), sigs AS (
+      SELECT doc_id,
+       {_sql_minhash_cols(8)}
+      FROM (
+        SELECT doc_id, {_sql_shingle_hashes()} AS hashed FROM corpus
+      )
+    ), buckets AS (
+      SELECT doc_id, 0 AS band_idx, md5(mh_0::VARCHAR || mh_1::VARCHAR) AS band_val FROM sigs
+      UNION ALL
+      SELECT doc_id, 1, md5(mh_2::VARCHAR || mh_3::VARCHAR) FROM sigs
+      UNION ALL
+      SELECT doc_id, 2, md5(mh_4::VARCHAR || mh_5::VARCHAR) FROM sigs
+      UNION ALL
+      SELECT doc_id, 3, md5(mh_6::VARCHAR || mh_7::VARCHAR) FROM sigs
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ), sized AS (
+      SELECT c.doc_a, c.doc_b,
+             len(string_split(ca.text, ' ')) AS wa,
+             len(string_split(cb.text, ' ')) AS wb,
+             ca.text AS ta, cb.text AS tb
+      FROM cand c
+      JOIN corpus ca ON ca.doc_id = c.doc_a
+      JOIN corpus cb ON cb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(least(wa, wb)::DOUBLE / greatest(wa, wb)::DOUBLE, 6) AS len_ratio,
+           CASE WHEN least(wa, wb)::DOUBLE / greatest(wa, wb)::DOUBLE < 0.5
+                THEN NULL
+                ELSE round(
+                  len(list_intersect(
+                        list_distinct({sql_word_shingles("string_split(ta, ' ')")}),
+                        list_distinct({sql_word_shingles("string_split(tb, ' ')")})
+                  ))::DOUBLE
+                  / len(list_distinct(list_concat(
+                        list_distinct({sql_word_shingles("string_split(ta, ' ')")}),
+                        list_distinct({sql_word_shingles("string_split(tb, ' ')")})
+                  )))::DOUBLE, 6)
+           END AS jaccard
+    FROM sized
+    """,
+    doc="The length-ratio prune inside the LSH verify stage: Jaccard "
+    ">= t forces |A| / |B| >= t (pigeonhole on shingle-set sizes), so "
+    "candidate pairs whose cheap word-count ratio is below the 0.5 "
+    "threshold skip the expensive shingle-set intersection entirely "
+    "(jaccard = NULL marks the pruned pairs; the ratio column shows "
+    "the decision input).  The standard candidate-pruning step "
+    "between LSH banding and exact verification (used by every "
+    "production MinHash dedup, e.g. the Lee et al. 2022 pipeline): "
+    "at 100 TB the verify stage is the dominant cost and the prune "
+    "is a per-pair integer comparison on metadata already in hand.  "
+    "Candidates come from the same banded equi-join as "
+    "dedup_minhash_lsh_pairs; texts attach via two hash joins on "
+    "doc_id.",
+)
+def dedup_lsh_length_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    sigs = D.minhash_signatures(corpus, num_hashes=8)
+    buckets = D.lsh_band_buckets(sigs, "doc_id", num_hashes=8, rows_per_band=2)
+    cand = D.lsh_candidate_pairs(buckets, "doc_id")
+    wa = F.size(words(F.col("ca.text")))
+    wb = F.size(words(F.col("cb.text")))
+    ratio = F.least(wa, wb).cast("double") / F.greatest(wa, wb).cast("double")
+    sha = F.array_distinct(word_shingles(words(F.col("ca.text"))))
+    shb = F.array_distinct(word_shingles(words(F.col("cb.text"))))
+    inter = F.size(F.array_intersect(sha, shb))
+    union = F.size(F.array_distinct(F.concat(sha, shb)))
+    return (
+        cand.join(corpus.alias("ca"), F.col("doc_a") == F.col("ca.doc_id"))
+        .join(corpus.alias("cb"), F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(ratio, 6).alias("len_ratio"),
+            F.when(ratio < 0.5, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(inter.cast("double") / union.cast("double"), 6)
+            )
+            .alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "dedup_prefix_cluster",
+    oracle="""
+    SELECT md5(substr(text, 1, 32)) AS prefix_key,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(sum(n_chars) AS BIGINT) AS cluster_chars
+    FROM documents
+    GROUP BY prefix_key
+    HAVING count(*) > 1
+    """,
+    doc="Prefix-blocking dedup (the RefinedWeb / CCNet cheap pass): "
+    "documents sharing their first 32 characters cluster under one "
+    "md5 prefix key; multi-member clusters are near-dup suspects and "
+    "the minimum doc_id is the deterministic keeper.  Runs before "
+    "MinHash at a fraction of its cost — one digest per row, one "
+    "groupBy on the 16-byte key (the text itself never shuffles), "
+    "map-side combinable, and catches the head of the dup mass "
+    "(boilerplate openers, mirrored pages) so the expensive LSH "
+    "stage sees a smaller corpus.",
+)
+def dedup_prefix_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            F.md5(F.substring("text", 1, 32)).alias("prefix_key"),
+            "doc_id",
+            "n_chars",
+        )
+        .groupBy("prefix_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+            F.sum("n_chars").cast("bigint").alias("cluster_chars"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -332,3 +332,148 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bits_per_token"),
         )
     )
+
+
+# Classic UTF-8-decoded-as-Latin-1 artifacts: 'é' -> 'Ã©', 'ä' -> 'Ã¤',
+# curly quote -> 'â€™'.  The corpus is clean ASCII, so a deterministic
+# 10% of documents get artifacts injected (salted-md5 pick, 'e'->'Ã©')
+# before detection — the positive path is genuinely exercised instead
+# of vacuously asserting zero hits (the join_asof_tolerance lesson).
+_MOJI_MARKS = ("Ã©", "Ã¤", "Ã¡", "â€™", "â€œ")
+
+
+@register(
+    "text_mojibake_stats",
+    oracle=f"""
+    WITH staged AS (
+      SELECT doc_id, source,
+             CASE WHEN {SQL_MD5_LONG.format(x="doc_id::VARCHAR || ':moji'")} % 100 < 10
+                  THEN replace(text, 'e', 'Ã©') ELSE text END AS text
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source,
+             {" + ".join(f"(length(text) - length(replace(text, '{m}', ''))) // {len(m)}" for m in _MOJI_MARKS)}
+               AS artifact_hits
+      FROM staged
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN artifact_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(sum(artifact_hits) AS BIGINT) AS total_hits
+    FROM scored GROUP BY source
+    """,
+    doc="Encoding-corruption audit: counts classic UTF-8-as-Latin-1 "
+    "mojibake marks ('Ã©', 'â€™', ...) per document and rolls up a "
+    "per-source flag rate — the crawl-hygiene check run before "
+    "training-data ingestion (mojibake inflates token counts and "
+    "poisons vocabularies).  Detection is substring counting via "
+    "length-difference (portable exact arithmetic, no regex dialect "
+    "drift); a deterministic salted-hash 10% of documents get "
+    "artifacts injected first so both the positive and negative "
+    "detector paths are verified.  Pure per-row expressions into one "
+    "per-source rollup: zero pre-agg shuffle, linear at any scale.",
+)
+def text_mojibake_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import md5_long
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pick = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":moji"))) % 100 < 10
+    staged = docs.select(
+        "doc_id",
+        "source",
+        F.when(pick, F.regexp_replace("text", "e", "Ã©")).otherwise(F.col("text")).alias("text"),
+    )
+    hits = None
+    for m in _MOJI_MARKS:
+        h = (F.length("text") - F.length(F.replace(F.col("text"), F.lit(m), F.lit("")))) / len(m)
+        h = h.cast("long")
+        hits = h if hits is None else hits + h
+    scored = staged.select("doc_id", "source", hits.alias("artifact_hits"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("artifact_hits") > 0).cast("int")).cast("bigint").alias("n_flagged"),
+        F.sum("artifact_hits").cast("bigint").alias("total_hits"),
+    )
+
+
+@register(
+    "text_cooccurrence_pmi",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+      SELECT unnest({_W}) AS word FROM documents
+    ), uni AS MATERIALIZED (
+      SELECT word, count(*) AS c FROM tok GROUP BY word
+    ), tot AS (
+      SELECT sum(c) AS n FROM uni
+    ), big AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2, count(*) AS cab
+      FROM (SELECT {_W} AS w FROM documents),
+           LATERAL (SELECT unnest(range(1, len(w))) AS i)
+      GROUP BY w1, w2
+    ), m AS (
+      SELECT sum(cab) AS mtot FROM big
+    )
+    SELECT b.w1, b.w2, CAST(b.cab AS BIGINT) AS pair_count,
+           round(ln(b.cab::DOUBLE / m.mtot)
+                 - ln(u1.c::DOUBLE / t.n) - ln(u2.c::DOUBLE / t.n), 6) AS pmi
+    FROM big b, m, tot t
+    JOIN uni u1 ON u1.word = b.w1
+    JOIN uni u2 ON u2.word = b.w2
+    WHERE b.cab >= 5
+    """,
+    doc="Pointwise mutual information over adjacent word pairs — the "
+    "collocation-mining statistic (Church & Hanks 1990) used to find "
+    "multi-word expressions worth single tokens and to fingerprint "
+    "machine-generated text (natural prose has heavy PMI tails; "
+    "shuffled text is flat).  Bigrams come from 2-shingles exploded "
+    "in the scan (no positional self-join), unigram marginals attach "
+    "via two hash joins on the word key, and the corpus totals are "
+    "scalar aggregates broadcast to every row.  PMI is computed as "
+    "the same three-term ln expression in both engines from exact "
+    "integer counts and rounded; the output set is chosen by an "
+    "integer count threshold (never a float ordering), so parity is "
+    "boundary-stable.  At 100 TB the bigram partial-agg dominates "
+    "and is map-side combinable; marginal joins shuffle only the "
+    "vocabulary-sized count tables.",
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import word_shingles, words
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(words("text")).alias("word"))
+    uni = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").alias("n"))
+    big = (
+        docs.select(F.explode(word_shingles(words("text"), 2)).alias("bg"))
+        .select(
+            F.substring_index("bg", " ", 1).alias("w1"),
+            F.substring_index("bg", " ", -1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= 5)
+    )
+    m = (
+        docs.select((F.size(words("text")) - 1).alias("k"))
+        .agg(F.sum("k").alias("mtot"))
+    )
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "w1",
+            "w2",
+            F.col("cab").cast("bigint").alias("pair_count"),
+            F.round(
+                F.log(F.col("cab").cast("double") / F.col("mtot"))
+                - F.log(F.col("c1").cast("double") / F.col("n"))
+                - F.log(F.col("c2").cast("double") / F.col("n")),
+                6,
+            ).alias("pmi"),
+        )
+    )
