@@ -12,6 +12,7 @@ SQL_DOT_SELF = SQL_DOT.format(a='embedding', b='embedding')
 from ..queries import register
 from ..sources.batch import fan_out, load_table
 from . import similarity as S
+from .dedup_queries import _SQL_EMB_CANDIDATES, _emb_candidates
 
 _N_QUERIES = 20
 
@@ -1191,3 +1192,40 @@ def ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.windowed_topk(scored, "q_id", "adc", "vec_id", 3, ascending=True).select(
         "q_id", "vec_id", F.round("adc", 6).alias("adc"), "rnk"
     )
+
+
+@register(
+    "ann_range_search",
+    oracle=f"""
+    WITH {_SQL_EMB_CANDIDATES}, hits AS (
+      SELECT dup_id AS q_id, orig_id AS neighbor_id, round(cos, 6) AS cos
+      FROM cand WHERE cos >= 0.4
+    )
+    SELECT q_id, neighbor_id, cos,
+           count(*) OVER (PARTITION BY q_id) AS n_in_range
+    FROM hits
+    """,
+    doc="Radius (range) similarity search: for each probe vector return "
+    "ALL corpus neighbors with cosine >= 0.4, not a fixed top-k — the "
+    "retrieval mode dedup and contamination sweeps need (every match "
+    "matters, k is unknowable a priori).  Probes are the 50 perturbed "
+    "duplicates; candidates come from the shared SRP-LSH bucket "
+    "equi-join (own bucket + 8 hamming-1 probes), then the exact-"
+    "cosine radius filter, then a per-probe window count so each hit "
+    "row carries its neighborhood size.  Same algorithm both engines "
+    "(LSH range search trades recall for never scanning the corpus); "
+    "at 100 TB the only exchange after the bucket join partitions by "
+    "probe id.",
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _emb_candidates(spark, sf_dir)
+    hits = cand.filter(F.col("cos") >= 0.4).select(
+        F.col("dup_id").alias("q_id"),
+        F.col("orig_id").alias("neighbor_id"),
+        F.round("cos", 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_id")
+    return hits.select(
+        "q_id", "neighbor_id", "cos", F.count(F.lit(1)).over(w).alias("n_in_range")
+    )
+
