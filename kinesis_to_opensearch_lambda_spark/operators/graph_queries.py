@@ -312,3 +312,80 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("deg").cast("bigint").alias("min_degree"),
         F.max("deg").cast("bigint").alias("max_degree"),
     )
+
+
+@register(
+    "graph_common_neighbors",
+    oracle="""
+    WITH ui AS MATERIALIZED (
+      SELECT DISTINCT user_id, json_extract_string(props, '$.k') AS item
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ), deg AS MATERIALIZED (
+      SELECT item, CAST(count(*) AS BIGINT) AS deg FROM ui GROUP BY item
+    ), common AS (
+      SELECT a.item AS item_i, b.item AS item_j,
+             CAST(count(*) AS BIGINT) AS common_users
+      FROM ui a JOIN ui b
+        ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY a.item, b.item
+    )
+    SELECT c.item_i, c.item_j, c.common_users,
+           CAST((100 * c.common_users)
+                // (di.deg + dj.deg - c.common_users) AS BIGINT) AS jaccard_pct
+    FROM common c
+    JOIN deg di ON di.item = c.item_i
+    JOIN deg dj ON dj.item = c.item_j
+    WHERE c.common_users >= 2
+    """,
+    doc="Item-item similarity by neighborhood Jaccard over the user-item "
+    "bipartite graph (the 'users who touched X also touched Y' "
+    "related-items query): wedge enumeration through shared users, "
+    "common-neighbor counts, then |A intersect B| / |A union B| as an "
+    "INTEGER percentage (100*common DIV (da+db-common)) so the output "
+    "set is chosen by integer comparisons, never a float ordering.  "
+    "Plan: the wedge self-join shuffles only (user, item-id) pairs, "
+    "degrees ride a broadcast (item dictionary-sized), and the "
+    "common>=2 filter bounds output.  At 100 TB the known hazard is "
+    "power-users (a user with d items emits d^2/2 wedges) — the "
+    "production guard is a per-user item cap or degree-ordered "
+    "orientation exactly as in graph_triangle_count; item dictionaries "
+    "stay broadcast-sized regardless of event volume.",
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    item = F.get_json_object("props", "$.k")
+    ui = (
+        ev.filter(item.isNotNull())
+        .select("user_id", item.alias("item"))
+        .distinct()
+    )
+    deg = ui.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    a, b = ui.alias("a"), ui.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item_i"), F.col("b.item").alias("item_j"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_users"))
+        .filter(F.col("common_users") >= 2)
+    )
+    di = F.broadcast(deg.select(F.col("item").alias("item_i"), F.col("deg").alias("di")))
+    dj = F.broadcast(deg.select(F.col("item").alias("item_j"), F.col("deg").alias("dj")))
+    return (
+        common.join(di, "item_i")
+        .join(dj, "item_j")
+        .select(
+            "item_i",
+            "item_j",
+            "common_users",
+            F.floor(
+                (100 * F.col("common_users"))
+                / (F.col("di") + F.col("dj") - F.col("common_users"))
+            )
+            .cast("bigint")
+            .alias("jaccard_pct"),
+        )
+    )

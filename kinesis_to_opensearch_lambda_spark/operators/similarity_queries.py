@@ -1229,3 +1229,89 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "neighbor_id", "cos", F.count(F.lit(1)).over(w).alias("n_in_range")
     )
 
+
+
+_KNN_K = 3
+
+
+@register(
+    "ann_knn_graph_mutual",
+    oracle=f"""
+    WITH bucketed AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             {S.sql_srp_bits('embedding')} AS bucket
+      FROM embeddings
+    ), scored AS MATERIALIZED (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             {sql_cosine('a.embedding', 'b.embedding')} AS cos
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+    ), knn AS MATERIALIZED (
+      SELECT src, dst, cos,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cos DESC, dst) AS rnk
+      FROM scored
+      QUALIFY rnk <= {_KNN_K}
+    )
+    SELECT e1.src, e1.dst, round(e1.cos, 6) AS cos,
+           CAST(e1.rnk AS BIGINT) AS rnk_fwd,
+           CAST(e2.rnk AS BIGINT) AS rnk_rev
+    FROM knn e1 JOIN knn e2
+      ON e1.src = e2.dst AND e1.dst = e2.src
+    WHERE e1.src < e1.dst
+    """,
+    doc="Mutual k-nearest-neighbor graph over the embedding corpus — the "
+    "candidate graph behind SemDeDup-style semantic clustering and "
+    "graph-based corpus curation: every vector finds its top-"
+    f"{_KNN_K} within its SRP-LSH bucket (deterministic hyperplanes, "
+    "exact cosine, vec_id tie-break), and an edge survives only if BOTH "
+    "endpoints rank each other (mutuality prunes hub/asymmetric edges, "
+    "the standard kNN-graph cleanup).  Plan: the all-node candidate "
+    "stage is a bucket equi-join (both sides shuffle on the 8-bit "
+    "bucket key — never all-pairs), per-node top-k is a bounded window, "
+    "and the mutuality check is an equi-join of two k-bounded edge "
+    "lists (<= k*n rows each).  Cosine is symmetric term-by-term in "
+    "IEEE arithmetic, so forward and reverse scores agree bit-exactly "
+    "and mutuality is well-defined.  At 100 TB: bucket sizes are "
+    "2^-8 of the corpus, the edge list is k*n not n^2, and the final "
+    "join keys are 16-byte id pairs.",
+)
+def ann_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import cosine
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    bucketed = emb.select(
+        "vec_id", "embedding", S.srp_bucket(F.col("embedding")).alias("bucket")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    scored = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    knn = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _KNN_K
+    )
+    e1, e2 = knn.alias("e1"), knn.alias("e2")
+    return (
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.dst"))
+            & (F.col("e1.dst") == F.col("e2.src")),
+        )
+        .filter(F.col("e1.src") < F.col("e1.dst"))
+        .select(
+            F.col("e1.src").alias("src"),
+            F.col("e1.dst").alias("dst"),
+            F.round(F.col("e1.cos"), 6).alias("cos"),
+            F.col("e1.rnk").cast("bigint").alias("rnk_fwd"),
+            F.col("e2.rnk").cast("bigint").alias("rnk_rev"),
+        )
+    )

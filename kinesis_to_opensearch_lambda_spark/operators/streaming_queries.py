@@ -587,3 +587,88 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT coalesce(n.n_name, 'unknown') AS nation,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+    doc="Stream-static broadcast enrichment, the canonical streaming "
+    "lookup-join: a live event stream joined per-micro-batch against a "
+    "slowly-changing dimension snapshot (customer -> nation), then a "
+    "streaming aggregation — the pattern behind every 'enrich events "
+    "with account metadata' pipeline.  Runs a REAL StreamingQuery: 3 "
+    "mtime-ordered parquet micro-batches drain under availableNow; the "
+    "static side is a broadcast hash join INSIDE each micro-batch (the "
+    "dim is re-resolved per batch, which is what makes stream-static "
+    "joins safe for dimension updates; no state store is involved, "
+    "unlike stream-stream joins), and the complete-mode aggregate's "
+    "final emission equals the batch ground truth.  At 100 TB/day the "
+    "dim stays executor-resident (broadcast once per batch) and the "
+    "only streaming state is the tiny per-nation count map.",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="stream_enrich_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+        os.makedirs(f"{d}/src", exist_ok=True)
+        for b in (0, 1, 2):
+            tmp = f"{d}/tmp{b}"
+            ev.filter(F.col("event_id") % 3 == b).coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+            dst = f"{d}/src/b{b}.parquet"
+            shutil.move(f"{tmp}/{part}", dst)
+            os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
+        stream = (
+            spark.readStream.schema("event_id bigint, user_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/src")
+        )
+        dim = (
+            load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_nationkey")
+            .join(
+                load_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                ),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+                "left",
+            )
+            .select(F.col("c_custkey").alias("user_id"), "n_name")
+        )
+        enriched = stream.join(F.broadcast(dim), "user_id", "left").select(
+            F.coalesce("n_name", F.lit("unknown")).alias("nation")
+        )
+        agg = enriched.groupBy("nation").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events")
+        )
+        name = f"enrich_{uuid.uuid4().hex[:12]}"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        # complete mode rewrites the whole table each batch; counts only
+        # grow, so max per key == the final (fully-drained) emission
+        return (
+            spark.table(name)
+            .groupBy("nation")
+            .agg(F.max("n_events").cast("bigint").alias("n_events"))
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -63,6 +63,7 @@ from .operators import (  # noqa: E402,F401
     graph_queries,
     quality_queries,
     source_queries,
+    timeseries_queries,
 )
 
 # ---------------------------------------------------------------------------

@@ -398,3 +398,58 @@ def test_degree_distribution_two_aggregations(spark):
     plan = plan_string(df)
     assert "NestedLoop" not in plan, plan
     assert not python_eval_nodes(df)
+
+
+def test_rollup_hierarchy_one_scan_one_shuffle(spark):
+    """Hypertable rollup: GROUPING SETS must expand AFTER a single
+    events scan and ride ONE exchange (partial agg on the finest grain,
+    coarser grains from the same partials) — the whole point vs three
+    separate scan+agg jobs."""
+    from kinesis_to_opensearch_lambda_spark.plans import read_schemas
+
+    df = q(spark, "rollup_time_hierarchy")
+    assert len(read_schemas(df)) == 1
+    assert shuffle_exchange_count(df) == 1
+
+
+def test_iqr_outliers_single_exchange(spark):
+    """Rank window, quartile-lookup window, and final groupBy all hash
+    on event_type: Catalyst must reuse the one exchange (integer-exact
+    quantile via rank arithmetic costs no extra shuffle over the naive
+    percentile window)."""
+    df = q(spark, "anomaly_iqr_outliers")
+    assert shuffle_exchange_count(df) == 1
+    assert not python_eval_nodes(df)
+
+
+def test_asof_nearest_single_exchange(spark):
+    """Bidirectional nearest as-of: backward and forward carries are two
+    window sorts over the SAME user_id partitioning — one exchange, no
+    non-equi join nodes."""
+    df = q(spark, "join_asof_nearest")
+    plan = plan_string(df)
+    assert shuffle_exchange_count(df) == 1
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_common_neighbors_hash_joins_and_broadcast_degrees(spark):
+    """Neighbor-Jaccard wedge join must be a hash equi-join on user_id
+    (the item< predicate is a post-join filter), and both degree lookups
+    must broadcast (item dictionary-sized)."""
+    df = q(spark, "graph_common_neighbors")
+    plan = plan_string(df)
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert broadcast_join_count(df) >= 2
+
+
+def test_knn_graph_no_allpairs(spark):
+    """Mutual-kNN graph: candidate generation must be the LSH bucket
+    equi-join (hash join), never an all-pairs nested-loop/cartesian;
+    the mutuality check joins two k-bounded edge lists."""
+    df = q(spark, "ann_knn_graph_mutual")
+    plan = plan_string(df)
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert not python_eval_nodes(df)
