@@ -617,3 +617,99 @@ def anomaly_hourly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("zscore"),
         )
     )
+
+
+@register(
+    "window_event_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), c AS (
+      SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS n
+      FROM s WHERE nxt IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT src, dst, n,
+           CAST((100 * n) // sum(n) OVER (PARTITION BY src) AS BIGINT)
+             AS pct_of_src
+    FROM c
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences (the product-analytics 'what do users do next' query): "
+    "lead() over (user, ts, event_id) forms consecutive pairs — the "
+    "unique event_id tie-break keeps peer ordering engine-identical — "
+    "then pair counts and an integer row-percentage (100*n DIV "
+    "row-total, never a float ordering).  Plan: one exchange on "
+    "user_id for the sequence window, one on the (src,dst) pair "
+    "aggregate, and the tiny type-by-type matrix rides a final "
+    "src-partitioned window.  At 100 TB the sequence window is the "
+    "sessionization shuffle shape (hash on user, sort by time in "
+    "task), and the transition matrix is dictionary-bounded however "
+    "large the stream.",
+)
+def window_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = events.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    c = s.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ws = Window.partitionBy("src")
+    return c.select(
+        "src",
+        "dst",
+        "n",
+        F.floor((100 * F.col("n")) / F.sum("n").over(ws))
+        .cast("bigint")
+        .alias("pct_of_src"),
+    )
+
+
+@register(
+    "window_sliding_distinct_users",
+    oracle="""
+    WITH starts AS (
+      SELECT user_id,
+             make_timestamp(
+               (epoch_us(ts) - epoch_us(ts) % 900000000) - i.i * 900000000
+             ) AS win_start
+      FROM events, range(4) i(i)
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM starts
+    GROUP BY 1
+    """,
+    doc="Sliding-window DISTINCT aggregation (rolling hourly active "
+    "users at 15-minute resolution): each event expands to its 4 "
+    "overlapping epoch-aligned window starts (explode of a 4-element "
+    "sequence — the same overlap factor the streaming sliding window "
+    "pays in state), then count(DISTINCT user_id) per window.  "
+    "Distinct-within-window is what tumbling pre-aggregation CANNOT "
+    "deliver (distinct is not a mergeable monoid), so the expand-then-"
+    "exact-distinct shape is the honest cost; at 100 TB the standard "
+    "relaxation is approx_count_distinct or an HLL-sketch partial per "
+    "tumbling slice, both one-line swaps here.  Shuffles: the "
+    "two-phase distinct aggregate on (window, user).",
+)
+def window_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    hop = 900  # 15 min
+    win_start = F.expr(
+        f"timestamp_seconds(unix_timestamp(ts) DIV {hop} * {hop} - i * {hop})"
+    )
+    exploded = events.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"), "ts"
+    ).select("user_id", win_start.alias("win_start"))
+    return exploded.groupBy(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start")
+    ).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries import register
+from ..queries import REGISTRY, register
 from ..sources.batch import fan_out, load_table
 from . import multimodal as MM
 
@@ -215,4 +215,72 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_mutation_pairs"),
+    )
+
+
+@register(
+    "mm_av_sync_join",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id,
+             CAST(frame_idx AS INT) AS frame_idx,
+             CAST(frame_idx AS BIGINT) * 4096 AS byte_offset
+      FROM (
+        SELECT doc_id,
+               unnest(range(octet_length(encode(text)) % 5 + 1)) AS frame_idx
+        FROM documents
+      )
+    ), wins AS (
+      SELECT doc_id,
+             CAST(win_idx AS INT) AS win_idx,
+             CAST(win_idx AS BIGINT) * 512 AS start_byte,
+             least(CAST(win_idx AS BIGINT) * 512 + 1024, n_bytes) AS end_byte
+      FROM (
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+               unnest(range((octet_length(encode(text)) + 511) // 512)) AS win_idx
+        FROM documents
+      )
+      WHERE CAST(win_idx AS BIGINT) * 512 < n_bytes
+    )
+    SELECT f.doc_id, f.frame_idx, w.win_idx,
+           f.byte_offset - w.start_byte AS offset_in_win
+    FROM frames f JOIN wins w
+      ON f.doc_id = w.doc_id
+     AND f.byte_offset >= w.start_byte
+     AND f.byte_offset < w.start_byte + 1024
+    """,
+    doc="Cross-modal alignment: every sampled video frame joined to the "
+    "audio window(s) covering its byte position — the A/V "
+    "synchronization primitive a multimodal training pipeline needs "
+    "before pairing frame features with audio features.  Both sides "
+    "come from the same Arrow-batched fan-outs as mm_frame_extract / "
+    "mm_audio_windows; the join is an EQUI-join on doc_id with the "
+    "byte-interval predicate as a post-join filter (never a "
+    "nested-loop interval join), and the 1024/512 overlap bounds "
+    "matches at <=2 windows per frame.  At 100 TB alignment stays "
+    "per-document local — co-partitioning frames and windows by "
+    "doc_id makes the join shuffle-free after one exchange each side.",
+)
+def mm_av_sync_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    payload = MM.attach_binary_payload(docs)
+    frames = MM.extract_frames(payload).select(
+        F.col("doc_id").alias("f_doc"), "frame_idx", "byte_offset"
+    )
+    wins = REGISTRY["mm_audio_windows"].spark(spark, sf_dir).select(
+        F.col("doc_id").alias("w_doc"), "win_idx", "start_byte"
+    )
+    return (
+        frames.join(
+            wins,
+            (F.col("f_doc") == F.col("w_doc"))
+            & (F.col("byte_offset") >= F.col("start_byte"))
+            & (F.col("byte_offset") < F.col("start_byte") + 1024),
+        )
+        .select(
+            F.col("f_doc").alias("doc_id"),
+            "frame_idx",
+            "win_idx",
+            (F.col("byte_offset") - F.col("start_byte")).alias("offset_in_win"),
+        )
     )

@@ -419,3 +419,49 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ps").cast("bigint").alias("total_cents"),
         )
     )
+
+
+@register(
+    "diag_column_profile",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custkey,
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_price,
+           CAST(min(round(o_totalprice * 100)) AS BIGINT) AS min_cents,
+           CAST(max(round(o_totalprice * 100)) AS BIGINT) AS max_cents,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
+    FROM orders
+    """,
+    doc="One-scan column profile (the data-catalog summary every "
+    "warehouse ingests before query planning): several exact "
+    "count(DISTINCT) columns, an empty/null audit, and min/max bounds "
+    "computed together.  Catalyst compiles multi-distinct into a "
+    "single Expand + two-phase aggregate — ONE pass over the table "
+    "instead of one job per column (the naive profiler).  At 100 TB "
+    "high-cardinality columns swap to approx_count_distinct partials "
+    "per column while low-cardinality dictionary columns stay exact; "
+    "the single-scan Expand shape is identical.",
+)
+def diag_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("n_status"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("n_priority"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_custkey"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_price"),
+        F.min(F.round(F.col("o_totalprice") * 100, 0))
+        .cast("bigint")
+        .alias("min_cents"),
+        F.max(F.round(F.col("o_totalprice") * 100, 0))
+        .cast("bigint")
+        .alias("max_cents"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+    )

@@ -453,3 +453,32 @@ def test_knn_graph_no_allpairs(spark):
     assert "NestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert not python_eval_nodes(df)
+
+
+def test_column_profile_single_scan(spark):
+    """Multi-distinct profile must compile to ONE scan (Expand +
+    two-phase aggregate), not one job per column."""
+    from kinesis_to_opensearch_lambda_spark.plans import read_schemas
+
+    df = q(spark, "diag_column_profile")
+    assert len(read_schemas(df)) == 1
+    assert "Expand" in plan_string(df)
+
+
+def test_event_transitions_window_then_agg(spark):
+    """Markov transitions: sequence window shuffles on user_id, pair agg
+    on (src,dst), src-percentage window on the tiny matrix — and no
+    Python anywhere."""
+    df = q(spark, "window_event_transitions")
+    assert shuffle_exchange_count(df) <= 3
+    assert not python_eval_nodes(df)
+
+
+def test_av_sync_join_equi_not_nestedloop(spark):
+    """A/V alignment must join on doc_id as a hash equi-join with the
+    byte-interval predicate as a filter — never an interval
+    nested-loop."""
+    df = q(spark, "mm_av_sync_join")
+    plan = plan_string(df)
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Full-registry parity sweep at an arbitrary scale factor.
+
+Usage: python tools/sweep.py [SF_DIR] [CPUS]
+
+Runs every registered query against $SF_DIR (default /root/testdata/sf0.1)
+and compares rows + schema + value-hash with its DuckDB oracle — the same
+comparator strictness as the driver's CORRECTNESS gate.  This is the
+discipline that caught the round-4 stream-stream-join OOM: correctness at
+sf0.001 does not prove the plan survives 100x the data.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    cpus = sys.argv[2] if len(sys.argv) > 2 else "16"
+    from kinesis_to_opensearch_lambda_spark.queries import REGISTRY
+    from kinesis_to_opensearch_lambda_spark.session import get_session
+    from tests.oracle_compare import assert_parity
+
+    spark = get_session(app_name="sweep", cpus=cpus)
+    failed: list[str] = []
+    t_all = time.time()
+    for i, name in enumerate(sorted(REGISTRY)):
+        t0 = time.time()
+        try:
+            assert_parity(spark, name, sf_dir)
+            status = "ok"
+        except Exception as exc:  # noqa: BLE001 - record and continue
+            failed.append(name)
+            status = f"FAIL {str(exc)[:300]}"
+        print(
+            f"[{i + 1}/{len(REGISTRY)}] {name}: {status} "
+            f"({time.time() - t0:.1f}s)",
+            flush=True,
+        )
+    print(f"TOTAL {len(REGISTRY)} in {time.time() - t_all:.0f}s")
+    print("FAILED:", failed or "none")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
