@@ -1236,6 +1236,7 @@ _KNN_K = 3
 
 @register(
     "ann_knn_graph_mutual",
+    headline=True,
     oracle=f"""
     WITH bucketed AS MATERIALIZED (
       SELECT vec_id, embedding,

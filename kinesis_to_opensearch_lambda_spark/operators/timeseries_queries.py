@@ -20,6 +20,7 @@ from ..sources.batch import load_table
 
 @register(
     "rollup_time_hierarchy",
+    headline=True,
     oracle="""
     WITH base AS (
       SELECT strftime(ts, '%Y-%m-%d') AS day,

@@ -212,3 +212,75 @@ def test_minhash_collision_rate_tracks_jaccard(base, drop):
             collisions += ha == hb
     est = collisions / k
     assert abs(est - true_j) <= 0.2
+
+
+# --- integer rank-arithmetic quartiles (anomaly_iqr_outliers) ----------
+#
+# The query computes linear-interpolated quartiles in quarter-units with
+# pure integer math (position (n-1)*p, (4-f)*a + f*b).  Property: that
+# formula equals numpy's 'linear' percentile exactly, for any integer
+# multiset — i.e. the engine-exact integer form IS the textbook quartile,
+# not an approximation of it.
+
+
+def _quarter_quartile(vals: list[int], which: int) -> int:
+    """Integer quarter-units quartile: which=1 -> p25, 3 -> p75."""
+    s = sorted(vals)
+    n = len(s)
+    k = which * (n - 1)
+    lo, f = divmod(k, 4)
+    a = s[lo]
+    b = s[min(lo + 1, n - 1)]
+    return (4 - f) * a + f * b
+
+
+@given(
+    st.lists(st.integers(min_value=-10**9, max_value=10**9), min_size=1, max_size=300)
+)
+def test_rank_quartile_matches_numpy_linear(vals):
+    import numpy as np
+
+    for which, p in ((1, 25), (3, 75)):
+        mine = _quarter_quartile(vals, which)
+        ref = float(np.percentile(np.array(vals, dtype="float64"), p)) * 4
+        assert abs(mine - ref) < 1e-6, (vals, which, mine, ref)
+
+
+# --- bidirectional nearest as-of (join_asof_nearest) -------------------
+#
+# Property: the backward/forward carry + tie-break rule picks exactly the
+# brute-force nearest-within-tolerance (backward on ties), for any event
+# and order day sets.
+
+
+def _nearest_pick(ev_day: int, order_days: list[int], tol: int):
+    back = max((d for d in order_days if d <= ev_day), default=None)
+    fwd = min((d for d in order_days if d >= ev_day), default=None)
+    bg = ev_day - back if back is not None else None
+    fg = fwd - ev_day if fwd is not None else None
+    # the query's selection rule
+    if bg is not None and bg <= tol and (fg is None or fg > tol or bg <= fg):
+        return ("back", back, bg)
+    if fg is not None and fg <= tol:
+        return ("fwd", fwd, fg)
+    return None
+
+
+@given(
+    st.integers(min_value=0, max_value=1000),
+    st.lists(st.integers(min_value=-200, max_value=1200), max_size=30),
+    st.integers(min_value=0, max_value=400),
+)
+def test_asof_nearest_rule_is_bruteforce_nearest(ev_day, order_days, tol):
+    picked = _nearest_pick(ev_day, order_days, tol)
+    in_tol = [d for d in order_days if abs(d - ev_day) <= tol]
+    if not in_tol:
+        assert picked is None
+        return
+    assert picked is not None
+    direction, day, gap = picked
+    best = min(abs(d - ev_day) for d in in_tol)
+    assert gap == best
+    # backward wins ties
+    if any(ev_day - d == best for d in in_tol) and direction == "fwd":
+        raise AssertionError(f"tie not resolved backward: {picked}")
