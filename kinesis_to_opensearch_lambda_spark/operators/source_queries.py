@@ -109,3 +109,55 @@ def _agg_by_type(df: DataFrame) -> DataFrame:
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
         F.sum("cents").cast("bigint").alias("total_cents"),
     )
+
+
+@register(
+    "source_partitioned_pruning",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
+    GROUP BY 1, 2
+    """,
+    doc="Hive-partitioned output layout + partition pruning, end to "
+    "end: events are written partitioned by day "
+    "(write.partitionBy('day')), read back with a single-day filter, "
+    "and the scan must touch ONLY that day's directory — Catalyst "
+    "turns the filter into a PartitionFilter resolved against the "
+    "file listing, so unselected partitions are never opened (the "
+    "plan-level assertion lives in tests/test_plans.py).  This is THE "
+    "dominant cost lever on a 100 TB time-series lake: a day filter "
+    "over a year of data prunes ~99.7% of bytes before any IO, and "
+    "the same mechanism serves the daily-index routing the reference "
+    "does per-record (lambda_function.py:117) as a storage layout.  "
+    "The pruned day is chosen with a tiny min() subquery (1-row "
+    "driver value), mirrored exactly in the oracle.",
+)
+def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tempfile.mkdtemp(prefix="part_layout_")
+    try:
+        ev = fan_out(load_table(spark, sf_dir, "events")).select(
+            "event_id",
+            "event_type",
+            "ts",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        ev.write.mode("overwrite").partitionBy("day").parquet(f"{d}/events")
+        back = spark.read.parquet(f"{d}/events")
+        min_day = (
+            back.agg(F.min("day").alias("m")).collect()[0]["m"]
+        )  # 1-row driver value: the partition predicate must be a literal
+        pruned = back.filter(F.col("day") == min_day)
+        out = pruned.groupBy(
+            # partition-column type inference may surface `day` as DATE;
+            # pin the output dtype to the oracle's string form
+            F.col("day").cast("string").alias("day"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        # materialize before the temp dir disappears (recompute-safe)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -482,3 +482,28 @@ def test_av_sync_join_equi_not_nestedloop(spark):
     plan = plan_string(df)
     assert "NestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_partitioned_layout_prunes_at_listing(spark, tmp_path):
+    """partitionBy('day') layout + day-literal filter must become a
+    PartitionFilter (pruned at file listing, before any IO) — the
+    mechanism source_partitioned_pruning packages as a query."""
+    from kinesis_to_opensearch_lambda_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    out = str(tmp_path / "ev_part")
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    back = spark.read.parquet(out)
+    one_day = back.agg(F.min("day")).collect()[0][0]
+    df = back.filter(F.col("day") == one_day)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    # the day predicate must appear in the partition filters, meaning it
+    # prunes directories at listing time rather than filtering rows
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1), plan
