@@ -522,3 +522,74 @@ def corpus_quality_vs_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dup_frac"),
     )
+
+
+@register(
+    "curation_ablation_curve",
+    oracle=f"""
+    WITH scored AS (
+      SELECT least(({_SQL_TRAIN_SCORE_I}) // 100000, 9) AS band,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), per_band AS (
+      SELECT band,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM scored GROUP BY band
+    )
+    SELECT band,
+           CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+           CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST((100 * sum(n_tokens) OVER w)
+                // (sum(n_tokens) OVER ()) AS BIGINT) AS retained_pct
+    FROM per_band
+    WINDOW w AS (ORDER BY band DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Quality-threshold ablation curve in ONE scan: documents bucket "
+    "into 10 fixed quality bands, and for every candidate cutoff "
+    "'keep bands >= b' the curve reports surviving docs, surviving "
+    "tokens, and the integer retained-token percentage — the table a "
+    "curation planner reads to pick the cutoff that hits a token "
+    "budget, without re-running the pipeline once per threshold.  "
+    "Plan: one scan + one 10-row aggregate; the cumulative window "
+    "runs over the dictionary-bounded band table (single partition "
+    "over <=10 rows — same audited pattern as corpus_zipf_fit), so "
+    "the 100 TB cost is the scan, full stop.",
+)
+def curation_ablation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import words
+    from .training_queries import _score_i
+
+    docs = _docs(spark, sf_dir)
+    # _score_i depends on `text`; compute it in a prior projection
+    scored = docs.select(
+        _score_i().alias("score_i"),
+        F.size(words(F.col("text"))).cast("bigint").alias("n_tokens"),
+    ).select(
+        F.least(F.expr("score_i div 100000"), F.lit(9)).cast("bigint").alias("band"),
+        "n_tokens",
+    )
+    per_band = scored.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.orderBy(F.col("band").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_band.select(
+        "band",
+        F.sum("n_docs").over(w).cast("bigint").alias("cum_docs"),
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        F.floor(
+            (100 * F.sum("n_tokens").over(w)) / F.sum("n_tokens").over(wt)
+        )
+        .cast("bigint")
+        .alias("retained_pct"),
+    )
