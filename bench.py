@@ -121,16 +121,38 @@ def _regressions_vs_previous_round(timings: dict[str, float]) -> dict | None:
             prev = json.load(f)
     except (OSError, ValueError):
         return None
+    # driver-recorded BENCH files wrap the JSON line under "parsed";
+    # locally-written ones are flat — accept both shapes
+    if "queries" not in prev and isinstance(prev.get("parsed"), dict):
+        prev = prev["parsed"]
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     if str(prev.get("sf")) != sf:
         return None
     prev_q = prev.get("queries", {})
-    regressed = {
-        name: [prev_q[name], sec]
+    ratios = {
+        name: sec / prev_q[name]
         for name, sec in timings.items()
-        if name in prev_q and prev_q[name] > 0 and sec > 1.5 * prev_q[name]
+        if name in prev_q and prev_q[name] > 0
     }
-    return {"baseline": os.path.basename(prev_path), "regressed": regressed}
+    if not ratios:
+        return {"baseline": os.path.basename(prev_path), "regressed": {}}
+    # Rounds run on different sandbox hosts: an ambient speed delta shifts
+    # EVERY query by the same factor (observed 1.3-1.5x host-to-host on
+    # untouched queries).  Normalize by the median ratio so the guard
+    # flags only queries that regressed RELATIVE to the fleet — i.e. a
+    # plan change — not a slower machine.
+    drift = statistics.median(ratios.values())
+    threshold = 1.5 * max(1.0, drift)
+    regressed = {
+        name: [prev_q[name], timings[name]]
+        for name, r in ratios.items()
+        if r > threshold
+    }
+    return {
+        "baseline": os.path.basename(prev_path),
+        "host_drift_median_ratio": round(drift, 3),
+        "regressed": regressed,
+    }
 
 
 if __name__ == "__main__":

@@ -389,3 +389,83 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_pct"),
         )
     )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unroll the k-core peel as sequential CTE rounds."""
+    parts = [f"e0 AS MATERIALIZED (SELECT u, v FROM e)"]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT unnest([u, v]) AS node FROM e{p})
+      GROUP BY node
+    ), keep{i} AS MATERIALIZED (
+      SELECT node FROM d{i} WHERE deg >= {k}
+    ), e{i} AS MATERIALIZED (
+      SELECT u, v FROM e{p}
+      WHERE u IN (SELECT node FROM keep{i})
+        AND v IN (SELECT node FROM keep{i})
+    )"""
+        )
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT {i} AS round,
+           (SELECT count(*) FROM keep{i})::BIGINT AS n_nodes,
+           (SELECT count(*) FROM e{i})::BIGINT AS n_edges"""
+        for i in range(1, rounds + 1)
+    )
+    return f"WITH {', '.join(parts)}\n{rows}"
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=f"""
+    WITH {_SQL_CO_ORDER_EDGES},
+    {_kcore_oracle(_KCORE_K, _KCORE_ROUNDS).split('WITH ', 1)[1]}
+    """,
+    doc=f"Iterative k-core peeling (k={_KCORE_K}, {_KCORE_ROUNDS} "
+    "rounds) over the part-part co-order graph: each round drops nodes "
+    f"with degree < {_KCORE_K} and the edges touching them, reporting "
+    "surviving node/edge counts per round — the standard dense-"
+    "subgraph/spam-cluster extraction pass (a near-dup cluster that "
+    "survives peeling is structural, not incidental).  Peeling is the "
+    "third iterative-graph discipline next to PageRank and LPA: per "
+    "round one degree aggregation + two semi-joins on int keys, all "
+    "integer-exact so the oracle unrolls the identical rounds as "
+    "CTEs.  At 100 TB each round shuffles only (int,int) edges, "
+    "rounds are O(E), and a production run would iterate to fixpoint "
+    "with lineage checkpointing exactly as operators.graph.pagerank "
+    "does (bounded rounds keep the oracle finite here).",
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _co_order_edges(spark, sf_dir)
+    rows = []
+    cur = e
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            cur.select(F.explode(F.array("u", "v")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+        rows.append(
+            keep.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+            .crossJoin(
+                cur.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+            )
+            .select(F.lit(rnd).cast("int").alias("round"), "n_nodes", "n_edges")
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

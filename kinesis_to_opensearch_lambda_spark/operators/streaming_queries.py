@@ -672,3 +672,91 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "streaming_incremental_mv",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Incremental materialized-view maintenance from a stream — the "
+    "foreachBatch MERGE pattern every lakehouse runs: each micro-batch "
+    "is pre-aggregated to partial states (count + integer-cents sum, "
+    "both commutative monoids), merged with the current MV snapshot by "
+    "re-aggregation, and published as a NEW versioned parquet snapshot "
+    "(write-new-then-repoint, never overwrite-in-place — the read side "
+    "always sees a complete version).  3 mtime-ordered micro-batches "
+    "drain under availableNow; the final snapshot must equal the "
+    "batch ground truth, which PROVES the merge identity (the same "
+    "identity incremental_agg_merge verifies batch-side).  At 100 TB "
+    "the MV stays aggregate-sized however large the stream, each merge "
+    "touches only |MV| + |delta| rows, and a non-monoid aggregate "
+    "(distinct) would need a sketch partial instead — documented, not "
+    "hidden.",
+)
+def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="stream_mv_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        os.makedirs(f"{d}/src", exist_ok=True)
+        for b in (0, 1, 2):
+            tmp = f"{d}/tmp{b}"
+            ev.filter(F.col("event_id") % 3 == b).select(
+                "event_type", "cents"
+            ).coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+            dst = f"{d}/src/b{b}.parquet"
+            shutil.move(f"{tmp}/{part}", dst)
+            os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
+        stream = (
+            spark.readStream.schema("event_type string, cents bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/src")
+        )
+        state = {"current": None}
+
+        def merge_batch(batch_df, batch_id):
+            delta = batch_df.groupBy("event_type").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum("cents").cast("bigint").alias("total_cents"),
+            )
+            if state["current"] is not None:
+                cur = spark.read.parquet(state["current"])
+                delta = (
+                    cur.unionByName(delta)
+                    .groupBy("event_type")
+                    .agg(
+                        F.sum("n_events").cast("bigint").alias("n_events"),
+                        F.sum("total_cents").cast("bigint").alias("total_cents"),
+                    )
+                )
+            new_version = f"{d}/mv/v{batch_id}"
+            delta.write.mode("overwrite").parquet(new_version)
+            state["current"] = new_version
+
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        final = spark.read.parquet(state["current"])
+        # materialize before the temp dir disappears (recompute-safe)
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
