@@ -1300,19 +1300,33 @@ def ann_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn = scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= _KNN_K
     )
-    e1, e2 = knn.alias("e1"), knn.alias("e2")
+    # Mutuality WITHOUT a self-join: a knn-join-knn plan recomputes the
+    # candidate join + top-k window for BOTH sides (no common-subplan
+    # reuse in Catalyst).  Instead symmetrize each directed edge onto
+    # its canonical (min,max) key and groupBy: a pair seen from both
+    # endpoints has count 2 — one extra shuffle of k*n 16-byte keys,
+    # and the expensive stage runs exactly once.
+    sym = knn.select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+        "cos",
+        F.when(F.col("src") < F.col("dst"), F.col("rnk")).alias("fwd"),
+        F.when(F.col("src") > F.col("dst"), F.col("rnk")).alias("rev"),
+    )
     return (
-        e1.join(
-            e2,
-            (F.col("e1.src") == F.col("e2.dst"))
-            & (F.col("e1.dst") == F.col("e2.src")),
+        sym.groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_dir"),
+            F.round(F.max("cos"), 6).alias("cos"),
+            F.max("fwd").cast("bigint").alias("rnk_fwd"),
+            F.max("rev").cast("bigint").alias("rnk_rev"),
         )
-        .filter(F.col("e1.src") < F.col("e1.dst"))
+        .filter(F.col("n_dir") == 2)
         .select(
-            F.col("e1.src").alias("src"),
-            F.col("e1.dst").alias("dst"),
-            F.round(F.col("e1.cos"), 6).alias("cos"),
-            F.col("e1.rnk").cast("bigint").alias("rnk_fwd"),
-            F.col("e2.rnk").cast("bigint").alias("rnk_rev"),
+            F.col("a").alias("src"),
+            F.col("b").alias("dst"),
+            "cos",
+            "rnk_fwd",
+            "rnk_rev",
         )
     )
