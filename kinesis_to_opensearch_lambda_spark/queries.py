@@ -64,6 +64,7 @@ from .operators import (  # noqa: E402,F401
     quality_queries,
     source_queries,
     timeseries_queries,
+    maintenance_queries,
 )
 
 # ---------------------------------------------------------------------------
