@@ -83,6 +83,7 @@ ARROW_ALLOWLIST = {
     "mm_frame_extract",
     "mm_audio_windows",
     "mm_phash_neardup",
+    "mm_av_sync_join",  # composes the two Arrow fan-outs above
     "grouped_map_regression",
     "emb_gram_matrix",
 }

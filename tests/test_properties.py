@@ -284,3 +284,42 @@ def test_asof_nearest_rule_is_bruteforce_nearest(ev_day, order_days, tol):
     # backward wins ties
     if any(ev_day - d == best for d in in_tol) and direction == "fwd":
         raise AssertionError(f"tie not resolved backward: {picked}")
+
+
+# --- z-order interleave (maintenance_zorder_skipping) ------------------
+
+
+def _interleave_py(x: int, y: int, bits: int = 10) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(deadline=None, max_examples=30)
+@given(
+    st.integers(min_value=0, max_value=1023),
+    st.integers(min_value=0, max_value=1023),
+    st.integers(min_value=0, max_value=1023),
+    st.integers(min_value=0, max_value=1023),
+)
+def test_zorder_interleave_bijective_and_monotone(x1, y1, x2, y2):
+    """The SQL interleave expression must (a) be injective over the
+    10-bit grid (distinct cells -> distinct keys, so bucket boundaries
+    are well-defined) and (b) agree with the reference bit-weave."""
+    from kinesis_to_opensearch_lambda_spark.operators.maintenance_queries import (
+        _sql_interleave,
+    )
+    import duckdb
+
+    z1 = _interleave_py(x1, y1)
+    z2 = _interleave_py(x2, y2)
+    if (x1, y1) != (x2, y2):
+        assert z1 != z2
+    # SQL expression == python reference
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {_sql_interleave(str(x1), str(y1))}"
+    ).fetchone()[0]
+    assert got == z1
