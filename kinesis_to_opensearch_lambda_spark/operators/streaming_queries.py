@@ -760,3 +760,99 @@ def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, final.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "streaming_python_datasource",
+    oracle="""
+    SELECT event_type AS performer_kind, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Custom STREAMING source in pure Python (Spark 4 "
+    "SimpleDataSourceStreamReader): the Kinesis-envelope connector's "
+    "streaming half tracks offsets as files-consumed, serves one file "
+    "per read() call (so each envelope file is its own micro-batch), "
+    "and implements readBetweenOffsets for deterministic replay after "
+    "restart — the exactly-once contract a checkpointed source must "
+    "honor, re-expressed in Python where no JVM connector jar exists "
+    "(sources/python_datasource.py).  The query runs a REAL "
+    "StreamingQuery: 3 envelope files drain micro-batch-by-micro-batch "
+    "into a complete-mode aggregate whose final emission must equal "
+    "the batch ground truth.  Downstream of the scan everything is "
+    "codegen'd DataFrame ops (unbase64 / get_json_object / hash agg).",
+)
+def streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..sources.kinesis import audit_events_from_events, kinesis_envelope
+    from ..sources.python_datasource import KinesisEnvelopeJsonlSource
+
+    try:
+        spark.dataSource.register(KinesisEnvelopeJsonlSource)
+    except Exception:  # already registered in this session
+        pass
+    d = tempfile.mkdtemp(prefix="stream_pyds_")
+    try:
+        ev = fan_out(load_table(spark, sf_dir, "events"))
+        env = kinesis_envelope(audit_events_from_events(ev)).withColumn(
+            "value",
+            F.to_json(
+                F.struct(
+                    F.struct(F.col("kinesis_data").alias("data")).alias("kinesis")
+                )
+            ),
+        )
+        os.makedirs(f"{d}/env", exist_ok=True)
+        # 3 single-file batches, named part-* for the reader's listing;
+        # the envelope carries only the payload column, so split by a
+        # deterministic hash of it
+        for b in (0, 1, 2):
+            tmp = f"{d}/tmp{b}"
+            env.filter(F.crc32(F.col("kinesis_data")) % 3 == b).select(
+                "value"
+            ).coalesce(1).write.mode("overwrite").text(tmp)
+            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+            shutil.move(f"{tmp}/{part}", f"{d}/env/part-{b:03d}.jsonl")
+        stream = (
+            spark.readStream.format("kinesis_envelope_jsonl")
+            .option("path", f"{d}/env")
+            .load()
+        )
+        decoded = stream.select(
+            F.unbase64(F.col("kinesis_data")).cast("string").alias("payload")
+        ).select(
+            F.get_json_object("payload", "$.performer_kind").alias(
+                "performer_kind"
+            )
+        )
+        agg = decoded.groupBy("performer_kind").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        name = f"pyds_{uuid.uuid4().hex[:12]}"
+        # NOT availableNow: the prefetch-based simple stream reader's
+        # "available" snapshot races the per-file offset walk and can
+        # under-drain; processAllAvailable() blocks until read() reports
+        # no new data (idx == n_files), then the query stops cleanly.
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        q.awaitTermination(600)
+        return (
+            spark.table(name)
+            .groupBy("performer_kind")
+            .agg(F.max("n").cast("bigint").alias("n"))
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -21,7 +21,12 @@ checkpoint range; the per-partition generator shape is identical.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class EnvelopeFilePartition(InputPartition):
@@ -41,6 +46,9 @@ class KinesisEnvelopeJsonlSource(DataSource):
 
     def reader(self, schema) -> "KinesisEnvelopeJsonlReader":  # noqa: ANN001
         return KinesisEnvelopeJsonlReader(self.options)
+
+    def simpleStreamReader(self, schema):  # noqa: ANN001, ANN201
+        return KinesisEnvelopeJsonlStreamReader(self.options)
 
 
 class KinesisEnvelopeJsonlReader(DataSourceReader):
@@ -68,3 +76,56 @@ class KinesisEnvelopeJsonlReader(DataSourceReader):
                     continue
                 rec = json.loads(line)
                 yield (rec["kinesis"]["data"],)
+
+
+class KinesisEnvelopeJsonlStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the connector: offset = files consumed.
+
+    One file per `read()` call, so every envelope file becomes its own
+    micro-batch (the same drain shape the file-source streaming queries
+    pin with maxFilesPerTrigger=1); `readBetweenOffsets` replays a
+    committed range deterministically after restart — the contract that
+    makes the source exactly-once under checkpointing.
+    """
+
+    def __init__(self, options) -> None:  # noqa: ANN001
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kinesis_envelope_jsonl requires a path")
+
+    def _files(self):  # noqa: ANN202
+        import glob
+        import os
+
+        return sorted(glob.glob(os.path.join(self.path, "part-*")))
+
+    def _rows_of(self, path: str):  # noqa: ANN202
+        import json
+
+        out = []
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    out.append((json.loads(line)["kinesis"]["data"],))
+        return out
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def read(self, start: dict):  # noqa: ANN201 - base signature
+        files = self._files()
+        i = int(start["idx"])
+        if i >= len(files):
+            return iter([]), {"idx": i}
+        return iter(self._rows_of(files[i])), {"idx": i + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: ANN201
+        files = self._files()
+        rows = []
+        for p in files[int(start["idx"]) : int(end["idx"])]:
+            rows.extend(self._rows_of(p))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass
