@@ -982,3 +982,124 @@ def dedup_prefix_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def _sql_mh(hashed_expr: str, i: int) -> str:
+    from ..functions import MINHASH_A, MINHASH_B
+
+    return (
+        f"list_min(list_transform({hashed_expr}, "
+        f"h -> (h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {HASH_PRIME}))"
+    )
+
+
+@register(
+    "dedup_lsh_recall",
+    oracle=f"""
+    WITH probes AS (
+      SELECT doc_id, text AS text_a,
+             array_to_string((string_split(text, ' '))[2:], ' ') AS text_w,
+             array_to_string(
+               list_filter(string_split(text, ' '),
+                           (x, i) -> (i - 1) % 7 != 0), ' ') AS text_m,
+             array_to_string(
+               list_filter(string_split(text, ' '),
+                           (x, i) -> (i - 1) % 3 != 0), ' ') AS text_s
+      FROM documents WHERE doc_id < 50
+    ), pairs AS (
+      SELECT doc_id, 'weak' AS variant, text_a, text_w AS text_b FROM probes
+      UNION ALL
+      SELECT doc_id, 'medium', text_a, text_m FROM probes
+      UNION ALL
+      SELECT doc_id, 'strong', text_a, text_s FROM probes
+    ), hashed AS (
+      SELECT doc_id, variant,
+             {_sql_shingle_hashes("string_split(text_a, ' ')")} AS ha,
+             {_sql_shingle_hashes("string_split(text_b, ' ')")} AS hb,
+             list_distinct({sql_word_shingles("string_split(text_a, ' ')")}) AS sa,
+             list_distinct({sql_word_shingles("string_split(text_b, ' ')")}) AS sb
+      FROM pairs
+    )
+    SELECT doc_id, variant,
+           CAST((100 * len(list_intersect(sa, sb)))
+                // len(list_distinct(list_concat(sa, sb))) AS BIGINT)
+             AS jaccard_pct,
+           CAST(CASE WHEN {" OR ".join(
+               f"({_sql_mh('ha', 2 * b)} = {_sql_mh('hb', 2 * b)}"
+               f" AND {_sql_mh('ha', 2 * b + 1)} = {_sql_mh('hb', 2 * b + 1)})"
+               for b in range(4)
+           )} THEN 1 ELSE 0 END AS BIGINT) AS band_collide
+    FROM hashed
+    """,
+    doc="LSH recall harness — the eval every near-dup pipeline owes its "
+    "operators: 50 documents paired with a WEAK mutation (drop first "
+    "word, high Jaccard) and a STRONG one (drop every 3rd word, low "
+    "Jaccard), and for each pair the EXACT 3-shingle Jaccard (integer "
+    "percent) is reported next to whether the production 8-hash/4-band "
+    "MinHash-LSH banding would have caught it — recall as a measured "
+    "function of similarity, same banding constants as "
+    "dedup_minhash_lsh_pairs, so the numbers govern the real operator. "
+    "(The 1-based DuckDB list lambda index vs Spark's 0-based filter "
+    "index is aligned explicitly — an engine-portability trap worth "
+    "recording.)  All per-pair work is narrow/codegen; nothing "
+    "shuffles but the 100-row result.",
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import MINHASH_A, MINHASH_B, shingle_hashes
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    probes = docs.filter(F.col("doc_id") < 50)
+    w = words(F.col("text"))
+    weak = probes.select(
+        "doc_id",
+        F.lit("weak").alias("variant"),
+        F.col("text").alias("text_a"),
+        F.concat_ws(" ", F.slice(w, 2, F.size(w) - 1)).alias("text_b"),
+    )
+    medium = probes.select(
+        "doc_id",
+        F.lit("medium").alias("variant"),
+        F.col("text").alias("text_a"),
+        F.concat_ws(
+            " ", F.filter(w, lambda x, i: i % 7 != 0)
+        ).alias("text_b"),
+    )
+    strong = probes.select(
+        "doc_id",
+        F.lit("strong").alias("variant"),
+        F.col("text").alias("text_a"),
+        F.concat_ws(
+            " ", F.filter(w, lambda x, i: i % 3 != 0)
+        ).alias("text_b"),
+    )
+    pairs = weak.unionByName(medium).unionByName(strong)
+    # materialize shingle arrays before the HOF minhash transforms
+    staged = pairs.select(
+        "doc_id",
+        "variant",
+        shingle_hashes(word_shingles(words(F.col("text_a")))).alias("ha"),
+        shingle_hashes(word_shingles(words(F.col("text_b")))).alias("hb"),
+        F.array_distinct(word_shingles(words(F.col("text_a")))).alias("sa"),
+        F.array_distinct(word_shingles(words(F.col("text_b")))).alias("sb"),
+    )
+
+    def mh(col: str, i: int):
+        a, b = MINHASH_A[i], MINHASH_B[i]
+        return F.array_min(
+            F.transform(F.col(col), lambda h: (h * a + b) % HASH_PRIME)
+        )
+
+    collide = None
+    for b in range(4):
+        band_eq = (mh("ha", 2 * b) == mh("hb", 2 * b)) & (
+            mh("ha", 2 * b + 1) == mh("hb", 2 * b + 1)
+        )
+        collide = band_eq if collide is None else (collide | band_eq)
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_distinct(F.concat("sa", "sb")))
+    return staged.select(
+        "doc_id",
+        "variant",
+        F.floor((100 * inter) / union).cast("bigint").alias("jaccard_pct"),
+        F.when(collide, 1).otherwise(0).cast("bigint").alias("band_collide"),
+    )
