@@ -465,3 +465,69 @@ def diag_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
     )
+
+
+@register(
+    "quality_psi_drift",
+    oracle="""
+    WITH snap AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS snap,
+             least(CAST(round(value * 100) AS BIGINT) // 2000, 9) AS bin
+      FROM events
+    ), counts AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN snap = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN snap = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM snap GROUP BY bin
+    ), tot AS (
+      SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM counts
+    )
+    SELECT bin, n_a, n_b,
+           round(((n_a + 1)::DOUBLE / (ta + 10) - (n_b + 1)::DOUBLE / (tb + 10))
+                 * ln(((n_a + 1)::DOUBLE / (ta + 10))
+                      / ((n_b + 1)::DOUBLE / (tb + 10))), 6) AS psi_term
+    FROM counts, tot
+    """,
+    doc="Population-stability-index drift detection (the ML-ops check "
+    "run before every model refresh and training-data cut): the value "
+    "distribution is binned into 10 fixed-width buckets, two "
+    "deterministic snapshots (event_id parity stands in for "
+    "week-over-week) are compared per bin, and each bin reports its "
+    "Laplace-smoothed PSI term (p-q)*ln(p/q) — sum > 0.2 is the "
+    "conventional 'significant drift' alarm.  Fixed bin edges (never "
+    "quantile edges) are what make PSI mergeable and comparable across "
+    "runs; counts are exact integers, the only floats are the final "
+    "smoothed ratios, and both engines evaluate ln on identical "
+    "rationals so round(6) is stable (same discipline as the TF-IDF "
+    "ln).  One scan, one tiny aggregate; snapshots at 100 TB come from "
+    "partition pruning, not a second pass.",
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    snap = events.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("snap"),
+        F.least(
+            F.expr("CAST(round(value * 100) AS BIGINT) DIV 2000"), F.lit(9)
+        ).alias("bin"),
+    )
+    counts = snap.groupBy("bin").agg(
+        F.sum(F.when(F.col("snap") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("snap") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    p = (F.col("n_a") + 1).cast("double") / (F.col("ta") + 10)
+    q = (F.col("n_b") + 1).cast("double") / (F.col("tb") + 10)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
