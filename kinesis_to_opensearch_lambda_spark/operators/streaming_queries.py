@@ -856,3 +856,126 @@ def streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "streaming_session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       >= 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessioned AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessioned
+    GROUP BY user_id, sid
+    """,
+    doc="Native session_window aggregation through a real StreamingQuery "
+    "in APPEND mode (the only mode streaming session aggregations "
+    "support — update is rejected, a constraint this entry records): "
+    "30-minute-gap sessions per user with MERGING state across "
+    "micro-batches — the 3 batches are time-ordered thirds, so a "
+    "session genuinely spans batch boundaries and the state store "
+    "extends it incrementally (Spark interval-union semantics: an "
+    "event extends the session while it lands strictly before "
+    "prev_ts + gap; session_end = last event + gap).  Append emits a "
+    "session only once the watermark passes its close, and the LAST "
+    "session of every user would stay unflushed forever in a drained "
+    "run — so a 4th flush batch carries one far-future sentinel row "
+    "(user -1) that pushes the GLOBAL watermark past every real "
+    "session; the sentinel's own (still-open) session never emits and "
+    "real sessions all do.  That sentinel is the production "
+    "heartbeat/punctuation pattern for closing event-time state on "
+    "quiescent streams.",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="stream_sess_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+        # time-ordered thirds: ntile over a unique (ts, user_id) order so
+        # later batches never carry event-times behind the watermark
+        from pyspark.sql import Window as W
+
+        thirds = ev.withColumn(
+            "b", F.ntile(3).over(W.orderBy("ts", "user_id"))
+        )
+        os.makedirs(f"{d}/src", exist_ok=True)
+        for b in (1, 2, 3):
+            tmp = f"{d}/tmp{b}"
+            thirds.filter(F.col("b") == b).select("user_id", "ts").coalesce(
+                1
+            ).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+            dst = f"{d}/src/b{b}.parquet"
+            shutil.move(f"{tmp}/{part}", dst)
+            os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
+        # flush batch: one sentinel far past the data range closes all
+        # real sessions via the global watermark
+        tmp = f"{d}/tmp4"
+        ev.agg(
+            F.lit(-1).cast("bigint").alias("user_id"),
+            F.date_add(F.max("ts").cast("date"), 100)
+            .cast("timestamp")
+            .alias("ts"),
+        ).coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        dst = f"{d}/src/b4.parquet"
+        shutil.move(f"{tmp}/{part}", dst)
+        os.utime(dst, (1_000_000_400, 1_000_000_400))
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/src")
+        )
+        agg = (
+            stream.withWatermark("ts", "1 minute")
+            .groupBy(
+                F.col("user_id"),
+                F.session_window("ts", "30 minutes").alias("sw"),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+            .select(
+                "user_id",
+                F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_start"
+                ),
+                F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_end"
+                ),
+                "n_events",
+            )
+        )
+        name = f"sess_{uuid.uuid4().hex[:12]}"
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        # append emits each closed session exactly once; drop the sentinel
+        return spark.table(name).filter(F.col("user_id") >= 0)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
