@@ -469,3 +469,85 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+_BFS_HOPS = 3
+_BFS_SEEDS = 20
+
+
+@register(
+    "graph_bfs_reachability",
+    oracle=f"""
+    WITH {_SQL_CO_ORDER_EDGES}, und AS MATERIALIZED (
+      SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+    ), f0 AS MATERIALIZED (
+      SELECT DISTINCT u AS node FROM und WHERE u < {_BFS_SEEDS}
+    ), r1 AS MATERIALIZED (
+      SELECT DISTINCT e.v AS node FROM und e JOIN f0 ON e.u = f0.node
+    ), f1 AS MATERIALIZED (
+      SELECT node FROM r1 WHERE node NOT IN (SELECT node FROM f0)
+    ), r2 AS MATERIALIZED (
+      SELECT DISTINCT e.v AS node FROM und e JOIN f1 ON e.u = f1.node
+    ), f2 AS MATERIALIZED (
+      SELECT node FROM r2 WHERE node NOT IN (SELECT node FROM f0)
+        AND node NOT IN (SELECT node FROM f1)
+    ), r3 AS MATERIALIZED (
+      SELECT DISTINCT e.v AS node FROM und e JOIN f2 ON e.u = f2.node
+    ), f3 AS MATERIALIZED (
+      SELECT node FROM r3 WHERE node NOT IN (SELECT node FROM f0)
+        AND node NOT IN (SELECT node FROM f1)
+        AND node NOT IN (SELECT node FROM f2)
+    )
+    SELECT 0 AS hop, (SELECT count(*) FROM f0)::BIGINT AS n_new
+    UNION ALL SELECT 1, (SELECT count(*) FROM f1)::BIGINT
+    UNION ALL SELECT 2, (SELECT count(*) FROM f2)::BIGINT
+    UNION ALL SELECT 3, (SELECT count(*) FROM f3)::BIGINT
+    """,
+    doc=f"Multi-hop BFS reachability (frontier expansion, {_BFS_HOPS} "
+    f"hops from the {_BFS_SEEDS} lowest part ids) over the undirected "
+    "co-order graph: per hop, join the current frontier against the "
+    "edge list, subtract everything already visited (left-anti on the "
+    "visited set), report newly-reached counts — the neighborhood-"
+    "growth profile behind 'related products within k hops' and "
+    "contamination blast-radius queries.  Fourth iterative-graph "
+    "discipline next to PageRank/LPA/k-core: per hop ONE join shuffle "
+    "on int node keys + one anti-join; the visited set stays "
+    "(nodes)-sized.  At 100 TB production BFS iterates to frontier "
+    "exhaustion with lineage checkpoints (operators.graph); bounded "
+    "hops keep the oracle finite here.",
+)
+def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _co_order_edges(spark, sf_dir)
+    und = e.select("u", "v").unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    frontier = (
+        und.filter(F.col("u") < _BFS_SEEDS).select(F.col("u").alias("node")).distinct()
+    )
+    visited = frontier
+    rows = [
+        frontier.agg(
+            F.lit(0).cast("bigint").alias("hop"),
+            F.count(F.lit(1)).cast("bigint").alias("n_new"),
+        )
+    ]
+    for hop in range(1, _BFS_HOPS + 1):
+        reached = (
+            und.join(
+                frontier.withColumnRenamed("node", "u"), "u", "left_semi"
+            )
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        frontier = reached.join(visited, "node", "left_anti")
+        visited = visited.unionByName(frontier).distinct()
+        rows.append(
+            frontier.agg(
+                F.lit(hop).cast("bigint").alias("hop"),
+                F.count(F.lit(1)).cast("bigint").alias("n_new"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
