@@ -480,13 +480,15 @@ def diag_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CASE WHEN snap = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
       FROM snap GROUP BY bin
     ), tot AS (
-      SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM counts
+      SELECT bin, n_a, n_b,
+             sum(n_a) OVER () AS ta, sum(n_b) OVER () AS tb
+      FROM counts
     )
     SELECT bin, n_a, n_b,
            round(((n_a + 1)::DOUBLE / (ta + 10) - (n_b + 1)::DOUBLE / (tb + 10))
                  * ln(((n_a + 1)::DOUBLE / (ta + 10))
                       / ((n_b + 1)::DOUBLE / (tb + 10))), 6) AS psi_term
-    FROM counts, tot
+    FROM tot
     """,
     doc="Population-stability-index drift detection (the ML-ops check "
     "run before every model refresh and training-data cut): the value "
@@ -520,12 +522,20 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_b"),
     )
-    tot = counts.agg(
-        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    # totals via a window over the 10-row bin table: ONE lineage, so
+    # the events scan happens once (a separate agg + crossJoin branch
+    # would re-scan the table for the totals)
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tot = counts.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(w).alias("ta"),
+        F.sum("n_b").over(w).alias("tb"),
     )
     p = (F.col("n_a") + 1).cast("double") / (F.col("ta") + 10)
     q = (F.col("n_b") + 1).cast("double") / (F.col("tb") + 10)
-    return counts.crossJoin(F.broadcast(tot)).select(
+    return tot.select(
         "bin",
         "n_a",
         "n_b",

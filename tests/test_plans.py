@@ -508,3 +508,28 @@ def test_partitioned_layout_prunes_at_listing(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "day" in m.group(1), plan
+
+
+def test_lsh_recall_shuffle_free(spark):
+    """Recall harness: all per-pair work (mutation, shingles, minhash,
+    band compare, Jaccard) is narrow/codegen — zero exchanges."""
+    df = q(spark, "dedup_lsh_recall")
+    assert shuffle_exchange_count(df) == 0
+    assert not python_eval_nodes(df)
+
+
+def test_psi_drift_two_exchanges_max(spark):
+    """PSI: one scan, the bin aggregate's exchange, and the 1-row
+    totals broadcast — never a join shuffle."""
+    from kinesis_to_opensearch_lambda_spark.plans import read_schemas
+
+    df = q(spark, "quality_psi_drift")
+    assert len(read_schemas(df)) == 1
+    assert shuffle_exchange_count(df) <= 2
+    assert not python_eval_nodes(df)
+
+
+def test_iterative_graph_ops_no_python(spark):
+    """k-core peel and BFS frontier: int-key joins only, no Python."""
+    for name in ("graph_kcore_peel", "graph_bfs_reachability"):
+        assert not python_eval_nodes(q(spark, name)), name
