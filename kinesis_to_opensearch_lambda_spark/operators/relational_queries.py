@@ -1977,3 +1977,36 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("staleness_days"),
     )
+
+
+@register(
+    "agg_boolean_conditional",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT)
+             AS n_big,
+           CAST(bool_and(o_totalprice > 0) AS VARCHAR) AS all_positive,
+           CAST(bool_or(o_orderpriority = '1-URGENT') AS VARCHAR) AS any_urgent,
+           CAST(min(o_orderkey) AS BIGINT) AS exemplar_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Boolean/conditional aggregate surface: count_if (FILTER "
+    "clause), every/bool_and, some/bool_or, and a DETERMINISTIC "
+    "exemplar via min() — any_value() is explicitly avoided because "
+    "its result is partition-order dependent and would never survive "
+    "an engine-parity hash (the same discipline as the deterministic "
+    "mode() tie-break).  Booleans are cast to strings for a stable "
+    "cross-engine dtype.  All four ride the table's one aggregation "
+    "exchange.",
+)
+def agg_boolean_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 100000).cast("bigint").alias("n_big"),
+        F.every(F.col("o_totalprice") > 0).cast("string").alias("all_positive"),
+        F.some(F.col("o_orderpriority") == "1-URGENT")
+        .cast("string")
+        .alias("any_urgent"),
+        F.min("o_orderkey").cast("bigint").alias("exemplar_key"),
+    )

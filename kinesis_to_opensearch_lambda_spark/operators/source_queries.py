@@ -223,3 +223,46 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "source_corrupt_file_skip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    """,
+    doc="Corrupt-input resilience at the scan layer: the events table "
+    "is written as clean parquet, a garbage file wearing a .parquet "
+    "name is dropped into the same directory (the torn-upload / "
+    "truncated-object failure every object-store lake eventually "
+    "sees), and the read proceeds with ignoreCorruptFiles=true — the "
+    "scan skips the unreadable file instead of failing the job, and "
+    "the aggregate equals the clean ground truth.  Same containment "
+    "stance as the sink side's error handling (R11, "
+    "lambda_function.py:84-86: log, don't raise) applied to the "
+    "source side.  At 100 TB this is a per-read option, not a session "
+    "default — silent skipping is only safe when a reconciliation "
+    "count (exactly this query's shape) runs alongside.",
+)
+def source_corrupt_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tempfile.mkdtemp(prefix="src_corrupt_")
+    try:
+        ev = fan_out(load_table(spark, sf_dir, "events")).select(
+            "event_id", "event_type"
+        )
+        ev.write.mode("overwrite").parquet(f"{d}/ev")
+        with open(f"{d}/ev/part-corrupt.parquet", "wb") as fh:
+            fh.write(b"PAR1 this is not a parquet file, it is a torn upload")
+        df = (
+            spark.read.option("ignoreCorruptFiles", "true")
+            .parquet(f"{d}/ev")
+        )
+        out = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        )
+        rows = out.collect()  # materialize before the temp dir disappears
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
