@@ -199,3 +199,77 @@ def maintenance_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_buckets_touched"),
     )
+
+
+@register(
+    "maintenance_targeted_delete",
+    oracle="""
+    WITH victims AS (
+      SELECT event_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+      FROM events WHERE event_id % 977 = 0
+    )
+    SELECT (SELECT CAST(count(DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d'))
+                   AS BIGINT) FROM events) AS n_partitions,
+           (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM victims)
+             AS n_partitions_rewritten,
+           (SELECT CAST(count(*) AS BIGINT) FROM events) AS rows_before,
+           (SELECT CAST(count(*) AS BIGINT) FROM events
+            WHERE event_id % 977 != 0) AS rows_after
+    """,
+    doc="Targeted delete (GDPR / right-to-be-forgotten) on a "
+    "hive-partitioned table WITHOUT a table format: victims are "
+    "located, ONLY the day-partitions containing them are rewritten "
+    "with an anti-join (untouched partitions are never read or "
+    "written — partition pruning scopes both the read and the "
+    "rewrite), and the report carries the audit numbers: partitions "
+    "total vs rewritten, rows before vs after.  This is the copy-on-"
+    "write delete Delta/Iceberg automate, shown at the layout level "
+    "so the cost model is visible: delete cost scales with the "
+    "victims' partition footprint, not table size.  The rewritten "
+    "table is re-read and counted, so the oracle checks the actual "
+    "post-delete state, not the plan.",
+)
+def maintenance_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    d = tempfile.mkdtemp(prefix="tdel_")
+    try:
+        ev = fan_out(load_table(spark, sf_dir, "events")).select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        ev.write.mode("overwrite").partitionBy("day").parquet(f"{d}/t")
+        back = spark.read.parquet(f"{d}/t")
+        rows_before = back.count()
+        n_partitions = back.select("day").distinct().count()
+        victims = back.filter(F.col("event_id") % 977 == 0)
+        hit_days = [
+            r["day"] for r in victims.select("day").distinct().collect()
+        ]
+        # rewrite ONLY the victim partitions (partition-pruned read)
+        for day in hit_days:
+            part_dir = f"{d}/t/day={day}"
+            kept = spark.read.parquet(part_dir).filter(
+                F.col("event_id") % 977 != 0
+            )
+            tmp_dir = f"{d}/rw_{day}"
+            kept.write.mode("overwrite").parquet(tmp_dir)
+            shutil.rmtree(part_dir)
+            os.replace(tmp_dir, part_dir)
+        after = spark.read.parquet(f"{d}/t")
+        rows_after = after.count()
+        rows = [
+            (
+                int(n_partitions),
+                len(hit_days),
+                int(rows_before),
+                int(rows_after),
+            )
+        ]
+        return spark.createDataFrame(
+            rows,
+            "n_partitions bigint, n_partitions_rewritten bigint, "
+            "rows_before bigint, rows_after bigint",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

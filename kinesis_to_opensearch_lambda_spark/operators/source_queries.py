@@ -266,3 +266,53 @@ def source_corrupt_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_region,
+           CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_region
+    FROM events
+    """,
+    doc="Schema evolution on read: an OLD batch written before a "
+    "`region` column existed and a NEW batch written after are read "
+    "together with mergeSchema=true — the unified schema carries the "
+    "superset and old rows surface NULL for the added column (the "
+    "additive-evolution contract; renames/type-changes are NOT safe "
+    "this way and need a real table format).  The audit aggregate "
+    "counts rows with and without the evolved column.  At 100 TB "
+    "mergeSchema is a FOOTER-LISTING cost over every file — which is "
+    "why production lakes pin the merged schema in a catalog and "
+    "pass it explicitly; the per-read option here is the migration-"
+    "window shape.",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tempfile.mkdtemp(prefix="src_evo_")
+    try:
+        ev = fan_out(load_table(spark, sf_dir, "events")).select(
+            "event_id", "event_type"
+        )
+        old = ev.filter(F.col("event_id") % 2 == 0)
+        new = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+            "region", F.concat(F.lit("r"), (F.col("event_id") % 5).cast("string"))
+        )
+        old.write.mode("overwrite").parquet(f"{d}/t/batch=old")
+        new.write.mode("overwrite").parquet(f"{d}/t/batch=new")
+        merged = spark.read.option("mergeSchema", "true").parquet(f"{d}/t")
+        out = merged.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("region").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_with_region"),
+            F.sum(F.when(F.col("region").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_region"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
