@@ -593,3 +593,83 @@ def curation_ablation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("retained_pct"),
     )
+
+
+@register(
+    "curation_dataset_card",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT md5(text) AS digest, lang, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             {_SQL_TRAIN_SCORE_I} AS score_i
+      FROM documents
+    ), top_lang AS (
+      SELECT lang FROM per_doc GROUP BY lang
+      ORDER BY count(*) DESC, lang ASC LIMIT 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT digest) AS BIGINT) AS n_unique_docs,
+           CAST((100 * (count(*) - count(DISTINCT digest))) // count(*)
+                AS BIGINT) AS dup_rate_pct,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           (SELECT lang FROM top_lang) AS top_lang,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(score_i) // count(*) AS BIGINT) AS mean_quality_millionths
+    FROM per_doc
+    """,
+    doc="The dataset card in one pass: corpus size (docs/tokens), exact "
+    "duplication rate (digest-distinct, integer percent), language "
+    "inventory with a DETERMINISTIC top language (count DESC, lang ASC "
+    "tie-break), source fan-in, and mean quality in exact integer "
+    "millionths (sum DIV count — no float mean) — the summary block "
+    "every released training dataset publishes, computed from one "
+    "documents scan plus a dictionary-sized language rollup.  Every "
+    "number is integer-exact, so the card is reproducible bit-for-bit "
+    "across engines and runs — which is the point of a dataset card.",
+)
+def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import words
+    from .training_queries import _score_i
+
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        F.md5("text").alias("digest"),
+        "lang",
+        "source",
+        F.size(words(F.col("text"))).cast("bigint").alias("n_tokens"),
+        _score_i().alias("score_i"),
+    )
+    top_lang = (
+        per_doc.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("lang").asc())
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    card = per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.countDistinct("digest").cast("bigint").alias("n_unique_docs"),
+        F.floor(
+            (100 * (F.count(F.lit(1)) - F.countDistinct("digest")))
+            / F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("dup_rate_pct"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.expr("sum(score_i) DIV count(1)")
+        .cast("bigint")
+        .alias("mean_quality_millionths"),
+    )
+    return card.crossJoin(F.broadcast(top_lang)).select(
+        "n_docs",
+        "n_tokens",
+        "n_unique_docs",
+        "dup_rate_pct",
+        "n_langs",
+        "top_lang",
+        "n_sources",
+        "mean_quality_millionths",
+    )
