@@ -284,3 +284,73 @@ def mm_av_sync_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("byte_offset") - F.col("start_byte")).alias("offset_in_win"),
         )
     )
+
+
+@register(
+    "mm_scene_change",
+    oracle=f"""
+    WITH frames AS (
+      SELECT doc_id,
+             CAST(frame_idx AS INT) AS frame_idx,
+             ('0x' || substr(md5(substr(text, CAST(frame_idx AS INT) * 113 + 1, 113)),
+                             1, 15))::BIGINT % 65536 AS sig
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(octet_length(encode(text)) % 5 + 1)) AS frame_idx
+        FROM documents
+      )
+    ), deltas AS (
+      SELECT doc_id, frame_idx, sig,
+             lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_sig
+      FROM frames
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN prev_sig IS NOT NULL
+                          AND bit_count(xor(sig, prev_sig)) >= 6
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_scene_changes
+    FROM deltas
+    GROUP BY doc_id
+    """,
+    doc="Scene-change detection over sampled frames: each frame gets a "
+    "16-bit content sketch (stand-in for a perceptual hash — the real "
+    "pHash drops into the same column), consecutive frames are "
+    "compared by Hamming distance via lag() over the frame timeline, "
+    "and a distance >= 6 marks a cut — the shot-boundary primitive a "
+    "video curation pipeline runs before frame-dedup and caption "
+    "alignment.  Plan: frame fan-out pipelines in the scan, ONE "
+    "exchange on doc_id serves both the lag window and the per-doc "
+    "rollup.  At 100 TB the sketch column is 2 bytes/frame and the "
+    "temporal comparison never shuffles frame payloads — only "
+    "(doc_id, idx, sig) triples.",
+)
+def mm_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import md5_long
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    payload = MM.attach_binary_payload(docs)
+    frames = payload.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("n_bytes") % 5 + 1) - 1)
+        ).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        (
+            md5_long(F.substring(F.col("text"), F.col("frame_idx") * 113 + 1, 113))
+            % 65536
+        ).alias("sig"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    deltas = frames.withColumn("prev_sig", F.lag("sig").over(w))
+    cut = F.col("prev_sig").isNotNull() & (
+        F.bit_count(F.col("sig").bitwiseXOR(F.col("prev_sig"))) >= 6
+    )
+    return deltas.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.sum(F.when(cut, 1).otherwise(0)).cast("bigint").alias("n_scene_changes"),
+    )

@@ -296,3 +296,63 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(use_fwd, F.lit("fwd"))
         .alias("direction"),
     )
+
+
+@register(
+    "window_time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                           - ts) // 1000000 AS BIGINT) AS dur_s
+      FROM events
+    )
+    SELECT user_id,
+           CAST(sum(dur_s) AS BIGINT) AS total_s,
+           CAST(sum(cents * dur_s) AS BIGINT) AS weighted_sum,
+           CAST(sum(cents * dur_s) // sum(dur_s) AS BIGINT) AS twa_cents
+    FROM seg
+    WHERE dur_s IS NOT NULL AND dur_s > 0
+    GROUP BY user_id
+    """,
+    doc="Time-weighted average (the metric a last-observation-carried-"
+    "forward series needs — plain avg() over-weights chatty periods): "
+    "each observation holds until the next one (lead() over the "
+    "user's timeline, unique event_id tie-break), segments weight "
+    "value by their INTEGER duration in seconds, and the average is "
+    "an exact integer quotient (sum(cents*dur) DIV sum(dur) — no "
+    "float accumulation, so summation order cannot matter).  The "
+    "trailing open-ended segment is excluded (no end observation), "
+    "as is any zero-length segment from equal timestamps.  One "
+    "exchange on user_id serves the lead window; the rollup reuses "
+    "the same partitioning.  This is the TimescaleDB "
+    "time_weight('LOCF') operator re-expressed as window + integer "
+    "aggregation.",
+)
+def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = events.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.expr(
+            "CAST((unix_micros(lead(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id)) "
+            "- unix_micros(ts)) DIV 1000000 AS BIGINT)"
+        ).alias("dur_s"),
+    )
+    return (
+        seg.filter(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.sum("dur_s").cast("bigint").alias("total_s"),
+            F.sum(F.col("cents") * F.col("dur_s"))
+            .cast("bigint")
+            .alias("weighted_sum"),
+            F.expr("sum(cents * dur_s) DIV sum(dur_s)")
+            .cast("bigint")
+            .alias("twa_cents"),
+        )
+    )
