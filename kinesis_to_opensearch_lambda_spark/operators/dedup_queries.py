@@ -25,7 +25,7 @@ from ..functions import (
     word_shingles,
     words,
 )
-from ..queries import register
+from ..queries import REGISTRY, register
 from ..sources.batch import fan_out, load_table
 from . import dedup as D
 from . import similarity as S
@@ -1103,3 +1103,70 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((100 * inter) / union).cast("bigint").alias("jaccard_pct"),
         F.when(collide, 1).otherwise(0).cast("bigint").alias("band_collide"),
     )
+
+
+_PLANNER_CONFIGS = ((1, 8), (2, 4), (4, 2))  # (rows_per_band, n_bands), r*b = 8
+
+
+def _planner_oracle() -> str:
+    recall_sql = REGISTRY["dedup_lsh_recall"].oracle
+    configs = " UNION ALL ".join(
+        f"SELECT {r} AS r, {b} AS b" for r, b in _PLANNER_CONFIGS
+    )
+    return f"""
+    WITH pairs AS ({recall_sql}), cfg AS ({configs})
+    SELECT cfg.r, cfg.b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(1.0 - power(1.0 - power(pairs.jaccard_pct / 100.0, cfg.r),
+                                 cfg.b)), 4) AS expected_recall,
+           round(power(1.0 / cfg.b, 1.0 / cfg.r), 4) AS threshold_s
+    FROM pairs CROSS JOIN cfg
+    GROUP BY cfg.r, cfg.b
+    """
+
+
+@register(
+    "dedup_lsh_planner",
+    # the planner's oracle literally embeds the recall harness's oracle
+    # as a subquery: measurement composes into planning on both engines
+    oracle=None,
+    doc="Cost-based LSH parameter planner, driven by MEASURED data: the "
+    "150 probe pairs from dedup_lsh_recall (3 mutation strengths, "
+    "exact integer Jaccard) are scored against every (rows-per-band, "
+    "bands) split of the 8-hash budget with the banding collision "
+    "model 1-(1-s^r)^b, yielding each configuration's EXPECTED recall "
+    "on this corpus's observed similarity distribution plus its "
+    "theoretical threshold (1/b)^(1/r) — the decision table that "
+    "chooses banding before a 100 TB dedup run, instead of guessing.  "
+    "This is the optimizer-for-the-dedup-pipeline: measurement query "
+    "composes into planning query (the planner literally embeds the "
+    "recall harness as a subplan).  450 scored rows; cost is the "
+    "probe pass, not the corpus.",
+)
+def dedup_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = REGISTRY["dedup_lsh_recall"].spark(spark, sf_dir)
+    cfg = spark.createDataFrame(
+        [(r, b) for r, b in _PLANNER_CONFIGS], "r int, b int"
+    )
+    s = F.col("jaccard_pct") / 100.0
+    p = 1.0 - F.pow(1.0 - F.pow(s, F.col("r")), F.col("b"))
+    return (
+        pairs.crossJoin(F.broadcast(cfg))
+        .groupBy("r", "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.avg(p), 4).alias("expected_recall"),
+            F.round(
+                F.pow(1.0 / F.col("b").cast("double"), 1.0 / F.col("r")), 4
+            )
+            .alias("threshold_s"),
+        )
+    )
+
+
+# Q is frozen; re-register with the composed oracle (same callable).
+register(
+    "dedup_lsh_planner",
+    oracle=_planner_oracle(),
+    doc=REGISTRY["dedup_lsh_planner"].doc,
+)(dedup_lsh_planner)
