@@ -98,11 +98,15 @@ def _sql_interleave(x: str, y: str, bits: int = _Z_BITS) -> str:
     "maintenance_zorder_skipping",
     oracle=f"""
     WITH raw AS (
+      -- deterministic md5-ordered sample caps the planner input at any
+      -- scale factor (the decision procedure runs on a sample, never
+      -- the full fact table)
       SELECT o_custkey AS ck0,
              CAST(date_diff('day', DATE '1970-01-01',
                             CAST(o_orderdate AS DATE)) AS BIGINT) AS dy0,
              o_orderkey AS uid
       FROM orders
+      ORDER BY md5(o_orderkey::VARCHAR) LIMIT 20000
     ), base AS (
       -- normalize both dims to exact 10-bit rank units so the
       -- interleave never truncates, at any scale factor
@@ -155,12 +159,23 @@ def _sql_interleave(x: str, y: str, bits: int = _Z_BITS) -> str:
 )
 def maintenance_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = fan_out(load_table(spark, sf_dir, "orders"))
-    raw = orders.select(
-        F.col("o_custkey").alias("ck0"),
-        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
-        .cast("bigint")
-        .alias("dy0"),
-        F.col("o_orderkey").alias("uid"),
+    # md5-ordered deterministic sample: TakeOrdered (per-partition heads
+    # merged on the driver, no full sort shuffle) bounds the planner
+    # input at 20k rows regardless of table size — the single-partition
+    # rank windows below are therefore bounded BY CONSTRUCTION, not by
+    # luck of the scale factor
+    raw = (
+        orders.select(
+            F.col("o_custkey").alias("ck0"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("dy0"),
+            F.col("o_orderkey").alias("uid"),
+            F.md5(F.col("o_orderkey").cast("string")).alias("_smp"),
+        )
+        .orderBy("_smp")
+        .limit(20000)
+        .drop("_smp")
     )
     wc = Window.orderBy("ck0", "uid")
     wd = Window.orderBy("dy0", "uid")
