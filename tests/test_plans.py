@@ -533,3 +533,31 @@ def test_iterative_graph_ops_no_python(spark):
     """k-core peel and BFS frontier: int-key joins only, no Python."""
     for name in ("graph_kcore_peel", "graph_bfs_reachability"):
         assert not python_eval_nodes(q(spark, name)), name
+
+
+def test_round5_late_ops_no_python_no_allpairs(spark):
+    """Late round-5 additions: all JVM-side, no nested-loop/cartesian
+    surprises (the 1-row broadcast in the dataset card is exempt —
+    broadcasting a single-row subresult is the intended shape)."""
+    for name in (
+        "window_time_weighted_avg",
+        "mm_scene_change",
+        "dedup_lsh_planner",
+        "maintenance_zorder_skipping",
+        "curation_dataset_card",
+    ):
+        df = q(spark, name)
+        assert not python_eval_nodes(df), name
+        assert "CartesianProduct" not in plan_string(df), name
+
+
+def test_time_weighted_avg_single_exchange(spark):
+    """lead() window and the per-user rollup share the user_id
+    partitioning: one exchange."""
+    assert shuffle_exchange_count(q(spark, "window_time_weighted_avg")) == 1
+
+
+def test_scene_change_single_exchange(spark):
+    """Frame fan-out pipelines in the scan; lag window + per-doc rollup
+    share the doc_id exchange."""
+    assert shuffle_exchange_count(q(spark, "mm_scene_change")) == 1
