@@ -316,3 +316,56 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+      FROM events
+      ORDER BY day LIMIT 3
+    )
+    SELECT e.day, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                 event_id FROM events) e
+    JOIN dim ON e.day = dim.day
+    GROUP BY e.day
+    """,
+    doc="Dynamic partition pruning (DPP) — the star-join flagship: the "
+    "fact table is laid out partitioned by day, the dimension (a "
+    "3-day calendar slice, written as its OWN parquet table so the "
+    "filter is not constant-foldable) is filtered at runtime, and "
+    "Catalyst injects a dynamicpruning subquery that evaluates the "
+    "dim filter FIRST and prunes fact partitions before the scan — "
+    "static pruning's runtime twin, and the reason partitioned "
+    "layouts pay off on joins, not just literal filters.  The plan "
+    "assertion (tests/test_plans.py) requires the dynamicpruning "
+    "expression on the fact scan; the aggregate is oracle-checked.  "
+    "At 100 TB this is the difference between scanning 3 days and "
+    "scanning a year when the date slice comes from a dimension "
+    "lookup the optimizer cannot see statically.",
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tempfile.mkdtemp(prefix="dpp_")
+    try:
+        ev = fan_out(load_table(spark, sf_dir, "events")).select(
+            "event_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        ev.write.mode("overwrite").partitionBy("day").parquet(f"{d}/fact")
+        dim = (
+            ev.select("day").distinct().orderBy("day").limit(3)
+            .withColumn("flag", F.lit(1))
+        )
+        dim.write.mode("overwrite").parquet(f"{d}/dim")
+        fact = spark.read.parquet(f"{d}/fact")
+        dim_back = spark.read.parquet(f"{d}/dim").filter(F.col("flag") == 1)
+        out = (
+            fact.join(dim_back, "day")
+            .groupBy(F.col("day").cast("string").alias("day"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        rows = out.collect()  # materialize before the temp dir disappears
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

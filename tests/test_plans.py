@@ -561,3 +561,27 @@ def test_scene_change_single_exchange(spark):
     """Frame fan-out pipelines in the scan; lag window + per-doc rollup
     share the doc_id exchange."""
     assert shuffle_exchange_count(q(spark, "mm_scene_change")) == 1
+
+
+def test_dynamic_partition_pruning_in_plan(spark, tmp_path):
+    """The day-partitioned fact joined to a runtime-filtered dim must
+    carry a dynamicpruning subquery on the fact scan (DPP), so fact
+    partitions are pruned by the dim filter's result at runtime."""
+    from kinesis_to_opensearch_lambda_spark.sources.batch import fan_out, load_table
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path)
+    ev = fan_out(load_table(spark, SF_DIR, "events")).select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(f"{d}/fact")
+    dim = (
+        ev.select("day").distinct().orderBy("day").limit(3)
+        .withColumn("flag", F.lit(1))
+    )
+    dim.write.mode("overwrite").parquet(f"{d}/dim")
+    fact = spark.read.parquet(f"{d}/fact")
+    dim_back = spark.read.parquet(f"{d}/dim").filter(F.col("flag") == 1)
+    j = fact.join(dim_back, "day").groupBy("day").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
