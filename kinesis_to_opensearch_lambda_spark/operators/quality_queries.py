@@ -541,3 +541,84 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
     )
+
+
+@register(
+    "join_scd2_point_in_time",
+    oracle="""
+    WITH h AS (
+      SELECT o_custkey AS user_id,
+             o_orderdate + INTERVAL 9500 DAY AS vf,
+             row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS version,
+             round(o_totalprice, 2) AS totalprice,
+             lead(o_orderdate + INTERVAL 9500 DAY) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS vt
+      FROM orders
+    )
+    SELECT e.event_id,
+           CAST(h.version AS BIGINT) AS version,
+           h.totalprice,
+           strftime(h.vf, '%Y-%m-%d') AS valid_from
+    FROM events e
+    LEFT JOIN h
+      ON h.user_id = e.user_id
+     AND h.vf <= e.ts AND (h.vt IS NULL OR e.ts < h.vt)
+    """,
+    doc="Point-in-time lookup against an SCD2 dimension (the "
+    "scd2_customer_history build, order dates shifted +9500 days so "
+    "validity intervals genuinely overlap the 2024 events): each event "
+    "resolves to the dimension version whose [valid_from, valid_to) "
+    "interval contains its timestamp.  The scale insight: because SCD2 "
+    "intervals are NON-OVERLAPPING per key, the interval-containment "
+    "join IS an as-of join on valid_from — so this reuses the union + "
+    "running-last single-shuffle plan (operators.relational.asof_join) "
+    "instead of a non-equi range join that degenerates to O(n*m) per "
+    "key.  Same-day superseded versions (zero-width intervals, which "
+    "the oracle's half-open containment can never match) are dropped "
+    "before the as-of so both engines resolve to the LAST version of "
+    "the day.  The standard feature-store / backtest primitive: "
+    "training features must join dimension state as-of the event time, "
+    "never current state.",
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import asof_join
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    hist = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.date_add("o_orderdate", 9500).alias("vf"),
+            F.row_number().over(w).cast("bigint").alias("version"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        # last version per (key, day): zero-width same-day intervals are
+        # superseded and unmatchable under half-open containment
+        .withColumn(
+            "last_v",
+            F.max("version").over(
+                Window.partitionBy("user_id", "vf")
+            ),
+        )
+        .filter(F.col("version") == F.col("last_v"))
+        .select(
+            "user_id",
+            F.col("vf").cast("timestamp").alias("vf_ts"),
+            "version",
+            "totalprice",
+            F.date_format("vf", "yyyy-MM-dd").alias("valid_from"),
+        )
+    )
+    joined = asof_join(
+        events,
+        hist,
+        on="user_id",
+        left_time="ts",
+        right_time="vf_ts",
+        value_cols=["version", "totalprice", "valid_from"],
+    )
+    return joined.select("event_id", "version", "totalprice", "valid_from")

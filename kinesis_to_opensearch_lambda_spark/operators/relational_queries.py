@@ -2010,3 +2010,53 @@ def agg_boolean_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("any_urgent"),
         F.min("o_orderkey").cast("bigint").alias("exemplar_key"),
     )
+
+
+@register(
+    "variant_typed_extract",
+    oracle="""
+    SELECT event_type AS etype,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           round(sum(value), 2) AS sum_v,
+           CAST(count(TRY_CAST(event_type AS BIGINT)) AS BIGINT) AS n_bad_cast,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Spark 4 VARIANT semi-structured analytics: each event is packed "
+    "into a nested JSON document, parsed to the binary VARIANT type "
+    "(parse_json), and fields are extracted with TYPED paths — "
+    "variant_get('$.k','bigint'), a nested '$.meta.v' double, and a "
+    "deliberately mistyped try_variant_get('$.t','bigint') that must "
+    "yield NULL (n_bad_cast = 0) instead of failing the query.  VARIANT "
+    "keeps the parse tree in a shredded binary encoding so repeated "
+    "path accesses don't re-parse the string — the schema-on-read "
+    "answer for heterogeneous event payloads at 100 TB, superseding "
+    "per-access get_json_object string parsing (json_extraction).  The "
+    "oracle recomputes the aggregates from the base columns, verifying "
+    "the variant round-trip is lossless and the type discipline of "
+    "try_variant_get.",
+)
+def variant_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            F.struct(F.col("value").alias("v")).alias("meta"),
+        )
+    )
+    v = F.parse_json(doc)
+    rows = ev.select(
+        F.variant_get(v, "$.t", "string").alias("etype"),
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.variant_get(v, "$.meta.v", "double").alias("val"),
+        F.try_variant_get(v, "$.t", "bigint").alias("bad"),
+    )
+    return rows.groupBy("etype").agg(
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.round(F.sum("val"), 2).alias("sum_v"),
+        F.count("bad").cast("bigint").alias("n_bad_cast"),
+        F.count(F.lit(1)).alias("n"),
+    )

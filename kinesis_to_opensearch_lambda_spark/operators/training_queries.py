@@ -566,3 +566,47 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
         F.sum("cents").cast("bigint").alias("sampled_cents"),
     )
+
+
+@register(
+    "split_leakage_safe_groups",
+    oracle=f"""
+    WITH g AS (
+      SELECT md5(substr(text, 1, 64)) AS gk, n_chars,
+             {_sql_hash_bucket("md5(substr(text, 1, 64))", ':gsplit', 100)}
+               AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train' ELSE 'test' END AS split,
+           CAST(count(DISTINCT gk) AS BIGINT) AS n_groups,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM g GROUP BY 1
+    """,
+    doc="Leakage-safe train/test split: the split is assigned from a "
+    "hash of the DUPLICATE-GROUP key (here the 64-char prefix blocking "
+    "key; in production the connected-component id from "
+    "dedup_duplicate_clusters), not the document id — so near-duplicate "
+    "documents can never straddle the train/test boundary, the "
+    "contamination mode a doc-id hash split (split_train_test_hash) "
+    "cannot prevent.  Because the group key is CONTENT-derived, the "
+    "assignment stays a per-row expression: no join against a group "
+    "table, no shuffle before the final 2-group agg — group-consistent "
+    "by construction since every member hashes the same prefix to the "
+    "same bucket.  At 100 TB this is computed inline during the corpus "
+    "write, exactly like the doc-id split.",
+)
+def split_leakage_safe_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    gk = F.md5(F.substring(F.col("text"), 1, 64))
+    bucket = _hash_bucket(gk, ":gsplit", 100)
+    split = F.when(bucket < 90, "train").otherwise("test")
+    return (
+        docs.select(split.alias("split"), gk.alias("gk"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count_distinct("gk").cast("bigint").alias("n_groups"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
