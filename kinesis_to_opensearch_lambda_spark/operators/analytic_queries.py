@@ -717,6 +717,7 @@ def window_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "agg_hll_partial_merge",
+    headline=True,
     oracle="""
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
@@ -766,4 +767,138 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("est_m") - F.col("est_s")) <= F.col("exact_users") * 0.01)
         .cast("string")
         .alias("merge_agrees_1pct"),
+    )
+
+
+@register(
+    "agg_countmin_heavy_hitters",
+    headline=True,
+    oracle="""
+    WITH keys AS (SELECT l_suppkey AS k FROM lineitem),
+    slots AS (
+      SELECT i,
+             (('0x' || substr(md5(k::VARCHAR || ':cm' || i::VARCHAR), 1, 15))::BIGINT) % 512
+               AS slot,
+             count(*) AS c
+      FROM keys, (SELECT unnest(range(4)) AS i) d
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT k, count(*) AS exact_cnt
+      FROM keys GROUP BY 1 ORDER BY exact_cnt DESC, k LIMIT 10
+    )
+    SELECT e.k AS suppkey,
+           CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(min(s.c) AS BIGINT) AS est_cnt,
+           CAST(min(s.c) >= e.exact_cnt AS VARCHAR) AS never_under
+    FROM exact e
+    JOIN slots s
+      ON s.slot = (('0x' || substr(md5(e.k::VARCHAR || ':cm' || s.i::VARCHAR), 1, 15))::BIGINT) % 512
+    GROUP BY e.k, e.exact_cnt
+    """,
+    doc="Count-min sketch heavy hitters: a d=4 x w=512 counter table "
+    "built in one groupBy over md5-derived (row, slot) pairs — 2048 "
+    "cells TOTAL regardless of corpus size, counters are additive so "
+    "partial sketches from every partition/day merge by summation "
+    "(map-side combine does exactly this for free).  Estimates are "
+    "min over the key's d slots; CMS can only OVER-estimate, asserted "
+    "per key (never_under).  Because the hash family is md5-derived "
+    "the sketch is bit-identical on both engines, so the oracle "
+    "recomputes the full sketch and the estimates match EXACTLY — no "
+    "tolerance needed, unlike HLL (agg_hll_partial_merge).  The exact "
+    "top-10 (full groupBy) is the verification harness, same pattern "
+    "as ann_ivf_recall; production reads frequencies straight off the "
+    "2048-cell table.  At 100 TB: frequency queries without a "
+    "per-key shuffle — the sketch rides the map side.",
+)
+def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import md5_long
+
+    D, W = 4, 512
+    keys = _t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k"))
+
+    def slot(i: int, key: F.Column) -> F.Column:
+        return (
+            md5_long(F.concat(key.cast("string"), F.lit(f":cm{i}"))) % W
+        )
+
+    # build: one explode to (i, slot), one partial-agg shuffle of <=
+    # d*w rows per partition
+    pairs = keys.select(
+        F.posexplode(F.array(*[slot(i, F.col("k")) for i in range(D)])).alias(
+            "i", "slot"
+        )
+    )
+    counters = pairs.groupBy("i", "slot").agg(F.count(F.lit(1)).alias("c"))
+
+    exact = (
+        keys.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("k"))
+        .limit(10)
+    )
+    probes = exact.select(
+        "k",
+        "exact_cnt",
+        F.posexplode(F.array(*[slot(i, F.col("k")) for i in range(D)])).alias(
+            "i", "slot"
+        ),
+    )
+    est = (
+        counters.join(F.broadcast(probes), ["i", "slot"])
+        .groupBy("k", "exact_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+    )
+    return est.select(
+        F.col("k").alias("suppkey"),
+        F.col("exact_cnt").cast("bigint"),
+        F.col("est_cnt").cast("bigint"),
+        (F.col("est_cnt") >= F.col("exact_cnt")).cast("string").alias("never_under"),
+    )
+
+
+@register(
+    "agg_quantile_sketch_tolerance",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.50) / 100.0, 2) AS p50,
+           round(quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.99) / 100.0, 2) AS p99,
+           'true' AS ok_p50,
+           'true' AS ok_p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Quantile SKETCH vs exact — completes the sketch trio (HLL = "
+    "distinct, count-min = frequency, this = distribution): "
+    "approx_percentile (Greenwald-Khanna summary, accuracy=10000, "
+    "mergeable map-side like every sketch here) checked to within 1% "
+    "of the exact interpolated percentile per group; measured error "
+    "at sf0.1 is <=0.03%.  The oracle asserts the EXACT p50/p99 "
+    "(integer-cents interpolation, FP-exact cross-engine — the "
+    "agg_percentiles trick) plus both tolerance flags.  At 100 TB the "
+    "exact path needs a per-group sort; the GK summary is one scan, "
+    "bounded memory, and this query pins how much accuracy that "
+    "trade buys.",
+)
+def agg_quantile_sketch_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    g = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(cents, F.lit(0.50)) / 100.0, 2).alias("p50"),
+        F.round(F.percentile(cents, F.lit(0.99)) / 100.0, 2).alias("p99"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)"
+        ).alias("ap"),
+    )
+    def ok(exact: str, i: int) -> F.Column:
+        return (
+            (F.abs(F.element_at("ap", i) - F.col(exact)) <= F.col(exact) * 0.01)
+            .cast("string")
+        )
+    return g.select(
+        "l_returnflag",
+        "p50",
+        "p99",
+        ok("p50", 1).alias("ok_p50"),
+        ok("p99", 2).alias("ok_p99"),
     )

@@ -545,6 +545,7 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_scd2_point_in_time",
+    headline=True,
     oracle="""
     WITH h AS (
       SELECT o_custkey AS user_id,
@@ -588,6 +589,7 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead(F.date_add("o_orderdate", 9500)).over(w)
     hist = (
         _t(spark, sf_dir, "orders")
         .select(
@@ -595,16 +597,15 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_add("o_orderdate", 9500).alias("vf"),
             F.row_number().over(w).cast("bigint").alias("version"),
             F.round("o_totalprice", 2).alias("totalprice"),
-        )
-        # last version per (key, day): zero-width same-day intervals are
-        # superseded and unmatchable under half-open containment
-        .withColumn(
-            "last_v",
-            F.max("version").over(
-                Window.partitionBy("user_id", "vf")
+            # last version per (key, day) rides the SAME window pass
+            # (lead over the identical partitioning — no second
+            # exchange): zero-width same-day intervals are superseded
+            # and unmatchable under half-open containment
+            (nxt.isNull() | (nxt != F.date_add("o_orderdate", 9500))).alias(
+                "is_last_of_day"
             ),
         )
-        .filter(F.col("version") == F.col("last_v"))
+        .filter("is_last_of_day")
         .select(
             "user_id",
             F.col("vf").cast("timestamp").alias("vf_ts"),

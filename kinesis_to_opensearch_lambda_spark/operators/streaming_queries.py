@@ -979,3 +979,104 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name).filter(F.col("user_id") >= 0)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "streaming_sketch_distinct",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           'true' AS sketch_ok
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Distinct-count sketches as STREAMING STATE: tumbling 1-hour "
+    "windows aggregate approx_count_distinct(user_id, rsd=0.005) "
+    "(HLL++) across 3 mtime-ordered micro-batches — the state store "
+    "holds one sketch buffer per open window and merges each batch's "
+    "partial into it, which is exactly how a 100 TB stream counts "
+    "uniques without keeping per-user state (state size is O(windows x "
+    "sketch), not O(users)).  APPEND mode + a far-future sentinel "
+    "batch flushes every real window exactly once when the watermark "
+    "passes its end (the session_window sentinel pattern), so no "
+    "update-mode re-emission reasoning is needed.  The streamed "
+    "estimate is tolerance-checked against the batch-exact distinct "
+    "per window (max(2%, +/-3) — Spark's HLL++ is dense-only, no "
+    "sparse-exact mode, so even 28 uniques can read +/-2); the oracle "
+    "asserts the exact counts and that every window's flag is true.  "
+    "Estimator-tolerance sibling of agg_hll_partial_merge.",
+)
+def streaming_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="stream_hll_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+        os.makedirs(f"{d}/src", exist_ok=True)
+        batches = [
+            ev.filter(F.col("user_id") % 3 == b).select("user_id", "ts")
+            for b in (0, 1, 2)
+        ]
+        # sentinel far past every real window end + the 2000h watermark
+        # delta: closes all real windows under append mode
+        sentinel = spark.range(1).select(
+            F.lit(-1).cast("bigint").alias("user_id"),
+            F.lit("2025-06-01 00:00:00").cast("timestamp").alias("ts"),
+        )
+        batches.append(sentinel)
+        for b, df in enumerate(batches):
+            tmp = f"{d}/tmp{b}"
+            df.coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+            dst = f"{d}/src/b{b}.parquet"
+            shutil.move(f"{tmp}/{part}", dst)
+            os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/src")
+        )
+        agg = (
+            stream.withWatermark("ts", "2000 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.approx_count_distinct("user_id", 0.005).alias("n_users"))
+        )
+        name = f"hll_{uuid.uuid4().hex[:12]}"
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        streamed = (
+            spark.table(name)
+            .filter(F.col("w.start") < F.lit("2025-01-01").cast("timestamp"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+                F.col("n_users").cast("bigint").alias("n_est"),
+            )
+            # the memory-sink rows are tiny (one per window) but the
+            # scratch dir is deleted on exit: materialize before rmtree
+            .localCheckpoint(eager=True)
+        )
+        exact = ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            )
+        ).agg(F.count_distinct("user_id").cast("bigint").alias("n_exact"))
+        tol = F.greatest(F.col("n_exact") * 0.02, F.lit(3.0))
+        return exact.join(streamed, "win_start").select(
+            "win_start",
+            "n_exact",
+            (F.abs(F.col("n_est") - F.col("n_exact")) <= tol)
+            .cast("string")
+            .alias("sketch_ok"),
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -356,3 +356,61 @@ def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("twa_cents"),
         )
     )
+
+
+@register(
+    "window_ewma_finite",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           round(
+             list_sum(list_transform(generate_series(1, len(l)),
+                                     i -> l[i] * pow(0.5, len(l) - i)))
+             / (2.0 - pow(0.5, len(l) - 1)),
+             4) AS ewma
+    FROM (
+      SELECT event_id, user_id,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+             ) AS l
+      FROM events
+      WHERE user_id < 50
+    )
+    """,
+    doc="Finite-horizon EWMA smoothing (alpha=0.5 over the trailing 10 "
+    "observations, pandas adjust=True normalization): the standard "
+    "online feature for time-decayed user activity.  The recursive "
+    "EWMA definition doesn't window-ize, but the finite-horizon form "
+    "is a weighted dot product over a bounded ROWS frame — collect the "
+    "frame (<=10 values), weight by exact powers of two (alpha=0.5 "
+    "makes every weight a dyadic rational, so the weighted sum is "
+    "FP-exact and engine-identical), normalize by the closed-form "
+    "geometric sum.  One shuffle on the series key; per-row work is "
+    "O(horizon).  Engine trap handled: Spark element_at and DuckDB "
+    "list indexing are both 1-based here, with the index sequence "
+    "generated explicitly on both sides (functions like "
+    "filter/transform bind 0-based in Spark but 1-based in DuckDB "
+    "lambdas — avoided by indexing, not enumerating).",
+)
+def window_ewma_finite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    vals = F.collect_list("value").over(w)
+    rows = ev.select("event_id", "user_id", vals.alias("l"))
+    L = F.size("l")
+    idx = F.sequence(F.lit(1), L)
+    terms = F.transform(
+        idx,
+        lambda i: F.element_at(F.col("l"), i)
+        * F.pow(F.lit(0.5), (L - i).cast("double")),
+    )
+    num = F.aggregate(terms, F.lit(0.0), lambda a, x: a + x)
+    den = F.lit(2.0) - F.pow(F.lit(0.5), (L - 1).cast("double"))
+    return rows.select(
+        "event_id", "user_id", F.round(num / den, 4).alias("ewma")
+    )

@@ -585,3 +585,62 @@ def test_dynamic_partition_pruning_in_plan(spark, tmp_path):
     j = fact.join(dim_back, "day").groupBy("day").count()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_leakage_split_shuffle_free_before_agg(spark):
+    # group key + split bucket are per-row expressions; the only
+    # exchanges are the two-phase distinct-group count (partial by
+    # (split, gk), final by split)
+    df = q(spark, "split_leakage_safe_groups")
+    assert shuffle_exchange_count(df) <= 2
+    assert not python_eval_nodes(df)
+
+
+def test_hll_merge_shuffles_sketches_never_ids(spark):
+    # daily partial agg, union-merge agg, single-pass agg, and the
+    # 5-row result join: 4 exchanges, none carrying raw user ids past
+    # the first partial (sketches are the shuffle payload), and no
+    # nested-loop anywhere
+    df = q(spark, "agg_hll_partial_merge")
+    assert shuffle_exchange_count(df) == 4
+    p = plan_string(df)
+    assert "BroadcastNestedLoop" not in p and "Cartesian" not in p
+    assert "hll_sketch_agg" in p and "hll_union_agg" in p
+
+
+def test_scd2_pit_is_asof_not_range_join(spark):
+    # the interval-containment lookup must compile to the union +
+    # running-last window plan: SCD2 build window and same-day dedup
+    # fused into ONE pass (lead over the same partitioning), so 2
+    # exchanges total and no non-equi join node
+    df = q(spark, "join_scd2_point_in_time")
+    assert shuffle_exchange_count(df) == 2
+    p = plan_string(df)
+    assert "BroadcastNestedLoop" not in p and "Cartesian" not in p
+    assert "Window" in p
+
+
+def test_variant_extract_single_shuffle_no_python(spark):
+    # parse_json + variant_get are JVM expressions inside the scan
+    # stage; one exchange for the final agg
+    df = q(spark, "variant_typed_extract")
+    assert shuffle_exchange_count(df) == 1
+    assert not python_eval_nodes(df)
+
+
+def test_countmin_sketch_bounded_shuffles_probe_broadcast(spark):
+    # counter build (partial-agg to <= d*w cells/partition), exact
+    # top-10 harness agg + its order/limit, probe join broadcast: 3
+    # exchanges, probes broadcast against the 2048-cell counter table
+    df = q(spark, "agg_countmin_heavy_hitters")
+    assert shuffle_exchange_count(df) == 3
+    assert has_broadcast_hash_join(df)
+    assert not python_eval_nodes(df)
+
+
+def test_ewma_single_exchange_no_python(spark):
+    # finite-horizon EWMA: one shuffle on the series key; the weighted
+    # dot product is per-row array arithmetic inside the window stage
+    df = q(spark, "window_ewma_finite")
+    assert shuffle_exchange_count(df) == 1
+    assert not python_eval_nodes(df)
