@@ -777,7 +777,7 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH keys AS (SELECT l_suppkey AS k FROM lineitem),
     slots AS (
       SELECT i,
-             (('0x' || substr(md5(k::VARCHAR || ':cm' || i::VARCHAR), 1, 15))::BIGINT) % 512
+             (('0x' || substr(md5(k::VARCHAR || ':cm'), 1 + 8 * i, 8))::BIGINT) % 512
                AS slot,
              count(*) AS c
       FROM keys, (SELECT unnest(range(4)) AS i) d
@@ -793,7 +793,7 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(min(s.c) >= e.exact_cnt AS VARCHAR) AS never_under
     FROM exact e
     JOIN slots s
-      ON s.slot = (('0x' || substr(md5(e.k::VARCHAR || ':cm' || s.i::VARCHAR), 1, 15))::BIGINT) % 512
+      ON s.slot = (('0x' || substr(md5(e.k::VARCHAR || ':cm'), 1 + 8 * s.i, 8))::BIGINT) % 512
     GROUP BY e.k, e.exact_cnt
     """,
     doc="Count-min sketch heavy hitters: a d=4 x w=512 counter table "
@@ -812,15 +812,19 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-key shuffle — the sketch rides the map side.",
 )
 def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions import md5_long
-
     D, W = 4, 512
     keys = _t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k"))
 
+    # the d hash functions are d disjoint 8-hex-char slices of ONE md5
+    # digest (32 hex chars / 4 rows) — one digest per row, not d, the
+    # same one-md5-many-hashes trick as functions.minhash_values
+    def digest(key: F.Column) -> F.Column:
+        return F.md5(F.concat(key.cast("string"), F.lit(":cm")))
+
     def slot(i: int, key: F.Column) -> F.Column:
-        return (
-            md5_long(F.concat(key.cast("string"), F.lit(f":cm{i}"))) % W
-        )
+        return F.conv(F.substring(digest(key), 1 + 8 * i, 8), 16, 10).cast(
+            "long"
+        ) % W
 
     # build: one explode to (i, slot), one partial-agg shuffle of <=
     # d*w rows per partition

@@ -2060,3 +2060,49 @@ def variant_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("bad").cast("bigint").alias("n_bad_cast"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "scalar_sql_udf_inlined",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(max(CASE WHEN l_discount >= 0.05
+                         THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                              AS BIGINT) END) AS BIGINT) AS max_discounted_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="SQL-language UDF (Spark 4 CREATE FUNCTION ... RETURN expr): "
+    "the discounted-revenue formula is declared ONCE as a named "
+    "function and reused in two aggregate contexts.  Unlike "
+    "Python/Scala UDFs, Catalyst INLINES the SQL function body into "
+    "the plan before optimization — the executed plan contains plain "
+    "arithmetic (no UDF call node, plan-asserted), so it stays inside "
+    "whole-stage codegen, predicates through it stay pushable, and it "
+    "costs nothing at 100 TB.  The shareable-business-logic answer "
+    "that keeps the engine's no-row-Python discipline.  The oracle "
+    "inlines the identical expression by hand.",
+)
+def scalar_sql_udf_inlined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION discounted_cents(
+            ep DOUBLE, disc DOUBLE) RETURNS BIGINT
+        RETURN CAST(round(ep * (1 - disc) * 100) AS BIGINT)
+        """
+    )
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_udf")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(sum(discounted_cents(l_extendedprice, l_discount))
+                    AS BIGINT) AS revenue_cents,
+               max(CASE WHEN l_discount >= 0.05
+                        THEN discounted_cents(l_extendedprice, l_discount)
+                   END) AS max_discounted_cents
+        FROM li_udf
+        GROUP BY l_returnflag
+        """
+    )

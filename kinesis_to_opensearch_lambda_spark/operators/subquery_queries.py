@@ -488,3 +488,68 @@ def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 3
       ) t
     """)
+
+
+@register(
+    "sql_recursive_cte_reachability",
+    oracle="""
+    WITH RECURSIVE
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+        AND a.l_partkey < 2000 AND b.l_partkey < 2000
+    ),
+    reach(node, depth) AS (
+      SELECT CAST(x AS BIGINT) AS node, 0 AS depth
+      FROM (VALUES (1), (2), (3)) s(x)
+      UNION ALL
+      SELECT e.dst, r.depth + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.depth < 2
+    )
+    SELECT node,
+           CAST(min(depth) AS BIGINT) AS min_depth,
+           CAST(count(*) AS BIGINT) AS n_paths
+    FROM reach
+    GROUP BY node
+    """,
+    doc="Recursive CTE (Spark 4's WITH RECURSIVE, SPARK-24497): "
+    "bounded-depth transitive closure over the co-order part graph "
+    "from 3 seed parts — per reached node, its BFS depth (min over "
+    "path multiplicity) and path count.  UNION ALL + an explicit "
+    "depth bound gives identical multiplicity semantics on both "
+    "engines (DuckDB's recursive UNION would dedup rows per "
+    "iteration; UNION ALL sidesteps the divergence).  This is the "
+    "SQL-native twin of graph_bfs_reachability's DataFrame loop: "
+    "Catalyst's UnionLoop manages the iteration, so the frontier "
+    "expansion is planned per step like the hand-rolled loop — each "
+    "round one equi-join shuffle — but without driver-side loop code "
+    "or manual lineage checkpointing.",
+)
+def sql_recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE
+        edges AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM li_rec a JOIN li_rec b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey <> b.l_partkey
+            AND a.l_partkey < 2000 AND b.l_partkey < 2000
+        ),
+        reach(node, depth) AS (
+          SELECT CAST(x AS BIGINT) AS node, 0 AS depth
+          FROM (VALUES (1), (2), (3)) s(x)
+          UNION ALL
+          SELECT e.dst, r.depth + 1
+          FROM reach r JOIN edges e ON e.src = r.node
+          WHERE r.depth < 2
+        )
+        SELECT node,
+               CAST(min(depth) AS BIGINT) AS min_depth,
+               CAST(count(*) AS BIGINT) AS n_paths
+        FROM reach
+        GROUP BY node
+        """
+    )

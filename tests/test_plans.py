@@ -644,3 +644,25 @@ def test_ewma_single_exchange_no_python(spark):
     df = q(spark, "window_ewma_finite")
     assert shuffle_exchange_count(df) == 1
     assert not python_eval_nodes(df)
+
+
+def test_recursive_cte_unionloop_no_nestedloop(spark):
+    # WITH RECURSIVE compiles to Catalyst's UnionLoop: iteration is
+    # engine-managed, each round's frontier expansion is an equi-join
+    # (never cartesian), and the visible plan has a single exchange for
+    # the final aggregate
+    df = q(spark, "sql_recursive_cte_reachability")
+    p = plan_string(df)
+    assert "UnionLoop" in p
+    assert "BroadcastNestedLoop" not in p and "Cartesian" not in p
+    assert shuffle_exchange_count(df) == 1
+
+
+def test_sql_udf_is_inlined(spark):
+    # a SQL-language UDF must leave NO udf call node behind: Catalyst
+    # inlines the body, so the plan is plain codegen arithmetic
+    df = q(spark, "scalar_sql_udf_inlined")
+    p = plan_string(df)
+    assert "ScalaUDF" not in p and "PythonUDF" not in p
+    assert shuffle_exchange_count(df) == 1
+    assert not python_eval_nodes(df)
