@@ -623,3 +623,64 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["version", "totalprice", "valid_from"],
     )
     return joined.select("event_id", "version", "totalprice", "valid_from")
+
+
+@register(
+    "diag_observe_metrics",
+    oracle="""
+    WITH tot AS (
+      SELECT count(*) AS obs_rows,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS obs_cents
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(tot.obs_rows AS BIGINT) AS obs_rows,
+           tot.obs_cents AS obs_cents
+    FROM orders, tot
+    GROUP BY o_orderstatus, tot.obs_rows, tot.obs_cents
+    """,
+    doc="Batch df.observe() metrics (the batch twin of "
+    "streaming/observe.py's per-micro-batch listener, and the same "
+    "mechanism dedup.connected_components uses for convergence "
+    "counts): global row-count and checksum metrics are aggregated "
+    "EXECUTOR-SIDE inside the same job as the per-group aggregate — "
+    "the audit numbers a 100 TB pipeline wants on every write without "
+    "paying a second scan for them.  The observed values are attached "
+    "to each output group and must equal the oracle's independently "
+    "computed totals, proving the piggybacked metrics see every row "
+    "exactly once.  The final collect is a <=3-row aggregate (the "
+    "established recompute-safe pattern) — Observation.get requires "
+    "an action on the observed frame.",
+)
+def diag_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    obs = Observation()
+    orders = _t(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("obs_rows"),
+        F.sum(cents).alias("obs_cents"),
+    )
+    groups = (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("sum_cents"),
+        )
+        .collect()
+    )
+    m = obs.get
+    rows = [
+        (r["o_orderstatus"], r["n"], r["sum_cents"], m["obs_rows"], m["obs_cents"])
+        for r in groups
+    ]
+    return spark.createDataFrame(
+        rows,
+        "o_orderstatus string, n bigint, sum_cents bigint, "
+        "obs_rows bigint, obs_cents bigint",
+    )

@@ -77,13 +77,15 @@ from .operators import (  # noqa: E402,F401
 # the round-4 verdict ("swap out the r4-greens, keep 0") — cumulative
 # driver coverage across rounds is the bar, and every entry keeps full
 # local parity coverage via tests/test_oracle_parity.py (all entries,
-# same compare) regardless of window membership.  The 13 remaining
-# never-verified entries (agg_histogram, window_ntile_quartiles,
-# cdc_merge_upsert, join_salted_skew, join_shuffled_hash_hint,
-# dedup_containment, dedup_chunk_exact, emb_normalize,
-# ann_topk_ivf_multiprobe, emb_intra_inter_cosine,
-# ivf_kmeans_lloyd_step, emb_quantize_int8, emb_gram_matrix) rotate in
-# next round, completing driver coverage of the whole registry.
+# same compare) regardless of window membership.  After this window
+# the never-verified debt is the 13 r4-era deferrals (agg_histogram,
+# window_ntile_quartiles, cdc_merge_upsert, join_salted_skew,
+# join_shuffled_hash_hint, dedup_containment, dedup_chunk_exact,
+# emb_normalize, ann_topk_ivf_multiprobe, emb_intra_inter_cosine,
+# ivf_kmeans_lloyd_step, emb_quantize_int8, emb_gram_matrix) plus the
+# queries added during round 5 — 69 entries, which fit the two
+# remaining 50-slot windows (rounds 6-7 complete driver coverage;
+# tests/test_harness_integrity.py pins the <=100 budget).
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
     # late TPC-H (never driver-verified)

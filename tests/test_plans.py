@@ -666,3 +666,44 @@ def test_sql_udf_is_inlined(spark):
     assert "ScalaUDF" not in p and "PythonUDF" not in p
     assert shuffle_exchange_count(df) == 1
     assert not python_eval_nodes(df)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling, asserted at RUNTIME: a 95%-one-key join
+    executes with `skew=true` in the final adaptive plan, i.e. the
+    straggler partition was split into advisory-sized sub-partitions.
+    This is the zero-code remediation path diag_key_skew's report
+    points at (join_salted_skew is the manual twin).  Thresholds are
+    lowered so test-scale bytes trip the same machinery production
+    defaults (256 MB) trip at real scale."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).select(
+            F.when(F.col("id") < 190_000, 0)
+            .otherwise((F.col("id") % 9) + 1)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right.hint("shuffle_merge"), "k")
+        assert len(j.collect()) == 200_000
+        final_plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
