@@ -2106,3 +2106,110 @@ def scalar_sql_udf_inlined(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "agg_corr_exact_moments",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
+             CAST(sum(d) AS DOUBLE) AS sd,
+             CAST(sum(q * q) AS DOUBLE) AS sqq,
+             CAST(sum(p * p) AS DOUBLE) AS spp,
+             CAST(sum(d * d) AS DOUBLE) AS sdd,
+             CAST(sum(q * p) AS DOUBLE) AS sqp,
+             CAST(sum(q * d) AS DOUBLE) AS sqd,
+             CAST(sum(p * d) AS DOUBLE) AS spd
+      FROM (
+        SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+               CAST(round(l_discount * 10000) AS BIGINT) AS d
+        FROM lineitem
+      )
+    )
+    SELECT pair, CAST(n AS BIGINT) AS n, round(r, 6) AS corr
+    FROM (
+      SELECT 'qty_price' AS pair, n,
+             (n * sqp - sq * sp)
+               / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)) AS r
+      FROM m
+      UNION ALL
+      SELECT 'qty_discount', n,
+             (n * sqd - sq * sd)
+               / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd))
+      FROM m
+      UNION ALL
+      SELECT 'price_discount', n,
+             (n * spd - sp * sd)
+               / (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd))
+      FROM m
+    )
+    """,
+    doc="Pairwise Pearson correlation from EXACT integer moments: the "
+    "built-in corr() accumulates doubles in partition order, so its "
+    "low bits — and a 6-dp rounding — are not reproducible across "
+    "engines or even runs; instead all 10 moments (n, sums, squares, "
+    "cross products) are summed as exact integers over integer-unit "
+    "columns (qty, price cents, discount basis points) in ONE scan / "
+    "ONE global aggregate, then each correlation is a fixed double "
+    "expression over those exact moments — bit-identical on both "
+    "engines.  Spark sums in decimal(38,0) (sum of price-cents "
+    "squares exceeds int64 at sf0.1: ~6.6e19), DuckDB in int128.  "
+    "The 3x3 feature-correlation profile is the standard first look "
+    "before training-feature selection; map-side partial aggregation "
+    "makes it one reduce of 10 numbers at any scale.",
+)
+def agg_corr_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity")).cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("p"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("d"),
+    )
+    dec = "decimal(38,0)"
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        *[
+            F.sum(expr.cast(dec)).cast("double").alias(name)
+            for name, expr in [
+                ("sq", F.col("q")),
+                ("sp", F.col("p")),
+                ("sd", F.col("d")),
+                ("sqq", F.col("q") * F.col("q")),
+                ("spp", F.col("p") * F.col("p")),
+                ("sdd", F.col("d") * F.col("d")),
+                ("sqp", F.col("q") * F.col("p")),
+                ("sqd", F.col("q") * F.col("d")),
+                ("spd", F.col("p") * F.col("d")),
+            ]
+        ],
+    )
+
+    def r(sxy: str, x: str, y: str, sxx: str, syy: str) -> F.Column:
+        n = F.col("n")
+        return (n * F.col(sxy) - F.col(x) * F.col(y)) / (
+            F.sqrt(n * F.col(sxx) - F.col(x) * F.col(x))
+            * F.sqrt(n * F.col(syy) - F.col(y) * F.col(y))
+        )
+
+    return m.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("qty_price").alias("pair"),
+                    F.col("n").cast("bigint").alias("n"),
+                    F.round(r("sqp", "sq", "sp", "sqq", "spp"), 6).alias("corr"),
+                ),
+                F.struct(
+                    F.lit("qty_discount").alias("pair"),
+                    F.col("n").cast("bigint").alias("n"),
+                    F.round(r("sqd", "sq", "sd", "sqq", "sdd"), 6).alias("corr"),
+                ),
+                F.struct(
+                    F.lit("price_discount").alias("pair"),
+                    F.col("n").cast("bigint").alias("n"),
+                    F.round(r("spd", "sp", "sd", "spp", "sdd"), 6).alias("corr"),
+                ),
+            )
+        ).alias("row")
+    ).select("row.pair", "row.n", "row.corr")

@@ -610,3 +610,97 @@ def split_leakage_safe_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+_POISSON1_CUTS_2POW60 = [
+    424136118829305329,   # P(X<=0)
+    848272237658610659,   # P(X<=1)
+    1060340297073263324,  # P(X<=2)
+    1131029650211480879,  # P(X<=3)
+    1148701988496035267,  # P(X<=4)
+]
+
+
+@register(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+    WITH reps AS (
+      SELECT e.event_type,
+             CAST(round(e.value * 100) AS BIGINT) AS cents,
+             b.b,
+             {SQL_MD5_LONG.format(x="e.event_id::VARCHAR || ':boot' || b.b::VARCHAR")} AS h
+      FROM events e, (SELECT unnest(range(20)) AS b) b
+    ), weighted AS (
+      SELECT event_type, b,
+             CASE WHEN h < {_POISSON1_CUTS_2POW60[0]} THEN 0
+                  WHEN h < {_POISSON1_CUTS_2POW60[1]} THEN 1
+                  WHEN h < {_POISSON1_CUTS_2POW60[2]} THEN 2
+                  WHEN h < {_POISSON1_CUTS_2POW60[3]} THEN 3
+                  WHEN h < {_POISSON1_CUTS_2POW60[4]} THEN 4
+                  ELSE 5 END AS w,
+             cents
+      FROM reps
+    ), means AS (
+      SELECT event_type, b,
+             round(sum(w * cents)::DOUBLE / sum(w)::DOUBLE, 4) AS boot_mean
+      FROM weighted GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_replicates,
+           round(min(boot_mean), 4) AS boot_cents_min,
+           round(max(boot_mean), 4) AS boot_cents_max
+    FROM means GROUP BY 1
+    """,
+    doc="Deterministic Poisson bootstrap (the online-bootstrap of "
+    "Oza/Russell, the standard way to bootstrap a dataset too large "
+    "to resample by index): each of 20 replicates gives every row a "
+    "Poisson(1) weight drawn by inverting the exact CDF against a "
+    "60-bit md5 hash of (row id, replicate) — integer threshold "
+    "comparisons against 2^60-scaled cutoffs, zero floating point, so "
+    "both engines produce the identical resample.  Replicate means "
+    "use exact integer weighted sums (one double division at the "
+    "end); the replicate-spread summary uses only min/max, which are "
+    "summation-order-independent.  Per-row expressions + two "
+    "aggregations — embarrassingly parallel, no RNG state, stable "
+    "under re-runs and appends like every sampler in this module.  "
+    "The uncertainty-quantification primitive for metric CIs over a "
+    "100 TB corpus.",
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+    B = 20
+    rows = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.col("event_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("b"),
+    )
+    h = md5_long(
+        F.concat(
+            F.col("event_id").cast("string"), F.lit(":boot"), F.col("b").cast("string")
+        )
+    )
+    w = (
+        F.when(h < _POISSON1_CUTS_2POW60[0], 0)
+        .when(h < _POISSON1_CUTS_2POW60[1], 1)
+        .when(h < _POISSON1_CUTS_2POW60[2], 2)
+        .when(h < _POISSON1_CUTS_2POW60[3], 3)
+        .when(h < _POISSON1_CUTS_2POW60[4], 4)
+        .otherwise(5)
+    )
+    means = (
+        rows.select("event_type", "b", w.alias("w"), "cents")
+        .groupBy("event_type", "b")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("cents")).cast("double")
+                / F.sum("w").cast("double"),
+                4,
+            ).alias("boot_mean")
+        )
+    )
+    return means.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+        F.round(F.min("boot_mean"), 4).alias("boot_cents_min"),
+        F.round(F.max("boot_mean"), 4).alias("boot_cents_max"),
+    )

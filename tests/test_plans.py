@@ -707,3 +707,21 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_poisson_bootstrap_two_exchanges_no_python(spark):
+    # Poisson(1) weights are integer-threshold md5 expressions fused
+    # into the scan+explode stage; shuffles are only the two
+    # aggregations (per-replicate means, then replicate summary)
+    df = q(spark, "sample_poisson_bootstrap")
+    assert shuffle_exchange_count(df) <= 2
+    assert not python_eval_nodes(df)
+
+
+def test_corr_moments_single_reduce(spark):
+    # all 10 exact moments ride one scan into one global aggregate
+    # (partial map-side, at most one exchange of 10 numbers); the
+    # correlation arithmetic is a projection over the 1-row result
+    df = q(spark, "agg_corr_exact_moments")
+    assert shuffle_exchange_count(df) <= 1
+    assert not python_eval_nodes(df)
