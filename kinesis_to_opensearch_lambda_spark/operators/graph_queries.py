@@ -551,3 +551,104 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "graph_random_walk_deterministic",
+    oracle="""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM pairs a JOIN pairs b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), edges AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM e
+      UNION ALL
+      SELECT v AS src, u AS dst FROM e
+    ), indexed AS MATERIALIZED (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+             count(*) OVER (PARTITION BY src) AS deg
+      FROM edges
+    ),
+    walk(seed, node, step, path) AS (
+      SELECT src, src, 0, src::VARCHAR
+      FROM (SELECT DISTINCT src FROM edges WHERE src % 97 = 0)
+      UNION ALL
+      SELECT w.seed, i.dst, w.step + 1, w.path || '-' || i.dst::VARCHAR
+      FROM walk w JOIN indexed i ON i.src = w.node
+      WHERE w.step < 3
+        AND i.idx = (('0x' || substr(md5(
+              w.seed::VARCHAR || ':walk' || (w.step + 1)::VARCHAR
+              || ':' || w.node::VARCHAR), 1, 15))::BIGINT) % i.deg
+    )
+    SELECT seed, node AS end_node, path FROM walk WHERE step = 3
+    """,
+    doc="Deterministic random walks (the DeepWalk/node2vec sampling "
+    "primitive): one 3-step walk per seed over the symmetrized "
+    "co-order part graph, where each hop picks neighbor number "
+    "md5(seed, step, node) mod degree from the dst-ordered adjacency "
+    "list — no RNG state, so walks are reproducible across runs, "
+    "engines (the oracle replays them in a recursive CTE), and "
+    "appends.  Each step is one equi-join of the O(seeds) frontier "
+    "against the indexed edge list (never the full walk history), the "
+    "same per-round shape as the other iterative graph ops; at 100 TB "
+    "the frontier shuffles only (seed, node, path) rows.  Walk "
+    "corpora generated this way feed skip-gram embedding training — "
+    "the graph-to-sequence bridge in a training-data pipeline.",
+)
+def graph_random_walk_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import md5_long
+    from .lineage import truncate_lineage
+
+    e = _co_order_edges(spark, sf_dir)
+    edges = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    wd = Window.partitionBy("src")
+    # materialize the indexed adjacency ONCE: all 3 hop joins reuse it
+    # instead of re-deriving the edge build per step (same lineage
+    # discipline as the other iterative graph ops)
+    indexed = truncate_lineage(
+        edges.select(
+            "src",
+            "dst",
+            (F.row_number().over(w) - 1).alias("idx"),
+            F.count(F.lit(1)).over(wd).alias("deg"),
+        ),
+        None,
+    )
+    walk = (
+        edges.select("src")
+        .distinct()
+        .filter(F.col("src") % 97 == 0)
+        .select(
+            F.col("src").alias("seed"),
+            F.col("src").alias("node"),
+            F.col("src").cast("string").alias("path"),
+        )
+    )
+    for step in (1, 2, 3):
+        h = md5_long(
+            F.concat(
+                F.col("seed").cast("string"),
+                F.lit(f":walk{step}:"),
+                F.col("node").cast("string"),
+            )
+        )
+        walk = (
+            walk.join(indexed, walk["node"] == indexed["src"])
+            .filter(F.col("idx") == h % F.col("deg"))
+            .select(
+                "seed",
+                F.col("dst").alias("node"),
+                F.concat(F.col("path"), F.lit("-"), F.col("dst").cast("string")).alias(
+                    "path"
+                ),
+            )
+        )
+    return walk.select("seed", F.col("node").alias("end_node"), "path")

@@ -2213,3 +2213,67 @@ def agg_corr_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("row")
     ).select("row.pair", "row.n", "row.corr")
+
+
+@register(
+    "agg_mutual_information",
+    oracle="""
+    WITH joint AS (
+      SELECT event_type AS x, user_id % 10 AS y, count(*) AS nxy
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(sum(nxy) AS DOUBLE) AS n FROM joint
+    ), marg AS (
+      SELECT j.x, j.y, CAST(j.nxy AS DOUBLE) AS nxy,
+             CAST(sum(j.nxy) OVER (PARTITION BY j.x) AS DOUBLE) AS nx,
+             CAST(sum(j.nxy) OVER (PARTITION BY j.y) AS DOUBLE) AS ny
+      FROM joint j
+    )
+    SELECT x AS event_type,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum(CAST(round(
+             (nxy / n) * ln(nxy * n / (nx * ny)) / ln(2.0) * 1000000000
+           ) AS BIGINT)) / 1000000000.0, 6) AS mi_bits_contrib
+    FROM marg, tot
+    GROUP BY x
+    """,
+    doc="Mutual information I(event_type; user bucket) from EXACT "
+    "joint counts, reported as per-event-type contributions: the "
+    "feature-selection / leakage-detection primitive (a near-zero MI "
+    "column carries no signal; a suspiciously high MI against the "
+    "label is leakage).  Same determinism discipline as "
+    "agg_corr_exact_moments: the only aggregation is integer counting "
+    "(one shuffle on the tiny joint-cell grid), marginals come from "
+    "window sums over the 50-cell contingency table (no second scan), "
+    "and the p*log(p) arithmetic is a fixed double expression over "
+    "exact integers — engine-identical.  At 100 TB the contingency "
+    "table is |X|x|Y| cells regardless of row count.",
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    joint = ev.groupBy(
+        F.col("event_type").alias("x"), (F.col("user_id") % 10).alias("y")
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    wall = Window.partitionBy()
+    m = joint.select(
+        "x",
+        F.col("nxy").cast("double").alias("nxy"),
+        F.sum("nxy").over(wx).cast("double").alias("nx"),
+        F.sum("nxy").over(wy).cast("double").alias("ny"),
+        F.sum("nxy").over(wall).cast("double").alias("n"),
+    )
+    term = (F.col("nxy") / F.col("n")) * (
+        F.log(F.col("nxy") * F.col("n") / (F.col("nx") * F.col("ny")))
+        / F.log(F.lit(2.0))
+    )
+    # each cell's term is a fixed double expression over exact integer
+    # counts (deterministic); rounding it to integer nano-bits BEFORE
+    # the sum makes the aggregation order-independent (repo convention:
+    # never sum raw doubles into a hash-compared value)
+    term_nano = F.round(term * 1_000_000_000).cast("bigint")
+    return m.groupBy(F.col("x").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.round(F.sum(term_nano) / 1_000_000_000.0, 6).alias("mi_bits_contrib"),
+    )

@@ -704,3 +704,61 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("boot_mean"), 4).alias("boot_cents_min"),
         F.round(F.max("boot_mean"), 4).alias("boot_cents_max"),
     )
+
+
+@register(
+    "curation_rejection_funnel",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT CASE
+               WHEN lang NOT IN ('en', 'zh') THEN '1_lang_other'
+               WHEN len({_SQL_WORDS}) < 50 THEN '2_too_short'
+               WHEN {_SQL_SCORE_I} < 500000 THEN '3_low_quality'
+               ELSE '4_kept'
+             END AS reason,
+             n_chars
+      FROM documents
+    ), tot AS (SELECT count(*) AS n FROM tagged)
+    SELECT reason,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST((count(*) * 1000000) // max(tot.n) AS BIGINT) AS share_ppm
+    FROM tagged, tot
+    GROUP BY reason
+    """,
+    doc="Rejection-funnel attribution: every document is charged to "
+    "the FIRST filter that rejects it (language allowlist -> length "
+    "floor -> quality floor, the standard curation cascade order), so "
+    "the report decomposes corpus loss by cause without "
+    "double-counting — the observability any production filter "
+    "cascade needs before anyone tightens a threshold.  First-match "
+    "semantics is a single CASE expression per row (filters share the "
+    "one scan; adding a filter adds zero passes); shares are integer "
+    "parts-per-million.  Reuses the exact quality-score expression "
+    "from curation_pipeline so both engines agree bit-for-bit.",
+)
+def curation_rejection_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = words(F.col("text"))
+    reason = (
+        F.when(~F.col("lang").isin("en", "zh"), "1_lang_other")
+        .when(F.size(w) < 50, "2_too_short")
+        .when(_score_i() < 500_000, "3_low_quality")
+        .otherwise("4_kept")
+    )
+    tagged = docs.select(reason.alias("reason"), "n_chars")
+    tot = tagged.select(F.count(F.lit(1)).alias("n"))
+    return (
+        tagged.groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "reason",
+            "n_docs",
+            "total_chars",
+            F.expr("(n_docs * 1000000) div n").cast("bigint").alias("share_ppm"),
+        )
+    )

@@ -725,3 +725,30 @@ def test_corr_moments_single_reduce(spark):
     df = q(spark, "agg_corr_exact_moments")
     assert shuffle_exchange_count(df) <= 1
     assert not python_eval_nodes(df)
+
+
+def test_mutual_information_single_exchange(spark):
+    # exact joint counts are the only real shuffle; marginals are
+    # window sums over the tiny contingency table
+    df = q(spark, "agg_mutual_information")
+    assert shuffle_exchange_count(df) == 1
+    assert not python_eval_nodes(df)
+
+
+def test_rejection_funnel_one_scan_one_shuffle(spark):
+    # first-match CASE rides the scan; one agg exchange; the 1-row
+    # total joins via broadcast
+    df = q(spark, "curation_rejection_funnel")
+    assert shuffle_exchange_count(df) == 1
+    assert not python_eval_nodes(df)
+
+
+def test_random_walk_bounded_rounds_no_nestedloop(spark):
+    # adjacency is materialized once (localCheckpoint) and each of the
+    # 3 hops is an equi-join round — bounded exchanges, no non-equi
+    # join anywhere
+    df = q(spark, "graph_random_walk_deterministic")
+    p = plan_string(df)
+    assert "BroadcastNestedLoop" not in p and "Cartesian" not in p
+    assert shuffle_exchange_count(df) <= 12
+    assert not python_eval_nodes(df)
