@@ -684,3 +684,66 @@ def diag_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus string, n bigint, sum_cents bigint, "
         "obs_rows bigint, obs_cents bigint",
     )
+
+
+@register(
+    "quality_ks_two_sample",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS b
+      FROM events WHERE event_type IN ('click', 'error')
+    ), g AS (
+      SELECT v, sum(a) AS na_v, sum(b) AS nb_v FROM s GROUP BY v
+    ), c AS (
+      SELECT v,
+             sum(na_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(nb_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+      FROM g
+    ), t AS (SELECT sum(a) AS na, sum(b) AS nb FROM s)
+    SELECT CAST(t.na AS BIGINT) AS n_a,
+           CAST(t.nb AS BIGINT) AS n_b,
+           CAST(max((abs(c.ca * t.nb - c.cb * t.na) * 1000000)
+                    // (t.na * t.nb)) AS BIGINT) AS d_ppm
+    FROM c, t
+    GROUP BY t.na, t.nb
+    """,
+    doc="Exact two-sample Kolmogorov-Smirnov statistic between the "
+    "'click' and 'error' value distributions — the "
+    "distribution-equality gate behind drift monitors "
+    "(quality_psi_drift is the binned sibling; KS is bin-free).  "
+    "D = max_v |ECDF_a(v) - ECDF_b(v)| evaluated at distinct values "
+    "only (ties collapse in a pre-aggregation, so the sup is taken "
+    "after each tied block — the mathematically correct ECDF), in "
+    "ALL-INTEGER arithmetic: |ca*nb - cb*na|*1e6 // (na*nb) "
+    "parts-per-million, no FP anywhere.  Plan: one groupBy to the "
+    "distinct-cents dictionary (<=10001 rows, value range is "
+    "bounded), then one unpartitioned running sum over that bounded "
+    "dictionary — the same audited single-partition-is-bounded shape "
+    "as the Zipf fit.",
+)
+def quality_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    s = ev.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("b"),
+    )
+    g = s.groupBy("v").agg(
+        F.sum("a").alias("na_v"), F.sum("b").alias("nb_v")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = g.select(
+        F.sum("na_v").over(w).alias("ca"),
+        F.sum("nb_v").over(w).alias("cb"),
+    )
+    t = s.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    joined = c.crossJoin(F.broadcast(t))
+    d = F.expr("(abs(ca * nb - cb * na) * 1000000) div (na * nb)")
+    return joined.groupBy(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+    ).agg(F.max(d).cast("bigint").alias("d_ppm"))

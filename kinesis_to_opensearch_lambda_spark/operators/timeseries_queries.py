@@ -414,3 +414,66 @@ def window_ewma_finite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.select(
         "event_id", "user_id", F.round(num / den, 4).alias("ewma")
     )
+
+
+@register(
+    "anomaly_cusum_drift",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) - 5000 AS dev
+      FROM events WHERE user_id < 50
+    ), pre AS (
+      SELECT event_id, user_id, ts,
+             sum(dev) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS prefix
+      FROM s
+    ), p AS (
+      SELECT event_id, user_id, prefix,
+             min(prefix) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS min_prefix
+      FROM pre
+    )
+    SELECT event_id, user_id,
+           CAST(prefix - min_prefix AS BIGINT) AS cusum_cents,
+           CAST(prefix - min_prefix > 20000 AS VARCHAR) AS alarm
+    FROM p
+    """,
+    doc="CUSUM drift detection as pure window functions: the textbook "
+    "recursion S_t = max(0, S_(t-1) + x_t - k) looks un-window-izable, "
+    "but expands to the closed form S_t = P_t - min_(i<=t) P_i where "
+    "P is the prefix sum of deviations — so the per-series state "
+    "machine becomes a running sum plus a running min over the SAME "
+    "window partitioning: one shuffle on the series key, no recursion, "
+    "no stateful UDF.  All-integer cents arithmetic (reference level "
+    "50.00, alarm threshold 200.00 cumulative) keeps both engines "
+    "bit-identical.  The streaming-shaped change-point primitive "
+    "(data-drift alarms on a metric stream) in one batch window pass.",
+)
+def anomaly_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    dev = (F.round(F.col("value") * 100).cast("bigint") - 5000).alias("dev")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = ev.select("event_id", "user_id", "ts", dev).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum("dev").over(w).alias("prefix"),
+    )
+    rows = p.select(
+        "event_id",
+        "user_id",
+        "prefix",
+        F.min("prefix").over(w).alias("min_prefix"),
+    )
+    cusum = (F.col("prefix") - F.col("min_prefix")).cast("bigint")
+    return rows.select(
+        "event_id",
+        "user_id",
+        cusum.alias("cusum_cents"),
+        (cusum > 20000).cast("string").alias("alarm"),
+    )

@@ -83,7 +83,7 @@ from .operators import (  # noqa: E402,F401
 # join_shuffled_hash_hint, dedup_containment, dedup_chunk_exact,
 # emb_normalize, ann_topk_ivf_multiprobe, emb_intra_inter_cosine,
 # ivf_kmeans_lloyd_step, emb_quantize_int8, emb_gram_matrix) plus the
-# queries added during round 5 — 74 entries, which fit the two
+# queries added during round 5 — 76 entries, which fit the two
 # remaining 50-slot windows (rounds 6-7 complete driver coverage;
 # tests/test_harness_integrity.py pins the <=100 budget).
 # ---------------------------------------------------------------------------

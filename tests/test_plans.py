@@ -752,3 +752,21 @@ def test_random_walk_bounded_rounds_no_nestedloop(spark):
     assert "BroadcastNestedLoop" not in p and "Cartesian" not in p
     assert shuffle_exchange_count(df) <= 12
     assert not python_eval_nodes(df)
+
+
+def test_cusum_single_exchange_shared_window(spark):
+    # the CUSUM recursion expands to prefix-sum + running-min over the
+    # SAME partitioning: both windows share one shuffle on the series
+    # key, no stateful UDF
+    df = q(spark, "anomaly_cusum_drift")
+    assert shuffle_exchange_count(df) == 1
+    assert not python_eval_nodes(df)
+
+
+def test_ks_two_sample_single_exchange(spark):
+    # ECDF comparison collapses to the distinct-cents dictionary
+    # before the (bounded) unpartitioned running sums: one exchange,
+    # all-integer arithmetic
+    df = q(spark, "quality_ks_two_sample")
+    assert shuffle_exchange_count(df) == 1
+    assert not python_eval_nodes(df)
