@@ -431,18 +431,22 @@ def window_ewma_finite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), p AS (
       SELECT event_id, user_id, prefix,
              min(prefix) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS min_prefix
+                               ROWS UNBOUNDED PRECEDING) AS min_prefix_ne
       FROM pre
     )
     SELECT event_id, user_id,
-           CAST(prefix - min_prefix AS BIGINT) AS cusum_cents,
-           CAST(prefix - min_prefix > 20000 AS VARCHAR) AS alarm
+           CAST(prefix - least(0, min_prefix_ne) AS BIGINT) AS cusum_cents,
+           CAST(prefix - least(0, min_prefix_ne) > 20000 AS VARCHAR) AS alarm
     FROM p
     """,
     doc="CUSUM drift detection as pure window functions: the textbook "
     "recursion S_t = max(0, S_(t-1) + x_t - k) looks un-window-izable, "
-    "but expands to the closed form S_t = P_t - min_(i<=t) P_i where "
-    "P is the prefix sum of deviations — so the per-series state "
+    "but expands to the closed form S_t = P_t - min_(0<=i<=t) P_i with "
+    "P_0 = 0 (the running min must INCLUDE the empty prefix — "
+    "least(0, ...) — else a series drifting from its very first "
+    "observation under-detects; caught by the property test "
+    "tests/test_properties.py::test_cusum_closed_form_equals_recursion) "
+    "where P is the prefix sum of deviations — so the per-series state "
     "machine becomes a running sum plus a running min over the SAME "
     "window partitioning: one shuffle on the series key, no recursion, "
     "no stateful UDF.  All-integer cents arithmetic (reference level "
@@ -468,9 +472,11 @@ def anomaly_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "prefix",
-        F.min("prefix").over(w).alias("min_prefix"),
+        F.min("prefix").over(w).alias("min_prefix_ne"),
     )
-    cusum = (F.col("prefix") - F.col("min_prefix")).cast("bigint")
+    cusum = (
+        F.col("prefix") - F.least(F.lit(0), F.col("min_prefix_ne"))
+    ).cast("bigint")
     return rows.select(
         "event_id",
         "user_id",

@@ -323,3 +323,68 @@ def test_zorder_interleave_bijective_and_monotone(x1, y1, x2, y2):
         f"SELECT {_sql_interleave(str(x1), str(y1))}"
     ).fetchone()[0]
     assert got == z1
+
+
+@given(
+    xs=st.lists(
+        st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=200
+    ),
+    k=st.integers(min_value=0, max_value=5_000),
+)
+@settings(max_examples=300, deadline=None)
+def test_cusum_closed_form_equals_recursion(xs, k):
+    """anomaly_cusum_drift rests on the identity
+    S_t = max(0, S_{t-1} + (x_t - k))  ==  P_t - min_{0<=j<=t} P_j
+    with P_0 = 0 (the empty prefix MUST participate in the min — the
+    query encodes it as least(0, running_min)).  This test is what
+    caught the original omission: without P_0, a series whose every
+    prefix is positive (drift from the first observation) reports 0
+    at t=1 instead of x_1 - k."""
+    devs = [x - k for x in xs]
+    s = 0
+    rec = []
+    for d in devs:
+        s = max(0, s + d)
+        rec.append(s)
+    prefix = 0
+    running_min_ne = None
+    closed = []
+    for d in devs:
+        prefix += d
+        running_min_ne = prefix if running_min_ne is None else min(running_min_ne, prefix)
+        closed.append(prefix - min(0, running_min_ne))
+    assert closed == rec
+
+
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=60),
+    b=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=60),
+)
+@settings(max_examples=300, deadline=None)
+def test_ks_dictionary_form_equals_bruteforce_sup(a, b):
+    """quality_ks_two_sample evaluates |ECDF_a - ECDF_b| only at the
+    DISTINCT observed values (after collapsing ties): verify that this
+    equals the true sup over all real thresholds, in the same integer
+    ppm arithmetic as the query."""
+    na, nb = len(a), len(b)
+    values = sorted(set(a) | set(b))
+    # query form: running counts over the distinct-value dictionary
+    d_query = 0
+    for v in values:
+        ca = sum(1 for x in a if x <= v)
+        cb = sum(1 for x in b if x <= v)
+        d_query = max(d_query, abs(ca * nb - cb * na) * 1_000_000 // (na * nb))
+    # brute force: sup over midpoints between consecutive values and
+    # the extremes — ECDFs are step functions, constant between
+    # observed values, so checking at observed values is sufficient;
+    # verify by also probing midpoints (where ECDFs equal the value
+    # just below) and beyond the max (both ECDFs = 1)
+    probes = [values[0] - 1] + values + [
+        (values[i] + values[i + 1]) / 2 for i in range(len(values) - 1)
+    ] + [values[-1] + 1]
+    d_true = 0
+    for t in probes:
+        ca = sum(1 for x in a if x <= t)
+        cb = sum(1 for x in b if x <= t)
+        d_true = max(d_true, abs(ca * nb - cb * na) * 1_000_000 // (na * nb))
+    assert d_query == d_true
