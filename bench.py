@@ -129,27 +129,38 @@ def _regressions_vs_previous_round(timings: dict[str, float]) -> dict | None:
     if str(prev.get("sf")) != sf:
         return None
     prev_q = prev.get("queries", {})
+    out = _diff_vs_baseline(timings, prev_q)
+    out["baseline"] = os.path.basename(prev_path)
+    return out
+
+
+def _diff_vs_baseline(timings: dict[str, float], prev_q: dict[str, float]) -> dict:
+    """Pure comparison half of the guard (unit-tested in
+    tests/test_bench_guard.py).  Rounds run on different sandbox hosts:
+    an ambient speed delta shifts EVERY query by the same factor
+    (observed 1.3-1.5x host-to-host on untouched queries).  Normalize
+    by the median ratio so the guard flags only queries that regressed
+    RELATIVE to the fleet — i.e. a plan change — not a slower machine.
+    The normalizer applies on BOTH sides of 1.0: on a faster host
+    (drift < 1) a query whose ratio is 1.4x while the fleet runs at
+    0.5x has regressed 2.8x relative to its peers and must be flagged
+    even though its absolute ratio clears 1.5 (r5 ADVICE: the old
+    max(1.0, drift) clamp made the guard one-sided)."""
     ratios = {
         name: sec / prev_q[name]
         for name, sec in timings.items()
         if name in prev_q and prev_q[name] > 0
     }
     if not ratios:
-        return {"baseline": os.path.basename(prev_path), "regressed": {}}
-    # Rounds run on different sandbox hosts: an ambient speed delta shifts
-    # EVERY query by the same factor (observed 1.3-1.5x host-to-host on
-    # untouched queries).  Normalize by the median ratio so the guard
-    # flags only queries that regressed RELATIVE to the fleet — i.e. a
-    # plan change — not a slower machine.
+        return {"regressed": {}}
     drift = statistics.median(ratios.values())
-    threshold = 1.5 * max(1.0, drift)
+    threshold = 1.5 * drift
     regressed = {
         name: [prev_q[name], timings[name]]
         for name, r in ratios.items()
         if r > threshold
     }
     return {
-        "baseline": os.path.basename(prev_path),
         "host_drift_median_ratio": round(drift, 3),
         "regressed": regressed,
     }

@@ -693,10 +693,12 @@ def window_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pays in state), then count(DISTINCT user_id) per window.  "
     "Distinct-within-window is what tumbling pre-aggregation CANNOT "
     "deliver (distinct is not a mergeable monoid), so the expand-then-"
-    "exact-distinct shape is the honest cost; at 100 TB the standard "
-    "relaxation is approx_count_distinct or an HLL-sketch partial per "
-    "tumbling slice, both one-line swaps here.  Shuffles: the "
-    "two-phase distinct aggregate on (window, user).",
+    "exact-distinct shape is the honest cost — use this variant when "
+    "the answer must be exact.  At 100 TB use the registered "
+    "scale-safe sibling window_sliding_distinct_users_hll instead: "
+    "per-hop HLL sketches merged per window, which never shuffles a "
+    "(window, user) pair.  Shuffles here: the two-phase distinct "
+    "aggregate on (window, user).",
 )
 def window_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
@@ -712,6 +714,95 @@ def window_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     ).agg(
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+@register(
+    "window_sliding_distinct_users_hll",
+    oracle="""
+    WITH starts AS (
+      SELECT user_id,
+             make_timestamp(
+               (epoch_us(ts) - epoch_us(ts) % 900000000) - i.i * 900000000
+             ) AS win_start
+      FROM events, range(4) i(i)
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           'true' AS merge_agrees_1pct
+    FROM starts
+    GROUP BY 1
+    """,
+    doc="Scale-safe sibling of window_sliding_distinct_users (the one "
+    "r5 perf-weak operator): rolling hourly active users at 15-minute "
+    "resolution WITHOUT shuffling a single (window, user) pair.  "
+    "Events aggregate once per tumbling 15-min hop into an HLL sketch "
+    "(hll_sketch_agg — mergeable, <=4 KiB at lgConfigK=12); the 4x "
+    "sliding overlap is then paid at SKETCH level (each hop row "
+    "explodes to the 4 windows covering it) and hll_union_agg merges "
+    "4 sketches per window.  Wire cost per window: 4 sketches, not "
+    "all its users — the shape that survives 100 TB where the exact "
+    "variant's exploded distinct does not.  Verification: a second "
+    "sketch leg (single-pass hll_sketch_agg over the exploded rows — "
+    "still a sketch; this plan contains NO exact distinct) must agree "
+    "with the hop-merged estimate to 1% (composite vs HIP estimator "
+    "slack; both are exact in sparse mode at test scales, see "
+    "agg_hll_partial_merge), and tests/test_sliding_distinct_hll.py "
+    "tolerance-checks the estimate against the exact variant's "
+    "n_users at <=5%.  The oracle pins the window frame and exact "
+    "per-window event counts (plain sums — mergeable) plus the "
+    "agreement flag; the estimates themselves are engine-specific "
+    "and deliberately not in the output.",
+)
+def window_sliding_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    hop = 900  # 15 min
+    hop_start = F.expr(
+        f"timestamp_seconds(unix_timestamp(ts) DIV {hop} * {hop})"
+    )
+    # one pass over the events: per-hop sketch + event count
+    hops = events.groupBy(hop_start.alias("hop_start")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    # expand HOPS (not events) to the 4 overlapping windows
+    win_start = F.expr(
+        f"timestamp_seconds(unix_timestamp(hop_start) - i * {hop})"
+    )
+    merged = (
+        hops.select(
+            "sk", "n_ev", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"), "hop_start"
+        )
+        .select(
+            F.date_format(win_start, "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "sk",
+            "n_ev",
+        )
+        .groupBy("win_start")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_m"),
+            F.sum("n_ev").cast("bigint").alias("n_events"),
+        )
+    )
+    # verification leg: single-pass sketch over the exploded event rows
+    # (a sketch, not an exact distinct — the whole plan stays mergeable)
+    ev_win = F.expr(
+        f"timestamp_seconds(unix_timestamp(ts) DIV {hop} * {hop} - i * {hop})"
+    )
+    direct = (
+        events.select(
+            "user_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"), "ts"
+        )
+        .groupBy(F.date_format(ev_win, "yyyy-MM-dd HH:mm:ss").alias("win_start"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_s"))
+    )
+    slack = F.greatest(F.col("est_s") * 0.01, F.lit(1.0))
+    return merged.join(direct, "win_start").select(
+        "win_start",
+        "n_events",
+        (F.abs(F.col("est_m") - F.col("est_s")) <= slack)
+        .cast("string")
+        .alias("merge_agrees_1pct"),
     )
 
 
@@ -864,12 +955,40 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_quantile_sketch_tolerance",
     oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+      FROM lineitem
+    ), rk AS (
+      SELECT l_returnflag, cents,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS r,
+             count(*)     OVER (PARTITION BY l_returnflag) AS n
+      FROM c
+    ), pos AS (
+      SELECT *,
+             (n - 1) // 2 AS lo50, (n - 1) % 2 AS f50,
+             (99 * (n - 1)) // 100 AS lo99, (99 * (n - 1)) % 100 AS f99
+      FROM rk
+    ), q AS (
+      SELECT *,
+             max(CASE WHEN r = lo50 + 1 THEN cents END)
+               OVER (PARTITION BY l_returnflag) AS a50,
+             max(CASE WHEN r = lo50 + 2 THEN cents END)
+               OVER (PARTITION BY l_returnflag) AS b50,
+             max(CASE WHEN r = lo99 + 1 THEN cents END)
+               OVER (PARTITION BY l_returnflag) AS a99,
+             max(CASE WHEN r = lo99 + 2 THEN cents END)
+               OVER (PARTITION BY l_returnflag) AS b99
+      FROM pos
+    )
     SELECT l_returnflag,
-           round(quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.50) / 100.0, 2) AS p50,
-           round(quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.99) / 100.0, 2) AS p99,
+           CAST(max((2 - f50) * a50 + f50 * coalesce(b50, a50)) AS BIGINT)
+             AS p50_half_cents,
+           CAST(max((100 - f99) * a99 + f99 * coalesce(b99, a99)) AS BIGINT)
+             AS p99_hundredth_cents,
            'true' AS ok_p50,
            'true' AS ok_p99
-    FROM lineitem
+    FROM q
     GROUP BY l_returnflag
     """,
     doc="Quantile SKETCH vs exact — completes the sketch trio (HLL = "
@@ -877,32 +996,76 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_percentile (Greenwald-Khanna summary, accuracy=10000, "
     "mergeable map-side like every sketch here) checked to within 1% "
     "of the exact interpolated percentile per group; measured error "
-    "at sf0.1 is <=0.03%.  The oracle asserts the EXACT p50/p99 "
-    "(integer-cents interpolation, FP-exact cross-engine — the "
-    "agg_percentiles trick) plus both tolerance flags.  At 100 TB the "
-    "exact path needs a per-group sort; the GK summary is one scan, "
-    "bounded memory, and this query pins how much accuracy that "
-    "trade buys.",
+    "at sf0.1 is <=0.03%.  The exact p50/p99 are pinned with PURE "
+    "INTEGER rank arithmetic (row_number at position (n-1)*p, output "
+    "in half-/hundredth-cent units — the anomaly_iqr_outliers "
+    "technique) because p99's interpolation position is non-dyadic: "
+    "Spark percentile() and DuckDB quantile_cont() disagree on "
+    "sub-half interpolation, so a float p99 was one rounding boundary "
+    "away from a spurious gate failure (r5 ADVICE).  No float enters "
+    "the pinned values; the sketch flags compare in dollars with 1% "
+    "tolerance (measured error 30x smaller).  At 100 TB the exact "
+    "path needs a per-group sort; the GK summary is one scan, bounded "
+    "memory, and this query pins how much accuracy that trade buys.",
 )
 def agg_quantile_sketch_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    g = li.groupBy("l_returnflag").agg(
-        F.round(F.percentile(cents, F.lit(0.50)) / 100.0, 2).alias("p50"),
-        F.round(F.percentile(cents, F.lit(0.99)) / 100.0, 2).alias("p99"),
+    wp = Window.partitionBy("l_returnflag")
+    wr = wp.orderBy("cents")
+    rk = li.select("l_returnflag", cents.alias("cents")).select(
+        "l_returnflag",
+        "cents",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    pos = rk.select(
+        "*",
+        F.expr("(n - 1) DIV 2").alias("lo50"),
+        ((F.col("n") - 1) % 2).alias("f50"),
+        F.expr("(99 * (n - 1)) DIV 100").alias("lo99"),
+        ((99 * (F.col("n") - 1)) % 100).alias("f99"),
+    )
+    q = pos.select(
+        "*",
+        F.max(F.when(F.col("r") == F.col("lo50") + 1, F.col("cents"))).over(wp).alias("a50"),
+        F.max(F.when(F.col("r") == F.col("lo50") + 2, F.col("cents"))).over(wp).alias("b50"),
+        F.max(F.when(F.col("r") == F.col("lo99") + 1, F.col("cents"))).over(wp).alias("a99"),
+        F.max(F.when(F.col("r") == F.col("lo99") + 2, F.col("cents"))).over(wp).alias("b99"),
+    )
+    exact = q.groupBy("l_returnflag").agg(
+        F.max(
+            (2 - F.col("f50")) * F.col("a50")
+            + F.col("f50") * F.coalesce("b50", "a50")
+        )
+        .cast("bigint")
+        .alias("p50_half_cents"),
+        F.max(
+            (100 - F.col("f99")) * F.col("a99")
+            + F.col("f99") * F.coalesce("b99", "a99")
+        )
+        .cast("bigint")
+        .alias("p99_hundredth_cents"),
+    )
+    sketch = li.groupBy("l_returnflag").agg(
         F.expr(
             "approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)"
-        ).alias("ap"),
+        ).alias("ap")
     )
-    def ok(exact: str, i: int) -> F.Column:
-        return (
-            (F.abs(F.element_at("ap", i) - F.col(exact)) <= F.col(exact) * 0.01)
-            .cast("string")
+    # flags compare in dollars: exact integers scaled back by the unit
+    # (half-cents / 200, hundredth-cents / 10000)
+    p50_d = F.col("p50_half_cents") / 200.0
+    p99_d = F.col("p99_hundredth_cents") / 10000.0
+
+    def ok(exact_d: F.Column, i: int) -> F.Column:
+        return (F.abs(F.element_at("ap", i) - exact_d) <= exact_d * 0.01).cast(
+            "string"
         )
-    return g.select(
+
+    return exact.join(sketch, "l_returnflag").select(
         "l_returnflag",
-        "p50",
-        "p99",
-        ok("p50", 1).alias("ok_p50"),
-        ok("p99", 2).alias("ok_p99"),
+        "p50_half_cents",
+        "p99_hundredth_cents",
+        ok(p50_d, 1).alias("ok_p50"),
+        ok(p99_d, 2).alias("ok_p99"),
     )

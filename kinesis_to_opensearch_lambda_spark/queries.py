@@ -68,87 +68,83 @@ from .operators import (  # noqa: E402,F401
 )
 
 # ---------------------------------------------------------------------------
-# Driver verification window.
+# Driver verification window — round 6 rotation.
 #
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries in
-# iteration order.  Rounds 1/2/4 drove 96 distinct queries green
-# (CORRECTNESS_r01/r02/r04.json); this round the window rotates to 50
-# of the 63 entries that have NEVER had a driver CORRECTNESS row, per
-# the round-4 verdict ("swap out the r4-greens, keep 0") — cumulative
-# driver coverage across rounds is the bar, and every entry keeps full
-# local parity coverage via tests/test_oracle_parity.py (all entries,
-# same compare) regardless of window membership.  After this window
-# the never-verified debt is the 13 r4-era deferrals (agg_histogram,
-# window_ntile_quartiles, cdc_merge_upsert, join_salted_skew,
-# join_shuffled_hash_hint, dedup_containment, dedup_chunk_exact,
-# emb_normalize, ann_topk_ivf_multiprobe, emb_intra_inter_cosine,
-# ivf_kmeans_lloyd_step, emb_quantize_int8, emb_gram_matrix) plus the
-# queries added during round 5 — 76 entries, which fit the two
-# remaining 50-slot windows (rounds 6-7 complete driver coverage;
-# tests/test_harness_integrity.py pins the <=100 budget).
+# iteration order.  Rounds 1/2/4/5 drove 146 distinct queries green
+# (CORRECTNESS_r01/r02/r04/r05.json, 146/146 passing); this window is
+# drawn ENTIRELY from the 76 entries that have never had a driver
+# CORRECTNESS row (r5 verdict task 1: "prioritize the 13 r4-era
+# deferrals, then the oldest r5 families") plus the one new entry this
+# round (window_sliding_distinct_users_hll — verdict task 3; registry
+# growth is otherwise FROZEN per task 2).  Every entry keeps full local
+# parity coverage via tests/test_oracle_parity.py regardless of window
+# membership.  After this window the never-verified debt is 27 entries
+# (list pinned in tests/test_harness_integrity.py), which fits round
+# 7's single 50-slot window — driver coverage completes next round.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
-    # late TPC-H (never driver-verified)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_value",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_quantity",
-    "tpch_q19_disjunctive",
-    "tpch_q20_excess_supply",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_idle_customers",
-    # graph
-    "graph_pagerank_items",
-    "graph_lpa_communities",
-    # warehouse ops / diagnostics
-    "diag_key_skew",
-    "scd2_customer_history",
-    # source scans
-    "source_jsonl_scan",
-    "source_csv_scan",
-    # aggregation / anomaly extensions
-    "agg_decimal_money",
-    "anomaly_hourly_zscore",
-    # PQ sub-steps + filtered ANN
-    "emb_pq_assign",
-    "ann_pq_recall",
-    "ann_topk_rerank",
-    "ann_filtered_topk",
-    # as-of tolerance join (oracle aligned to calendar-day this round)
-    "join_asof_tolerance",
-    # streaming (real StreamingQuery lifecycle)
-    "streaming_dlq_split",
-    "streaming_sliding_counts",
-    # text analysis extensions
-    "text_regex_stats",
-    "text_unigram_logprob",
-    "text_gopher_filter",
-    "text_unigram_entropy",
-    # corpus statistics
-    "corpus_dup_rate_by_source",
-    "corpus_zipf_fit",
-    "curation_source_cap",
-    "corpus_mixture_weights",
-    "corpus_quality_vs_dup",
-    # analytic / window extensions
-    "lateral_topk_per_nation",
-    "agg_percentiles",
-    "agg_mode_deterministic",
-    "agg_listagg",
-    "lateral_posexplode",
-    "window_value_functions",
-    "window_rank_distribution",
-    "funnel_stages",
-    "cohort_retention",
-    "agg_conditional",
-    "window_session_builtin",
-    "window_gap_islands",
-    "window_percent_of_total",
+    # --- the 13 r4-era deferrals (oldest debt first) ---
+    "agg_histogram",
+    "window_ntile_quartiles",
+    "cdc_merge_upsert",
+    "join_salted_skew",
+    "join_shuffled_hash_hint",
+    "dedup_containment",
+    "dedup_chunk_exact",
+    "emb_normalize",
+    "ann_topk_ivf_multiprobe",
+    "emb_intra_inter_cosine",
+    "ivf_kmeans_lloyd_step",
+    "emb_quantize_int8",
+    "emb_gram_matrix",
+    # --- sketch trio ---
+    "agg_hll_partial_merge",
+    "agg_countmin_heavy_hitters",
+    "agg_quantile_sketch_tolerance",
+    # --- time-series warehouse ---
+    "rollup_time_hierarchy",
+    "anomaly_iqr_outliers",
+    "join_asof_nearest",
+    "window_time_weighted_avg",
+    "window_ewma_finite",
+    "anomaly_cusum_drift",
+    # --- graph family ---
+    "graph_triangle_count",
+    "graph_degree_distribution",
+    "graph_common_neighbors",
+    "graph_kcore_peel",
+    "graph_bfs_reachability",
+    "graph_random_walk_deterministic",
+    # --- storage maintenance ---
+    "maintenance_compact_small_files",
+    "maintenance_targeted_delete",
+    "maintenance_zorder_skipping",
+    # --- sources ---
+    "source_corrupt_file_skip",
+    "source_partitioned_pruning",
+    "source_python_datasource",
+    "source_schema_evolution",
+    # --- round-5 streaming lifecycles ---
+    "streaming_incremental_mv",
+    "streaming_python_datasource",
+    "streaming_session_windows",
+    "streaming_sketch_distinct",
+    "streaming_static_enrich",
+    # --- VARIANT / recursive CTE / SQL UDF ---
+    "variant_typed_extract",
+    "sql_recursive_cte_reachability",
+    "scalar_sql_udf_inlined",
+    # --- window extensions incl. the new scale-safe distinct ---
+    "window_event_transitions",
+    "window_sliding_distinct_users",
+    "window_sliding_distinct_users_hll",
+    # --- join extensions ---
+    "join_dynamic_partition_pruning",
+    "join_scd2_point_in_time",
+    # --- data-quality drift ---
+    "quality_ks_two_sample",
+    "quality_psi_drift",
 )
 
 

@@ -72,6 +72,35 @@ class RequestsTransport:
             raise TransportError(f"POST {self.url} failed: {exc}") from exc
 
 
+def http_auth_for(
+    config,  # noqa: ANN001 - EngineConfig (kept untyped to avoid an import cycle)
+    credentials: object = None,
+    region: str | None = None,
+) -> object:
+    """The reference's auth-mode branch (lambda_function.py:61-66) as a
+    transport-level binding: when the secret carried master credentials
+    (``config.auth_mode == "basic"``) return the ``(user, password)``
+    tuple the reference builds at :62-63; otherwise build an
+    ``AWSV4SignerAuth`` from the ambient session credentials exactly as
+    :64-66 does.  The SigV4 leg is import-gated on ``opensearch-py``
+    (the package that ships the signer — absent from CI images, where
+    construction raises ImportError; the basic leg needs no package at
+    all).  ``credentials``/``region`` are injected, not discovered: the
+    engine has no boto3 dependency, so the caller supplies whatever its
+    runtime's credential provider produced.
+    """
+    if config.auth_mode == "basic":
+        return (config.auth_user, config.auth_password)  # :62-63
+    from opensearchpy import AWSV4SignerAuth  # optional-dependency gate
+
+    if credentials is None or region is None:
+        raise ValueError(
+            "sigv4 auth mode needs ambient credentials and a region "
+            "(the reference reads them from its boto3 session, :64-65)"
+        )
+    return AWSV4SignerAuth(credentials, region)  # :66
+
+
 class OpenSearchBulkTransport:
     """``opensearchpy`` bulk transport (lambda_function.py:68-84):
     client configured like the reference (port 443, http_compress,
@@ -111,6 +140,21 @@ class OpenSearchBulkTransport:
             http_compress=http_compress,
             use_ssl=use_ssl,
             verify_certs=verify_certs,
+        )
+
+    @classmethod
+    def from_config(
+        cls,
+        config,  # noqa: ANN001 - EngineConfig
+        credentials: object = None,
+        region: str | None = None,
+    ) -> "OpenSearchBulkTransport":
+        """Reference client assembly (lambda_function.py:56-74): host
+        from ``config.es_endpoint``, auth resolved through the
+        basic-vs-SigV4 branch (:61-66, :func:`http_auth_for`)."""
+        return cls(
+            host=config.es_endpoint,
+            http_auth=http_auth_for(config, credentials, region),
         )
 
     def send(self, chunk: list[str]) -> None:

@@ -79,13 +79,19 @@ class KinesisEnvelopeJsonlReader(DataSourceReader):
 
 
 class KinesisEnvelopeJsonlStreamReader(SimpleDataSourceStreamReader):
-    """Streaming half of the connector: offset = files consumed.
+    """Streaming half of the connector: offset = high-water FILENAME.
 
     One file per `read()` call, so every envelope file becomes its own
     micro-batch (the same drain shape the file-source streaming queries
-    pin with maxFilesPerTrigger=1); `readBetweenOffsets` replays a
-    committed range deterministically after restart — the contract that
-    makes the source exactly-once under checkpointing.
+    pin with maxFilesPerTrigger=1).  The offset records the basename of
+    the last consumed file, NOT a positional index (r5 ADVICE): an
+    integer index into a freshly re-sorted listing re-maps to different
+    files if a lexically earlier name appears (or one is removed)
+    between commit and restart.  With a name high-water mark,
+    `readBetweenOffsets` replays the committed (start, end] range by
+    NAME comparison — deterministic under listing churn — and `read()`
+    skips late-arriving older names exactly like Spark's built-in file
+    source does past its processed-log high-water mark.
     """
 
     def __init__(self, options) -> None:  # noqa: ANN001
@@ -110,21 +116,29 @@ class KinesisEnvelopeJsonlStreamReader(SimpleDataSourceStreamReader):
                     out.append((json.loads(line)["kinesis"]["data"],))
         return out
 
+    @staticmethod
+    def _name(path: str) -> str:
+        import os
+
+        return os.path.basename(path)
+
     def initialOffset(self) -> dict:
-        return {"idx": 0}
+        return {"pos": ""}  # "" sorts before every part-* basename
 
     def read(self, start: dict):  # noqa: ANN201 - base signature
-        files = self._files()
-        i = int(start["idx"])
-        if i >= len(files):
-            return iter([]), {"idx": i}
-        return iter(self._rows_of(files[i])), {"idx": i + 1}
+        pos = start["pos"]
+        pending = [p for p in self._files() if self._name(p) > pos]
+        if not pending:
+            return iter([]), {"pos": pos}
+        nxt = pending[0]
+        return iter(self._rows_of(nxt)), {"pos": self._name(nxt)}
 
     def readBetweenOffsets(self, start: dict, end: dict):  # noqa: ANN201
-        files = self._files()
+        lo, hi = start["pos"], end["pos"]
         rows = []
-        for p in files[int(start["idx"]) : int(end["idx"])]:
-            rows.extend(self._rows_of(p))
+        for p in self._files():
+            if lo < self._name(p) <= hi:
+                rows.extend(self._rows_of(p))
         return iter(rows)
 
     def commit(self, end: dict) -> None:

@@ -1,0 +1,57 @@
+"""Unit tests for bench.py's host-drift-normalized regression guard —
+specifically the r5 ADVICE fix: the threshold must track the median
+ratio on BOTH sides of 1.0, so a relative regression is flagged even
+when the new host is absolutely faster than the baseline host."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "bench",
+    os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+)
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+
+def test_no_overlap_returns_empty():
+    assert bench._diff_vs_baseline({"a": 1.0}, {"b": 2.0}) == {"regressed": {}}
+
+
+def test_uniform_host_drift_is_not_a_regression():
+    """Every query 1.3x slower (new host) — zero flagged."""
+    prev = {f"q{i}": 1.0 for i in range(9)}
+    now = {n: 1.3 for n in prev}
+    out = bench._diff_vs_baseline(now, prev)
+    assert out["regressed"] == {}
+    assert abs(out["host_drift_median_ratio"] - 1.3) < 1e-9
+
+
+def test_single_real_regression_on_slow_host_is_flagged():
+    prev = {f"q{i}": 1.0 for i in range(9)}
+    now = {n: 1.3 for n in prev}
+    now["q0"] = 2.5  # 1.92x the fleet's 1.3x drift > 1.5x threshold
+    out = bench._diff_vs_baseline(now, prev)
+    assert set(out["regressed"]) == {"q0"}
+    assert out["regressed"]["q0"] == [1.0, 2.5]
+
+
+def test_relative_regression_on_faster_host_is_flagged():
+    """The ADVICE scenario: fleet at 0.5x (much faster host), one query
+    at 1.4x absolute — under the old max(1.0, drift) clamp the 1.5
+    absolute threshold let it through; now 1.4 > 1.5*0.5 flags it."""
+    prev = {f"q{i}": 1.0 for i in range(9)}
+    now = {n: 0.5 for n in prev}
+    now["q0"] = 1.4
+    out = bench._diff_vs_baseline(now, prev)
+    assert set(out["regressed"]) == {"q0"}
+    assert abs(out["host_drift_median_ratio"] - 0.5) < 1e-9
+
+
+def test_faster_host_uniform_speedup_not_flagged():
+    prev = {f"q{i}": 2.0 for i in range(9)}
+    now = {n: 1.0 for n in prev}
+    out = bench._diff_vs_baseline(now, prev)
+    assert out["regressed"] == {}

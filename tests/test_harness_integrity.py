@@ -56,13 +56,52 @@ def test_comparator_detects_negative_zero():
     assert _rows(a) != _rows(b)
 
 
+# The exact never-driver-verified debt remaining AFTER the round-6
+# window: these 27 entries (plus nothing else) must fill round 7's
+# window, completing driver coverage of the whole registry.  Pinned so
+# any registry growth or window edit that pushes coverage past round 7
+# fails loudly (r5 verdict task 2: registry growth is FROZEN until
+# driver coverage completes).
+R7_DEBT = frozenset(
+    {
+        "agg_boolean_conditional",
+        "agg_corr_exact_moments",
+        "agg_mutual_information",
+        "ann_knn_graph_mutual",
+        "ann_range_search",
+        "ann_topk_ivf_pq",
+        "corpus_ngram_lm_counts",
+        "curation_ablation_curve",
+        "curation_dataset_card",
+        "curation_rejection_funnel",
+        "dedup_lsh_length_prune",
+        "dedup_lsh_planner",
+        "dedup_lsh_recall",
+        "dedup_prefix_cluster",
+        "diag_column_profile",
+        "diag_observe_metrics",
+        "incremental_agg_merge",
+        "mm_av_sync_join",
+        "mm_scene_change",
+        "sample_bottom_k_per_key",
+        "sample_poisson_bootstrap",
+        "sample_weighted_bernoulli",
+        "snapshot_diff",
+        "split_leakage_safe_groups",
+        "text_bpe_token_estimate",
+        "text_cooccurrence_pmi",
+        "text_mojibake_stats",
+    }
+)
+
+
 def test_driver_window_is_the_never_verified_rotation():
     """The driver's CORRECTNESS gate checks the first 50 registry entries
-    in iteration order.  Rounds 1/2/4 drove 96 distinct queries green;
-    the round-5 window must be drawn ENTIRELY from the 63 entries with
-    no driver row in any prior round (round-4 verdict: 'swap out the
-    r4-greens, keep 0'), leaving at most 13 never-verified entries for
-    the round-6 rotation."""
+    in iteration order.  Rounds 1/2/4/5 drove 146 distinct queries
+    green; the round-6 window must be drawn ENTIRELY from entries with
+    no driver row in any prior round (the 76-entry debt plus this
+    round's single mandated addition, window_sliding_distinct_users_hll),
+    leaving EXACTLY the pinned 27-entry R7_DEBT for the final rotation."""
     import json
     from pathlib import Path
 
@@ -74,7 +113,7 @@ def test_driver_window_is_the_never_verified_rotation():
 
     root = Path(__file__).resolve().parent.parent
     prior = set()
-    for f in sorted(root.glob("CORRECTNESS_r0[124].json")):
+    for f in sorted(root.glob("CORRECTNESS_r0[1245].json")):
         prior |= set(json.loads(f.read_text()).keys())
     assert prior, "prior CORRECTNESS files missing"
     already = set(DRIVER_WINDOW) & prior
@@ -83,7 +122,6 @@ def test_driver_window_is_the_never_verified_rotation():
     # streaming_stateful_highwater is capability-probed (registers only
     # where protobuf exists) — exclude it from the rotation budget
     never_left.discard("streaming_stateful_highwater")
-    # 13 r4-era entries deferred to round 6 + the ~40 queries newly
-    # added in round 5; the debt must fit in TWO more 50-slot windows
-    # so rounds 6-7 complete driver coverage of the whole registry
-    assert len(never_left) <= 100, sorted(never_left)
+    assert never_left == set(R7_DEBT), sorted(
+        never_left.symmetric_difference(R7_DEBT)
+    )

@@ -157,3 +157,59 @@ def test_kinesis_probe_and_fallback(spark, tmp_path):
 
     with pytest.raises(ValueError):
         open_audit_stream(spark, stream_name="audit")  # no fallback given
+
+
+def test_http_auth_basic_branch_needs_no_package():
+    """lambda_function.py:62-63: secret-carried master credentials →
+    a plain (user, password) tuple, no opensearch-py required."""
+    from kinesis_to_opensearch_lambda_spark.config import EngineConfig
+    from kinesis_to_opensearch_lambda_spark.sinks.transports import http_auth_for
+
+    cfg = EngineConfig(auth_user="admin", auth_password="pw")
+    assert cfg.auth_mode == "basic"
+    assert http_auth_for(cfg) == ("admin", "pw")
+
+
+def test_http_auth_sigv4_branch_is_import_gated():
+    """lambda_function.py:64-66: no secret credentials → AWSV4SignerAuth
+    from ambient credentials.  opensearch-py (which ships the signer) is
+    absent from this image, so the branch must raise ImportError — gate,
+    don't fake."""
+    try:
+        import opensearchpy  # noqa: F401
+
+        pytest.skip("opensearch-py present; gate test targets absent case")
+    except ImportError:
+        pass
+    from kinesis_to_opensearch_lambda_spark.config import EngineConfig
+    from kinesis_to_opensearch_lambda_spark.sinks.transports import http_auth_for
+
+    cfg = EngineConfig()
+    assert cfg.auth_mode == "sigv4"
+    with pytest.raises(ImportError):
+        http_auth_for(cfg, credentials=object(), region="us-east-1")
+
+
+def test_http_auth_sigv4_requires_injected_credentials(monkeypatch):
+    """When the signer IS importable, missing credentials/region must be
+    a loud ValueError (the engine never discovers them ambiently — no
+    boto3 dependency)."""
+    import sys
+    import types
+
+    fake = types.ModuleType("opensearchpy")
+
+    class AWSV4SignerAuth:  # matches the real signature (credentials, region)
+        def __init__(self, credentials, region):
+            self.credentials, self.region = credentials, region
+
+    fake.AWSV4SignerAuth = AWSV4SignerAuth
+    monkeypatch.setitem(sys.modules, "opensearchpy", fake)
+    from kinesis_to_opensearch_lambda_spark.config import EngineConfig
+    from kinesis_to_opensearch_lambda_spark.sinks.transports import http_auth_for
+
+    cfg = EngineConfig()
+    with pytest.raises(ValueError):
+        http_auth_for(cfg)
+    signer = http_auth_for(cfg, credentials="creds", region="eu-west-1")
+    assert (signer.credentials, signer.region) == ("creds", "eu-west-1")
