@@ -729,7 +729,7 @@ def window_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
            CAST(count(*) AS BIGINT) AS n_events,
-           'true' AS merge_agrees_1pct
+           'true' AS merge_agrees_5pct
     FROM starts
     GROUP BY 1
     """,
@@ -745,8 +745,11 @@ def window_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     "variant's exploded distinct does not.  Verification: a second "
     "sketch leg (single-pass hll_sketch_agg over the exploded rows — "
     "still a sketch; this plan contains NO exact distinct) must agree "
-    "with the hop-merged estimate to 1% (composite vs HIP estimator "
-    "slack; both are exact in sparse mode at test scales, see "
+    "with the hop-merged estimate to 5% (composite vs HIP estimator "
+    "slack — both are exact in sparse mode below ~3k distinct/window, "
+    "but the sf1 stress sweep showed dense-mode divergence >1%, and "
+    "two independent lgConfigK=12 estimates each carry ~1.6% standard "
+    "error, so the honest bound is ~2x3sigma; see "
     "agg_hll_partial_merge), and tests/test_sliding_distinct_hll.py "
     "tolerance-checks the estimate against the exact variant's "
     "n_users at <=5%.  The oracle pins the window frame and exact "
@@ -796,13 +799,13 @@ def window_sliding_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy(F.date_format(ev_win, "yyyy-MM-dd HH:mm:ss").alias("win_start"))
         .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_s"))
     )
-    slack = F.greatest(F.col("est_s") * 0.01, F.lit(1.0))
+    slack = F.greatest(F.col("est_s") * 0.05, F.lit(2.0))
     return merged.join(direct, "win_start").select(
         "win_start",
         "n_events",
         (F.abs(F.col("est_m") - F.col("est_s")) <= slack)
         .cast("string")
-        .alias("merge_agrees_1pct"),
+        .alias("merge_agrees_5pct"),
     )
 
 

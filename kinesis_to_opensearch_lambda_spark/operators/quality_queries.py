@@ -547,7 +547,7 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_scd2_point_in_time",
     headline=True,
     oracle="""
-    WITH h AS (
+    WITH h0 AS (
       SELECT o_custkey AS user_id,
              o_orderdate + INTERVAL 9500 DAY AS vf,
              row_number() OVER (
@@ -558,15 +558,22 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ) AS vt
       FROM orders
+    ), h AS (
+      -- zero-width same-day superseded versions can never satisfy
+      -- half-open containment; dropping them makes vf unique per user
+      -- and the containment join a backward as-of join (gapless
+      -- intervals: vt = next vf), which DuckDB executes natively --
+      -- the generic mixed-condition LEFT JOIN is quadratic there and
+      -- took >400s at sf1 where this form takes seconds
+      SELECT * FROM h0 WHERE vt IS NULL OR vt <> vf
     )
     SELECT e.event_id,
            CAST(h.version AS BIGINT) AS version,
            h.totalprice,
            strftime(h.vf, '%Y-%m-%d') AS valid_from
     FROM events e
-    LEFT JOIN h
-      ON h.user_id = e.user_id
-     AND h.vf <= e.ts AND (h.vt IS NULL OR e.ts < h.vt)
+    ASOF LEFT JOIN h
+      ON h.user_id = e.user_id AND h.vf <= e.ts
     """,
     doc="Point-in-time lookup against an SCD2 dimension (the "
     "scd2_customer_history build, order dates shifted +9500 days so "

@@ -231,18 +231,38 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "blended quality score, then report the surviving per-language mix "
     "— the standard quality-threshold pass before training. Scores are "
     "exact integer millionths so ranking and averages are "
-    "order-independent; percent_rank ties (rank-based) resolve "
-    "identically in both engines. The global rank is ONE sort at the "
-    "score grain; at 100 TB swap percent_rank for approx_percentile to "
-    "get the cutoff from a t-digest sketch (map-side combinable, no "
-    "global sort) at the cost of a bounded cutoff error.",
+    "order-independent.  The oracle states the spec as a corpus-wide "
+    "percent_rank, but the engine NEVER sorts the corpus globally "
+    "(the r5 WARN-site audit found this was the one remaining "
+    "unbounded global window): percent_rank >= 0.25 with min-rank tie "
+    "semantics is exactly `4*(rows with smaller score) >= n-1` — "
+    "dyadic, so integer-exact — and rows-with-smaller-score is "
+    "monotone in score, so the filter is a score THRESHOLD derived "
+    "from the bounded per-score dictionary (groupBy score_i + "
+    "cumulative window over distinct scores, the quality_ks_two_sample "
+    "pattern), broadcast back as a scalar.  At 100 TB the dictionary "
+    "aggregate is map-side combinable and the only global window runs "
+    "over |distinct scores| rows, not |docs|.",
 )
 def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _docs(spark, sf_dir).select("lang", _score_i().alias("score_i"))
-    pr = F.percent_rank().over(Window.orderBy("score_i"))
+    dist = scored.groupBy("score_i").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("score_i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    # cum_lt = rank()-1 for every row carrying this score value
+    cum = dist.select(
+        "score_i",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_lt"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    thr = cum.filter(4 * F.col("cum_lt") >= F.col("n") - 1).agg(
+        F.min("score_i").alias("thr")
+    )
     return (
-        scored.withColumn("pr", pr)
-        .filter(F.col("pr") >= 0.25)
+        scored.join(F.broadcast(thr))
+        .filter(F.col("score_i") >= F.col("thr"))
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_kept"),

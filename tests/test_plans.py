@@ -770,3 +770,28 @@ def test_ks_two_sample_single_exchange(spark):
     df = q(spark, "quality_ks_two_sample")
     assert shuffle_exchange_count(df) == 1
     assert not python_eval_nodes(df)
+
+
+def test_quality_percentile_filter_no_corpus_global_sort(spark):
+    """The bottom-quartile cutoff must come from the bounded per-score
+    dictionary, never a corpus-wide percent_rank (r5 WARN-site audit:
+    this was the one remaining unbounded global window).  Pin that (a)
+    no percent_rank node survives, and (b) every global Window sits
+    above the dictionary HashAggregate, not the raw documents scan."""
+    from kinesis_to_opensearch_lambda_spark.plans import plan_string
+
+    plan = plan_string(q(spark, "quality_percentile_filter"), "simple")
+    assert "percent_rank" not in plan, plan
+    # walk each Window node's subtree: a HashAggregate (the score_i
+    # dictionary) must appear before the parquet scan it reads from
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window" not in ln:
+            continue
+        seen_agg = False
+        for sub in lines[i + 1 :]:
+            if "HashAggregate" in sub:
+                seen_agg = True
+            if "Scan parquet" in sub or "FileScan" in sub:
+                assert seen_agg, f"Window reads raw scan:\n{plan}"
+                break

@@ -1,13 +1,17 @@
 #!/usr/bin/env python
 """Full-registry parity sweep at an arbitrary scale factor.
 
-Usage: python tools/sweep.py [SF_DIR] [CPUS]
+Usage: python tools/sweep.py [SF_DIR] [CPUS] [ONLY]
 
 Runs every registered query against $SF_DIR (default /root/testdata/sf0.1)
 and compares rows + schema + value-hash with its DuckDB oracle — the same
 comparator strictness as the driver's CORRECTNESS gate.  This is the
 discipline that caught the round-4 stream-stream-join OOM: correctness at
 sf0.001 does not prove the plan survives 100x the data.
+
+ONLY (optional) restricts the sweep to a comma-separated list of query
+names and/or name prefixes (e.g. "streaming_,graph_,tpch_q1_pricing") —
+used for the sf1 stress subset where a full-registry pass is hours.
 """
 
 from __future__ import annotations
@@ -23,14 +27,20 @@ sys.path.insert(0, REPO)
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     cpus = sys.argv[2] if len(sys.argv) > 2 else "16"
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     from kinesis_to_opensearch_lambda_spark.queries import REGISTRY
     from kinesis_to_opensearch_lambda_spark.session import get_session
     from tests.oracle_compare import assert_parity
 
     spark = get_session(app_name="sweep", cpus=cpus)
+    names = sorted(
+        n
+        for n in REGISTRY
+        if only is None or any(n == o or n.startswith(o) for o in only)
+    )
     failed: list[str] = []
     t_all = time.time()
-    for i, name in enumerate(sorted(REGISTRY)):
+    for i, name in enumerate(names):
         t0 = time.time()
         try:
             assert_parity(spark, name, sf_dir)
@@ -39,11 +49,11 @@ def main() -> int:
             failed.append(name)
             status = f"FAIL {str(exc)[:300]}"
         print(
-            f"[{i + 1}/{len(REGISTRY)}] {name}: {status} "
+            f"[{i + 1}/{len(names)}] {name}: {status} "
             f"({time.time() - t0:.1f}s)",
             flush=True,
         )
-    print(f"TOTAL {len(REGISTRY)} in {time.time() - t_all:.0f}s")
+    print(f"TOTAL {len(names)} in {time.time() - t_all:.0f}s")
     print("FAILED:", failed or "none")
     return 1 if failed else 0
 
