@@ -158,11 +158,18 @@ def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
       SELECT DISTINCT
              unnest({sql_word_shingles("string_split(text, ' ')")}) AS shingle
       FROM bench
+    ), train_lists AS (
+      -- materialize the shingle list ONCE per row: DuckDB does not CSE
+      -- the repeated list_transform between unnest() and len() in one
+      -- SELECT, and the duplicated evaluation turned this oracle
+      -- quadratic-ish at sf1 (>550s; this form is 11s)
+      SELECT doc_id, {sql_word_shingles(_SQL_WORDS)} AS shingles
+      FROM documents
     ), train_shingles AS (
       SELECT doc_id,
-             unnest({sql_word_shingles(_SQL_WORDS)}) AS shingle,
-             len({sql_word_shingles(_SQL_WORDS)}) AS n_shingles
-      FROM documents
+             unnest(shingles) AS shingle,
+             len(shingles) AS n_shingles
+      FROM train_lists
     )
     SELECT doc_id,
            count(DISTINCT t.shingle) AS n_matched,
@@ -191,10 +198,26 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             word_shingles(F.slice(w, 2, F.size(w) - 1))
         ).alias("b_shingle")
     ).distinct()
-    train = docs.select(
+    # Materialize the words array ONCE before shingling.  Two optimizer
+    # behaviors otherwise multiply the expensive part (split of the
+    # full text) per row: InferFiltersFromGenerate duplicates the
+    # entire generator expression into a `size(...) > 0` pre-filter,
+    # and every element_at inside the transform lambda re-evaluates
+    # its argument (lambda variables defeat codegen subexpression
+    # elimination) — the optimized plan carried 25 split() calls and
+    # this query spent 148s of its 153s at sf1 re-splitting text.
+    # With `w` a materialized column the duplicated expressions are
+    # O(shingles) concats, not O(shingles) re-splits; CollapseProject
+    # keeps the projection because `w` is referenced many times and
+    # split is not a cheap expression.  sf1: 153s -> 13s.
+    wordsd = docs.select("doc_id", w.alias("w"))
+    lists = wordsd.select(
+        "doc_id", word_shingles(F.col("w")).alias("shingles")
+    ).select("doc_id", "shingles", F.size("shingles").alias("n_shingles"))
+    train = lists.select(
         "doc_id",
-        F.explode(word_shingles(w)).alias("shingle"),
-        F.size(word_shingles(w)).alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
+        "n_shingles",
     )
     return (
         train.join(F.broadcast(bench), train.shingle == bench.b_shingle)

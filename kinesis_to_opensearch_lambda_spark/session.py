@@ -43,6 +43,19 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # InferFiltersFromGenerate duplicates the ENTIRE generator
+        # expression into a size(...)>0 pre-filter.  For cheap
+        # generators that is harmless; for shingle/n-gram transforms it
+        # re-evaluates an O(len) lambda (whose element_at calls defeat
+        # codegen CSE) once more per input row — measured 148s of a
+        # 153s query at sf1 — and the complex predicate can never reach
+        # parquet PushedFilters anyway, while Generate itself already
+        # emits nothing for empty arrays.  Excluding the rule never
+        # changes results, only removes the duplicated evaluation.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -50,6 +50,14 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # see session.py: the inferred size(generator)>0 filter
+        # re-evaluates expensive shingle transforms once more per row;
+        # excluding the rule is result-identical (runtime conf, so
+        # externally-created sessions — e.g. the driver's — get it too)
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     except Exception:
         pass  # conf locked down — session factory defaults already apply
 
