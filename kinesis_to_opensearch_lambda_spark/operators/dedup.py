@@ -129,14 +129,29 @@ def lsh_candidate_pairs(
     )
 
 
-def simhash16(df: DataFrame, text_col: str = "text", hash_expr_col: str = "_hs") -> DataFrame:
-    """16-bit SimHash fingerprint per document.
+def simhash_bits(
+    df: DataFrame,
+    n_bits: int,
+    text_col: str = "text",
+    hash_expr_col: str = "_hs",
+) -> DataFrame:
+    """``n_bits``-wide SimHash fingerprint per document (n_bits <= 60,
+    the md5_long hash width).
 
     bit b of the fingerprint is set iff the sign of
     ``sum over tokens of (2*bit_b(md5_60(token)) - 1)`` is positive.
-    Pure per-row array folds — zero shuffles.
+    Pure per-row array folds — zero shuffles.  The token-hash list is
+    materialized once into ``hash_expr_col`` so the n_bits sign folds
+    read an integer array instead of re-hashing per fold.
+
+    16 bits is the compact demo width (``dedup_simhash``); the
+    near-dup query path uses 64-bit-class fingerprints (60 here) with
+    16-bit bands so band buckets have 65k values, not 16 — a 16-bit
+    fingerprint's hamming<=3 neighborhood is genuinely quadratic once
+    the corpus outgrows the 65k fingerprint space (the sf1 stress
+    sweep killed the JVM on exactly that).
     """
-    from ..functions import HASH_PRIME, md5_long  # noqa: F401  (md5_long used below)
+    from ..functions import md5_long
 
     hs = F.transform(words(F.col(text_col)), lambda w: md5_long(w))
     df = df.withColumn(hash_expr_col, hs)
@@ -151,16 +166,26 @@ def simhash16(df: DataFrame, text_col: str = "text", hash_expr_col: str = "_hs")
 
     bit_sums = [
         F.aggregate(F.col(hash_expr_col), F.lit(0), _bit_fold(b)).alias(f"_bs_{b}")
-        for b in range(16)
+        for b in range(n_bits)
     ]
     df = df.select("*", *bit_sums)
     fingerprint = None
-    for b in range(16):
+    for b in range(n_bits):
         term = F.when(F.col(f"_bs_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fingerprint = term if fingerprint is None else fingerprint + term
     return df.withColumn("simhash", fingerprint.cast("long")).drop(
-        hash_expr_col, *[f"_bs_{b}" for b in range(16)]
+        hash_expr_col, *[f"_bs_{b}" for b in range(n_bits)]
     )
+
+
+def simhash16(df: DataFrame, text_col: str = "text", hash_expr_col: str = "_hs") -> DataFrame:
+    """16-bit SimHash fingerprint per document (see :func:`simhash_bits`)."""
+    return simhash_bits(df, 16, text_col=text_col, hash_expr_col=hash_expr_col)
+
+
+def simhash60(df: DataFrame, text_col: str = "text", hash_expr_col: str = "_hs") -> DataFrame:
+    """60-bit SimHash (full md5_long width) — the near-dup query width."""
+    return simhash_bits(df, 60, text_col=text_col, hash_expr_col=hash_expr_col)
 
 
 def simhash_near_pairs(

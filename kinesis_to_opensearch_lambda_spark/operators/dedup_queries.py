@@ -152,28 +152,45 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(buckets, "doc_id")
 
 
-def _sql_simhash(words_expr: str = _SQL_WORDS) -> str:
-    h = SQL_MD5_LONG.format(x="w")
+def _sql_token_hashes(words_expr: str = _SQL_WORDS) -> str:
+    """Materializable token-hash list (one md5 per word)."""
+    return f"list_transform({words_expr}, w -> {SQL_MD5_LONG.format(x='w')})"
+
+
+def _sql_simhash_from(hs_expr: str, bits: int) -> str:
+    """Sign-fold SimHash over a PRE-MATERIALIZED token-hash list column.
+
+    Folding over the materialized integer list (instead of re-hashing
+    inside each per-bit fold, as the pre-r6 form did) keeps the oracle
+    O(bits * words) integer ops per row; the caller must put
+    ``hs_expr`` in a MATERIALIZED CTE or DuckDB's CTE inlining
+    re-evaluates the hash list once per bit."""
     terms = []
-    for b in range(16):
+    for b in range(bits):
         fold = (
-            f"list_reduce(list_prepend(0, list_transform({words_expr}, "
-            f"w -> CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END)), "
+            f"list_reduce(list_prepend(0, list_transform({hs_expr}, "
+            f"h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)), "
             f"(acc, x) -> acc + x)"
         )
-        terms.append(f"CASE WHEN {fold} > 0 THEN {1 << b} ELSE 0 END")
+        terms.append(f"CASE WHEN {fold} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END")
     return " + ".join(terms)
 
 
 @register(
     "dedup_simhash",
     oracle=f"""
-    SELECT doc_id, CAST({_sql_simhash()} AS BIGINT) AS simhash
-    FROM documents
+    WITH h AS MATERIALIZED (
+      SELECT doc_id, {_sql_token_hashes()} AS hs FROM documents
+    )
+    SELECT doc_id, CAST({_sql_simhash_from("hs", 16)} AS BIGINT) AS simhash
+    FROM h
     """,
     doc="16-bit SimHash fingerprints (sign-aggregated md5 word hashes): "
     "near-dups differ in few bits. Pure per-row folds, zero shuffle "
-    "(operators.dedup.simhash16).",
+    "(operators.dedup.simhash16).  16 bits is the compact demo width; "
+    "the near-dup query path (dedup_simhash_near) fingerprints at 60 "
+    "bits because a 16-bit space saturates once the corpus outgrows "
+    "65k documents.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
@@ -663,14 +680,17 @@ def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash_near",
     oracle=f"""
-    WITH corpus AS (
+    WITH corpus AS MATERIALIZED (
       SELECT doc_id, text FROM documents
       UNION ALL
       {_SQL_MUTATED}
-    ), sigs AS (
-      SELECT doc_id, CAST({_sql_simhash()} AS BIGINT) AS sh FROM corpus
+    ), h AS MATERIALIZED (
+      SELECT doc_id, {_sql_token_hashes()} AS hs FROM corpus
+    ), sigs AS MATERIALIZED (
+      SELECT doc_id, CAST({_sql_simhash_from("hs", 60)} AS BIGINT) AS sh
+      FROM h
     ), buckets AS (
-      SELECT doc_id, sh, b AS band_idx, (sh >> (b * 4)) & 15 AS band_val
+      SELECT doc_id, sh, b AS band_idx, (sh >> (b * 15)) & 32767 AS band_val
       FROM sigs, range(4) t(b)
     ), pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -686,16 +706,23 @@ def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs GROUP BY hamming
     """,
     doc="SimHash banded hamming-neighbor lookup (operators.dedup."
-    "simhash_near_pairs): 4 bands of 4 bits — pigeonhole guarantees every "
-    "pair within hamming 3 shares a band, so candidate generation is a "
-    "bucket equi-join, verified exactly with bit_count(xor). Reports, per "
-    "hamming distance, how many pairs survive and how many are the "
-    "planted drop-first-word mutations (doc_b = doc_a + 100000).",
+    "simhash_near_pairs): 60-bit fingerprints, 4 bands of 15 bits — "
+    "pigeonhole guarantees every pair within hamming 3 shares a band, "
+    "so candidate generation is a bucket equi-join, verified exactly "
+    "with bit_count(xor). Reports, per hamming distance, how many "
+    "pairs survive and how many are the planted drop-first-word "
+    "mutations (doc_b = doc_a + 100000).  The fingerprint is 60-bit "
+    "(not the 16-bit demo width of dedup_simhash) because band bucket "
+    "cardinality is what bounds the join: 4-bit bands have 16 values "
+    "per band, so at 50k docs every bucket holds ~3k members and the "
+    "pair expansion is quadratic — the sf1 stress sweep killed the "
+    "JVM on exactly that; 15-bit bands give 32k values and buckets "
+    "stay near-dup-group sized at any corpus scale.",
 )
 def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
-    fp = D.simhash16(corpus).select("doc_id", "simhash")
-    pairs = D.simhash_near_pairs(fp, hamming_max=3)
+    fp = D.simhash60(corpus).select("doc_id", "simhash")
+    pairs = D.simhash_near_pairs(fp, band_bits=15, hamming_max=3)
     return pairs.groupBy("hamming").agg(
         F.count("*").alias("n_pairs"),
         F.coalesce(
@@ -878,28 +905,31 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM buckets a JOIN buckets b
         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        AND a.doc_id < b.doc_id
+    ), shingle_sets AS MATERIALIZED (
+      -- one shingle-set per corpus doc, computed ONCE: the previous
+      -- form re-ran the shingle transform 4x PER CANDIDATE PAIR (and
+      -- DuckDB re-splits the text per element access inside
+      -- list_transform — no lambda CSE), which blew past 540s at sf1;
+      -- per-doc materialization + per-pair set ops is 15s
+      SELECT doc_id,
+             list_distinct({sql_word_shingles("string_split(text, ' ')")})
+               AS sh,
+             len(string_split(text, ' ')) AS w
+      FROM corpus
     ), sized AS (
       SELECT c.doc_a, c.doc_b,
-             len(string_split(ca.text, ' ')) AS wa,
-             len(string_split(cb.text, ' ')) AS wb,
-             ca.text AS ta, cb.text AS tb
+             sa.w AS wa, sb.w AS wb, sa.sh AS sha, sb.sh AS shb
       FROM cand c
-      JOIN corpus ca ON ca.doc_id = c.doc_a
-      JOIN corpus cb ON cb.doc_id = c.doc_b
+      JOIN shingle_sets sa ON sa.doc_id = c.doc_a
+      JOIN shingle_sets sb ON sb.doc_id = c.doc_b
     )
     SELECT doc_a, doc_b,
            round(least(wa, wb)::DOUBLE / greatest(wa, wb)::DOUBLE, 6) AS len_ratio,
            CASE WHEN least(wa, wb)::DOUBLE / greatest(wa, wb)::DOUBLE < 0.5
                 THEN NULL
                 ELSE round(
-                  len(list_intersect(
-                        list_distinct({sql_word_shingles("string_split(ta, ' ')")}),
-                        list_distinct({sql_word_shingles("string_split(tb, ' ')")})
-                  ))::DOUBLE
-                  / len(list_distinct(list_concat(
-                        list_distinct({sql_word_shingles("string_split(ta, ' ')")}),
-                        list_distinct({sql_word_shingles("string_split(tb, ' ')")})
-                  )))::DOUBLE, 6)
+                  len(list_intersect(sha, shb))::DOUBLE
+                  / len(list_distinct(list_concat(sha, shb)))::DOUBLE, 6)
            END AS jaccard
     FROM sized
     """,
@@ -922,16 +952,28 @@ def dedup_lsh_length_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = D.minhash_signatures(corpus, num_hashes=8)
     buckets = D.lsh_band_buckets(sigs, "doc_id", num_hashes=8, rows_per_band=2)
     cand = D.lsh_candidate_pairs(buckets, "doc_id")
-    wa = F.size(words(F.col("ca.text")))
-    wb = F.size(words(F.col("cb.text")))
+    # Shingle sets are computed ONCE PER DOC and joined to the pairs —
+    # never per pair: computing word_shingles(ca.text) inline in the
+    # pair projection re-ran the transform up to 4x per candidate
+    # (intersect + union x both sides), and the lambda's element_at
+    # re-splits text per element (no codegen CSE) — the sf1 sweep
+    # measured the difference as the whole query cost.  The words
+    # array is itself materialized first (size + shingles both read
+    # it).  This is also the 100 TB shape: O(docs) shingling,
+    # O(pairs) set ops, and the verify stage ships sets, not text.
+    wordsd = corpus.select("doc_id", words(F.col("text")).alias("wds"))
+    sets_df = wordsd.select(
+        "doc_id",
+        F.size("wds").alias("w"),
+        F.array_distinct(word_shingles(F.col("wds"))).alias("sh"),
+    )
+    wa, wb = F.col("ca.w"), F.col("cb.w")
     ratio = F.least(wa, wb).cast("double") / F.greatest(wa, wb).cast("double")
-    sha = F.array_distinct(word_shingles(words(F.col("ca.text"))))
-    shb = F.array_distinct(word_shingles(words(F.col("cb.text"))))
-    inter = F.size(F.array_intersect(sha, shb))
-    union = F.size(F.array_distinct(F.concat(sha, shb)))
+    inter = F.size(F.array_intersect(F.col("ca.sh"), F.col("cb.sh")))
+    union = F.size(F.array_distinct(F.concat(F.col("ca.sh"), F.col("cb.sh"))))
     return (
-        cand.join(corpus.alias("ca"), F.col("doc_a") == F.col("ca.doc_id"))
-        .join(corpus.alias("cb"), F.col("doc_b") == F.col("cb.doc_id"))
+        cand.join(sets_df.alias("ca"), F.col("doc_a") == F.col("ca.doc_id"))
+        .join(sets_df.alias("cb"), F.col("doc_b") == F.col("cb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
