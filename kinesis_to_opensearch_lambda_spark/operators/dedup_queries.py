@@ -95,6 +95,47 @@ def _sql_minhash_cols(num_hashes: int, hashed_col: str = "hashed") -> str:
     )
 
 
+def _sql_cc_labels(rounds: int = 10) -> str:
+    """Unrolled pointer-jumping min-label connected components over a
+    preceding ``sym(a, b)`` CTE (symmetric edge list with self-pairs);
+    yields a CTE chain ending in ``labels(node, cluster_id)``.
+
+    The pre-r6 oracles computed ``reach(a, b)`` — FULL transitive
+    closure — whose row count is quadratic per component: at sf1, LSH
+    hash collisions bridge near-dup cliques into components large
+    enough that the closure ran 385s (vs 2s for the Spark side's
+    iterative min-label CC).  Each unrolled round here relaxes
+    ``lbl(n) = min(lbl(lbl(n)), min over neighbors lbl(m))`` — the
+    pointer-jump term doubles effective propagation distance per
+    round, so {rounds} rounds cover component diameters up to
+    ~2^{rounds}; a diameter beyond that would surface as a loud
+    parity mismatch, never a silently wrong answer.  Work per round
+    is O(V + E), the same asymptotics as the engine side."""
+    # every CTE is MATERIALIZED: DuckDB 1.0 inlines plain CTEs once
+    # per reference, and each round references the previous one three
+    # times — un-materialized, the chain inlines 3^rounds subtrees and
+    # dies on "Too many open files" before it even runs
+    ctes = [
+        "symm AS MATERIALIZED (SELECT a, b FROM sym)",
+        "lbl0 AS MATERIALIZED "
+        "(SELECT a AS node, min(b) AS lbl FROM symm GROUP BY a)",
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"""lbl{k + 1} AS MATERIALIZED (
+      SELECT node, min(lbl) AS lbl FROM (
+        SELECT l.node, j.lbl FROM lbl{k} l JOIN lbl{k} j ON j.node = l.lbl
+        UNION ALL
+        SELECT s.a AS node, nl.lbl FROM symm s JOIN lbl{k} nl ON nl.node = s.b
+      ) t GROUP BY node
+    )"""
+        )
+    ctes.append(
+        f"labels AS (SELECT node, lbl AS cluster_id FROM lbl{rounds})"
+    )
+    return ", ".join(ctes)
+
+
 @register(
     "dedup_minhash_signature",
     oracle=f"""
@@ -395,13 +436,9 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION SELECT doc_b, doc_a FROM pairs
       UNION SELECT doc_a, doc_a FROM pairs
       UNION SELECT doc_b, doc_b FROM pairs
-    ), reach(a, b) AS (
-      SELECT a, b FROM sym
-      UNION
-      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-    )
-    SELECT a AS doc_id, min(b) AS cluster_id
-    FROM reach GROUP BY a
+    ), {_sql_cc_labels()}
+    SELECT node AS doc_id, cluster_id
+    FROM labels
     """,
     doc="Duplicate-cluster assignment: LSH candidate pairs -> iterative "
     "min-label connected components (operators.dedup.connected_components; "
@@ -460,12 +497,8 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION SELECT doc_b, doc_a FROM pairs
       UNION SELECT doc_a, doc_a FROM pairs
       UNION SELECT doc_b, doc_b FROM pairs
-    ), reach(a, b) AS (
-      SELECT a, b FROM sym
-      UNION
-      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-    ), clusters AS (
-      SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    ), {_sql_cc_labels()}, clusters AS (
+      SELECT node AS doc_id, cluster_id FROM labels
     ), resolved AS (
       SELECT c.doc_id, coalesce(cl.cluster_id, c.doc_id) AS cluster_id,
              q.score
@@ -642,13 +675,7 @@ def dedup_lsh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION SELECT b, a FROM pairs
       UNION SELECT a, a FROM pairs
       UNION SELECT b, b FROM pairs
-    ), reach(a, b) AS (
-      SELECT a, b FROM sym
-      UNION
-      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-    ), labels AS (
-      SELECT a AS node, min(b) AS cluster_id FROM reach GROUP BY a
-    )
+    ), {_sql_cc_labels()}
     SELECT cluster_id AS kept_id,
            count(*) AS n_members,
            count(*) - 1 AS n_removed
