@@ -795,3 +795,18 @@ def test_quality_percentile_filter_no_corpus_global_sort(spark):
             if "Scan parquet" in sub or "FileScan" in sub:
                 assert seen_agg, f"Window reads raw scan:\n{plan}"
                 break
+
+
+def test_decontam_generator_not_duplicated(spark):
+    """Pin the r6 33x fix: the shingle generator must not be duplicated
+    into an inferred size(...)>0 pre-filter (InferFiltersFromGenerate
+    is excluded session-wide), and the words split must be materialized
+    once per side — the regressed plan carried 25 split() calls and
+    spent 148s of 153s re-splitting text at sf1."""
+    df = q(spark, "decontam_ngram_overlap")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # main (train) side: 1 split for the words projection; bench side
+    # (50 docs, two shingle exprs) may carry ~10 — the broken plan had 25
+    assert plan.count("split(") <= 12, plan.count("split(")
+    rules = spark.conf.get("spark.sql.optimizer.excludedRules", "")
+    assert "InferFiltersFromGenerate" in rules
