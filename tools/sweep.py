@@ -39,6 +39,7 @@ def main() -> int:
         if only is None or any(n == o or n.startswith(o) for o in only)
     )
     failed: list[str] = []
+    timings: dict[str, float] = {}
     t_all = time.time()
     for i, name in enumerate(names):
         t0 = time.time()
@@ -48,13 +49,31 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 - record and continue
             failed.append(name)
             status = f"FAIL {str(exc)[:300]}"
+        timings[name] = round(time.time() - t0, 1)
         print(
             f"[{i + 1}/{len(names)}] {name}: {status} "
-            f"({time.time() - t0:.1f}s)",
+            f"({timings[name]:.1f}s)",
             flush=True,
         )
     print(f"TOTAL {len(names)} in {time.time() - t_all:.0f}s")
     print("FAILED:", failed or "none")
+    # machine-readable summary (one line, bench.py convention) so sweep
+    # runs self-document per-query parity timings for the round record
+    import json
+
+    print(
+        json.dumps(
+            {
+                "metric": "parity_sweep",
+                "sf_dir": sf_dir,
+                "n": len(names),
+                "failed": failed,
+                "queries": timings,
+                "unit": "sec",
+            }
+        ),
+        flush=True,
+    )
     return 1 if failed else 0
 
 
