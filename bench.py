@@ -160,10 +160,22 @@ def _diff_vs_baseline(timings: dict[str, float], prev_q: dict[str, float]) -> di
         for name, r in ratios.items()
         if r > threshold
     }
-    return {
+    out = {
         "host_drift_median_ratio": round(drift, 3),
         "regressed": regressed,
     }
+    # r6 ADVICE: median normalization absorbs a UNIFORM fleet-wide
+    # regression (every query slowed by the same factor looks exactly
+    # like a slower host).  A >2x median shift is outside the observed
+    # 1.3-1.5x host-to-host band — flag it in the round record so a
+    # real global slowdown is at least visible, even if not attributed.
+    if drift > 2.0 or drift < 0.5:
+        out["host_drift_warning"] = (
+            f"median ratio {drift:.2f}x exceeds the plausible host-drift"
+            " band [0.5, 2.0]; could be a uniform real regression"
+            " (e.g. a session-wide conf change) rather than host speed"
+        )
+    return out
 
 
 if __name__ == "__main__":

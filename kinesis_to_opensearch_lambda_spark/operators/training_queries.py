@@ -280,9 +280,14 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_lt"),
         F.sum("cnt").over(wall).alias("n"),
     )
-    thr = cum.filter(4 * F.col("cum_lt") >= F.col("n") - 1).agg(
-        F.min("score_i").alias("thr")
-    )
+    # n > 1 guards the degenerate single-document corpus (r6 ADVICE):
+    # percent_rank of the only row is 0.0 (dropped by >= 0.25) but
+    # 4*cum_lt >= n-1 is 0 >= 0 (kept) — with the guard the threshold
+    # set is empty and the broadcast join keeps nothing, matching the
+    # oracle exactly; the dyadic identity is unchanged for n > 1.
+    thr = cum.filter(
+        (4 * F.col("cum_lt") >= F.col("n") - 1) & (F.col("n") > 1)
+    ).agg(F.min("score_i").alias("thr"))
     return (
         scored.join(F.broadcast(thr))
         .filter(F.col("score_i") >= F.col("thr"))

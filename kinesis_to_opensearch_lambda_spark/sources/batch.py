@@ -53,11 +53,18 @@ def _ensure_session_conf(spark: SparkSession) -> None:
         # see session.py: the inferred size(generator)>0 filter
         # re-evaluates expensive shingle transforms once more per row;
         # excluding the rule is result-identical (runtime conf, so
-        # externally-created sessions — e.g. the driver's — get it too)
-        spark.conf.set(
-            "spark.sql.optimizer.excludedRules",
-            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-        )
+        # externally-created sessions — e.g. the driver's — get it too).
+        # Appended to any rules the session already excludes, not set
+        # wholesale (r6 ADVICE: don't clobber an external caller's list)
+        rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+        try:
+            existing = spark.conf.get("spark.sql.optimizer.excludedRules")
+        except Exception:
+            existing = None
+        rules = [r for r in (existing or "").split(",") if r.strip()]
+        if rule not in rules:
+            rules.append(rule)
+        spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))
     except Exception:
         pass  # conf locked down — session factory defaults already apply
 

@@ -122,11 +122,26 @@ class KinesisEnvelopeJsonlStreamReader(SimpleDataSourceStreamReader):
 
         return os.path.basename(path)
 
+    def _pos(self, offset: dict) -> str:
+        """Name high-water mark of an offset, accepting the legacy
+        ``{"idx": N}`` shape (r6 ADVICE): the r5-era offset counted
+        files consumed from the sorted listing, so a checkpoint written
+        by that version restarts here by translating the count to the
+        basename of the N-th consumed file (idx=0 -> "" = nothing
+        consumed).  Clamped so an idx past the current listing means
+        "everything consumed" rather than an IndexError."""
+        if "pos" in offset:
+            return offset["pos"]
+        if "idx" in offset:
+            i = min(int(offset["idx"]), len(files := self._files()))
+            return self._name(files[i - 1]) if i > 0 else ""
+        raise ValueError(f"unrecognized offset shape: {offset!r}")
+
     def initialOffset(self) -> dict:
         return {"pos": ""}  # "" sorts before every part-* basename
 
     def read(self, start: dict):  # noqa: ANN201 - base signature
-        pos = start["pos"]
+        pos = self._pos(start)
         pending = [p for p in self._files() if self._name(p) > pos]
         if not pending:
             return iter([]), {"pos": pos}
@@ -134,7 +149,7 @@ class KinesisEnvelopeJsonlStreamReader(SimpleDataSourceStreamReader):
         return iter(self._rows_of(nxt)), {"pos": self._name(nxt)}
 
     def readBetweenOffsets(self, start: dict, end: dict):  # noqa: ANN201
-        lo, hi = start["pos"], end["pos"]
+        lo, hi = self._pos(start), self._pos(end)
         rows = []
         for p in self._files():
             if lo < self._name(p) <= hi:

@@ -55,3 +55,17 @@ def test_faster_host_uniform_speedup_not_flagged():
     now = {n: 1.0 for n in prev}
     out = bench._diff_vs_baseline(now, prev)
     assert out["regressed"] == {}
+
+
+def test_implausible_uniform_drift_carries_warning():
+    """r6 ADVICE: a uniform >2x shift is indistinguishable from host
+    drift by the normalizer, so it must at least surface a warning in
+    the round record instead of vanishing."""
+    prev = {f"q{i}": 1.0 for i in range(9)}
+    now = {n: 2.5 for n in prev}
+    out = bench._diff_vs_baseline(now, prev)
+    assert out["regressed"] == {}
+    assert "host_drift_warning" in out
+    # and the plausible band carries no warning
+    ok = bench._diff_vs_baseline({n: 1.4 for n in prev}, prev)
+    assert "host_drift_warning" not in ok

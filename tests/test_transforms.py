@@ -198,3 +198,28 @@ class TestDecodeFailureSemantics:
         out = P.drop_null_records(P.decode_kinesis(df, tolerant=True))
         rows = out.collect()
         assert len(rows) == 1 and rows[0].random_id == "abc123"
+
+
+def test_percentile_filter_single_doc_matches_percent_rank(spark, tmp_path):
+    """r6 ADVICE: percent_rank of a 1-row corpus is 0.0 (dropped by
+    >= 0.25) while the dyadic threshold 4*cum_lt >= n-1 kept it.  The
+    n > 1 guard must make BOTH engines return the empty set."""
+    import duckdb
+
+    from kinesis_to_opensearch_lambda_spark.queries import REGISTRY
+
+    df = spark.createDataFrame(
+        [("en", "hello world foo bar baz")], "lang string, text string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    q = REGISTRY["quality_percentile_filter"]
+    got = q.spark(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    exp = con.execute(q.oracle).fetchdf()
+    assert len(got) == 0 and len(exp) == 0
