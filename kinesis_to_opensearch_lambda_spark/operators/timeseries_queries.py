@@ -483,3 +483,111 @@ def anomaly_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum.alias("cusum_cents"),
         (cusum > 20000).cast("string").alias("alarm"),
     )
+
+
+@register(
+    "anomaly_cusum_drift_blocked",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) - 5000 AS dev
+      FROM events WHERE user_id < 50
+    ), pre AS (
+      SELECT event_id, user_id, ts,
+             sum(dev) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS prefix
+      FROM s
+    ), p AS (
+      SELECT event_id, user_id, prefix,
+             min(prefix) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS min_prefix_ne
+      FROM pre
+    )
+    SELECT event_id, user_id,
+           CAST(prefix - least(0, min_prefix_ne) AS BIGINT) AS cusum_cents,
+           CAST(prefix - least(0, min_prefix_ne) > 20000 AS VARCHAR) AS alarm
+    FROM p
+    """,
+    doc="Skew-safe CUSUM (r6 verdict task 4): identical semantics to "
+    "anomaly_cusum_drift — S_t = P_t - min(0, min_(i<=t) P_i) — but the "
+    "per-key window never sorts one key's full history in a single "
+    "partition.  Each series is cut into TIME BLOCKS (calendar days); "
+    "per (key, block) a local prefix sum and local running min run in "
+    "parallel across blocks, then a per-key pass over the TINY block "
+    "summary table (rows = keys x days, not events) computes each "
+    "block's additive offset (exclusive prefix of block sums) and "
+    "carry-in minimum min_(b'<b)(off_b' + min local prefix of b'), "
+    "broadcast back.  Global prefix = off + local prefix; global "
+    "running min = min(0, carry, off + local running min) — exact by "
+    "prefix-scan decomposition (property-tested against the direct "
+    "recursion in tests/test_properties.py::"
+    "test_blocked_cusum_equals_recursion).  Under the 95%%-one-key skew "
+    "stress the 950k-row key becomes ~30 day blocks of ~32k rows; the "
+    "widest single window partition shrinks by the block count, and "
+    "the only full-key-ordered pass runs over day summaries.  The "
+    "oracle is deliberately the NON-blocked closed form, so parity "
+    "cross-checks the decomposition itself.",
+)
+def anomaly_cusum_drift_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    dev = (F.round(F.col("value") * 100).cast("bigint") - 5000).alias("dev")
+    blk = F.to_date("ts").alias("blk")
+    w_local = (
+        Window.partitionBy("user_id", "blk")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = (
+        ev.select("event_id", "user_id", "ts", dev, blk)
+        .select(
+            "event_id",
+            "user_id",
+            "blk",
+            "ts",
+            "dev",
+            F.sum("dev").over(w_local).alias("lp"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "blk",
+            "dev",
+            "lp",
+            F.min("lp").over(w_local).alias("lmin"),
+        )
+    )
+    # Block summary: rows = |keys| x |days| — tiny relative to events.
+    blocks = local.groupBy("user_id", "blk").agg(
+        F.sum("dev").alias("bsum"), F.min("lp").alias("bmin")
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = blocks.select(
+        "user_id",
+        "blk",
+        "bmin",
+        F.coalesce(F.sum("bsum").over(w_prev), F.lit(0)).alias("off"),
+    )
+    carry = offs.select(
+        "user_id",
+        "blk",
+        "off",
+        F.min(F.col("off") + F.col("bmin")).over(w_prev).alias("carry"),
+    )
+    joined = local.join(F.broadcast(carry), ["user_id", "blk"])
+    gp = F.col("off") + F.col("lp")
+    runmin = F.least(
+        F.lit(0).cast("bigint"),
+        F.coalesce(F.col("carry"), F.lit(0)),
+        F.col("off") + F.col("lmin"),
+    )
+    cusum = (gp - runmin).cast("bigint")
+    return joined.select(
+        "event_id",
+        "user_id",
+        cusum.alias("cusum_cents"),
+        (cusum > 20000).cast("string").alias("alarm"),
+    )

@@ -68,83 +68,81 @@ from .operators import (  # noqa: E402,F401
 )
 
 # ---------------------------------------------------------------------------
-# Driver verification window — round 6 rotation.
+# Driver verification window — round 7 rotation (coverage-completing).
 #
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries in
-# iteration order.  Rounds 1/2/4/5 drove 146 distinct queries green
-# (CORRECTNESS_r01/r02/r04/r05.json, 146/146 passing); this window is
-# drawn ENTIRELY from the 76 entries that have never had a driver
-# CORRECTNESS row (r5 verdict task 1: "prioritize the 13 r4-era
-# deferrals, then the oldest r5 families") plus the one new entry this
-# round (window_sliding_distinct_users_hll — verdict task 3; registry
-# growth is otherwise FROZEN per task 2).  Every entry keeps full local
-# parity coverage via tests/test_oracle_parity.py regardless of window
-# membership.  After this window the never-verified debt is 27 entries
-# (list pinned in tests/test_harness_integrity.py), which fits round
-# 7's single 50-slot window — driver coverage completes next round.
+# iteration order.  Rounds 1/2/4/5/6 drove 196 distinct queries green
+# (CORRECTNESS_r0{1,2,4,5,6}.json, 196/196 passing).  This window:
+#   - the 27 never-verified entries (the exact R7_DEBT pinned in
+#     tests/test_harness_integrity.py — r6 verdict task 1), completing
+#     driver verification of the WHOLE registry;
+#   - the 7 queries materially rewritten in round 6 whose only driver
+#     rows predate their rewrites (r6 verdict: re-verify the shipped
+#     code, not the r4-era version);
+#   - 1 new entry, anomaly_cusum_drift_blocked (r6 verdict task 4 —
+#     the skew-safe blocked CUSUM; post-freeze rule: every new entry
+#     enters the next window, so it carries no debt);
+#   - 15 re-verification slots spent on the OLDEST driver rows
+#     (r1/r2-era): session conf and comparator details have drifted
+#     over five rounds and those rows predate all of it.
+# Every entry keeps full local parity coverage via
+# tests/test_oracle_parity.py regardless of window membership.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- the 13 r4-era deferrals (oldest debt first) ---
-    "agg_histogram",
-    "window_ntile_quartiles",
-    "cdc_merge_upsert",
-    "join_salted_skew",
-    "join_shuffled_hash_hint",
-    "dedup_containment",
-    "dedup_chunk_exact",
-    "emb_normalize",
-    "ann_topk_ivf_multiprobe",
-    "emb_intra_inter_cosine",
-    "ivf_kmeans_lloyd_step",
-    "emb_quantize_int8",
-    "emb_gram_matrix",
-    # --- sketch trio ---
-    "agg_hll_partial_merge",
-    "agg_countmin_heavy_hitters",
-    "agg_quantile_sketch_tolerance",
-    # --- time-series warehouse ---
-    "rollup_time_hierarchy",
-    "anomaly_iqr_outliers",
-    "join_asof_nearest",
-    "window_time_weighted_avg",
-    "window_ewma_finite",
-    "anomaly_cusum_drift",
-    # --- graph family ---
-    "graph_triangle_count",
-    "graph_degree_distribution",
-    "graph_common_neighbors",
-    "graph_kcore_peel",
-    "graph_bfs_reachability",
-    "graph_random_walk_deterministic",
-    # --- storage maintenance ---
-    "maintenance_compact_small_files",
-    "maintenance_targeted_delete",
-    "maintenance_zorder_skipping",
-    # --- sources ---
-    "source_corrupt_file_skip",
-    "source_partitioned_pruning",
-    "source_python_datasource",
-    "source_schema_evolution",
-    # --- round-5 streaming lifecycles ---
-    "streaming_incremental_mv",
-    "streaming_python_datasource",
-    "streaming_session_windows",
-    "streaming_sketch_distinct",
-    "streaming_static_enrich",
-    # --- VARIANT / recursive CTE / SQL UDF ---
-    "variant_typed_extract",
-    "sql_recursive_cte_reachability",
-    "scalar_sql_udf_inlined",
-    # --- window extensions incl. the new scale-safe distinct ---
-    "window_event_transitions",
-    "window_sliding_distinct_users",
-    "window_sliding_distinct_users_hll",
-    # --- join extensions ---
-    "join_dynamic_partition_pruning",
-    "join_scd2_point_in_time",
-    # --- data-quality drift ---
-    "quality_ks_two_sample",
-    "quality_psi_drift",
+    # --- the 27-entry R7_DEBT (never driver-verified) ---
+    "agg_boolean_conditional",
+    "agg_corr_exact_moments",
+    "agg_mutual_information",
+    "ann_knn_graph_mutual",
+    "ann_range_search",
+    "ann_topk_ivf_pq",
+    "corpus_ngram_lm_counts",
+    "curation_ablation_curve",
+    "curation_dataset_card",
+    "curation_rejection_funnel",
+    "dedup_lsh_length_prune",
+    "dedup_lsh_planner",
+    "dedup_lsh_recall",
+    "dedup_prefix_cluster",
+    "diag_column_profile",
+    "diag_observe_metrics",
+    "incremental_agg_merge",
+    "mm_av_sync_join",
+    "mm_scene_change",
+    "sample_bottom_k_per_key",
+    "sample_poisson_bootstrap",
+    "sample_weighted_bernoulli",
+    "snapshot_diff",
+    "split_leakage_safe_groups",
+    "text_bpe_token_estimate",
+    "text_cooccurrence_pmi",
+    "text_mojibake_stats",
+    # --- r6-rewritten queries whose driver rows predate the rewrite ---
+    "decontam_ngram_overlap",
+    "dedup_simhash_near",
+    "dedup_simhash",
+    "dedup_duplicate_clusters",
+    "curation_pipeline",
+    "dedup_semantic_keep_best",
+    "quality_percentile_filter",
+    # --- new this round (skew-safe CUSUM, r6 verdict task 4) ---
+    "anomaly_cusum_drift_blocked",
+    # --- oldest-row re-verification (latest driver row is r1/r2) ---
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume",
+    "window_sessionization",
+    "window_topk_per_group",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_salted_skew",
+    "join_range_interval",
+    "join_asof_last_order",
+    "setop_except_all",
+    "scalar_null_semantics",
+    "json_extraction",
+    "gap_fill_daily",
 )
 
 

@@ -57,11 +57,8 @@ def test_comparator_detects_negative_zero():
 
 
 # The exact never-driver-verified debt remaining AFTER the round-6
-# window: these 27 entries (plus nothing else) must fill round 7's
-# window, completing driver coverage of the whole registry.  Pinned so
-# any registry growth or window edit that pushes coverage past round 7
-# fails loudly (r5 verdict task 2: registry growth is FROZEN until
-# driver coverage completes).
+# window: these 27 entries (plus nothing else) must lead round 7's
+# window, completing driver coverage of the whole registry.
 R7_DEBT = frozenset(
     {
         "agg_boolean_conditional",
@@ -95,13 +92,30 @@ R7_DEBT = frozenset(
 )
 
 
-def test_driver_window_is_the_never_verified_rotation():
-    """The driver's CORRECTNESS gate checks the first 50 registry entries
-    in iteration order.  Rounds 1/2/4/5 drove 146 distinct queries
-    green; the round-6 window must be drawn ENTIRELY from entries with
-    no driver row in any prior round (the 76-entry debt plus this
-    round's single mandated addition, window_sliding_distinct_users_hll),
-    leaving EXACTLY the pinned 27-entry R7_DEBT for the final rotation."""
+# Queries materially rewritten in round 6 whose only driver rows
+# predate the rewrite — the r7 window must re-verify the shipped code.
+R6_REWRITTEN = frozenset(
+    {
+        "decontam_ngram_overlap",
+        "dedup_simhash_near",
+        "dedup_simhash",
+        "dedup_duplicate_clusters",
+        "curation_pipeline",
+        "dedup_semantic_keep_best",
+        "quality_percentile_filter",
+    }
+)
+
+
+def test_driver_window_completes_coverage():
+    """Round-7 rotation (r6 verdict tasks 1-2): the window must contain
+    the ENTIRE 27-entry R7_DEBT plus the 7 r6-rewritten queries, and
+    every registry entry not in this window must already hold a driver
+    CORRECTNESS row from rounds 1-6 — i.e. after this window runs,
+    driver coverage of the whole registry is complete.  New entries
+    (no prior row, not in R7_DEBT) must ALL sit in the window — the
+    post-freeze growth rule: every new query enters the next window,
+    never accruing silent debt."""
     import json
     from pathlib import Path
 
@@ -111,17 +125,20 @@ def test_driver_window_is_the_never_verified_rotation():
     assert len(DRIVER_WINDOW) == 50
     assert first50 == list(DRIVER_WINDOW)
 
+    window = set(DRIVER_WINDOW)
+    assert R7_DEBT <= window, sorted(R7_DEBT - window)
+    assert R6_REWRITTEN <= window, sorted(R6_REWRITTEN - window)
+
     root = Path(__file__).resolve().parent.parent
     prior = set()
-    for f in sorted(root.glob("CORRECTNESS_r0[1245].json")):
+    for f in sorted(root.glob("CORRECTNESS_r0[12456].json")):
         prior |= set(json.loads(f.read_text()).keys())
     assert prior, "prior CORRECTNESS files missing"
-    already = set(DRIVER_WINDOW) & prior
-    assert not already, f"window wastes slots on already-verified: {sorted(already)}"
-    never_left = set(REGISTRY) - prior - set(DRIVER_WINDOW)
+
+    uncovered = set(REGISTRY) - prior - window
     # streaming_stateful_highwater is capability-probed (registers only
     # where protobuf exists) — exclude it from the rotation budget
-    never_left.discard("streaming_stateful_highwater")
-    assert never_left == set(R7_DEBT), sorted(
-        never_left.symmetric_difference(R7_DEBT)
+    uncovered.discard("streaming_stateful_highwater")
+    assert not uncovered, (
+        f"entries with no driver row and no window slot: {sorted(uncovered)}"
     )

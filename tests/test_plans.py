@@ -810,3 +810,25 @@ def test_decontam_generator_not_duplicated(spark):
     assert plan.count("split(") <= 12, plan.count("split(")
     rules = spark.conf.get("spark.sql.optimizer.excludedRules", "")
     assert "InferFiltersFromGenerate" in rules
+
+
+def test_blocked_cusum_windows_are_block_partitioned(spark):
+    """anomaly_cusum_drift_blocked's skew-safety contract: every
+    event-sized window pass partitions by (user_id, blk) — never by
+    user_id alone — so a hot key splits across its day blocks; the
+    only user_id-only window runs over the block summary (keys x days
+    rows); and the carry table comes back via broadcast join."""
+    df = q(spark, "anomaly_cusum_drift_blocked")
+    plan = plan_string(df, "formatted")
+    assert has_broadcast_hash_join(df), plan
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    key_only = [s for s in specs if "user_id" in s and "blk" not in s]
+    block_local = [s for s in specs if "user_id" in s and "blk" in s]
+    assert block_local, plan
+    # the per-key pass exists (offsets/carry over the summary) but the
+    # event-sized passes (sum + min over lp) are both block-local
+    assert len(block_local) >= 2, specs
+    assert len(key_only) <= 2, specs

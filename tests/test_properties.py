@@ -388,3 +388,48 @@ def test_ks_dictionary_form_equals_bruteforce_sup(a, b):
         cb = sum(1 for x in b if x <= t)
         d_true = max(d_true, abs(ca * nb - cb * na) * 1_000_000 // (na * nb))
     assert d_query == d_true
+
+
+@given(
+    xs=st.lists(
+        st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=200
+    ),
+    k=st.integers(min_value=0, max_value=5_000),
+    cuts=st.lists(st.integers(min_value=0, max_value=199), max_size=12),
+)
+@settings(max_examples=300, deadline=None)
+def test_blocked_cusum_equals_recursion(xs, k, cuts):
+    """anomaly_cusum_drift_blocked rests on the prefix-scan
+    decomposition: cut the series at ARBITRARY block boundaries, per
+    block compute (local prefix lp, local running min lmin, block sum,
+    block min), carry off_b = sum of earlier block sums and
+    carry_b = min over earlier blocks of (off + bmin); then
+        S_t = (off + lp_t) - min(0, carry_b, off + lmin_t)
+    equals the direct recursion S_t = max(0, S_{t-1} + dev_t) for every
+    row — regardless of where the cuts fall (the engine cuts on
+    calendar days; correctness must not depend on that choice)."""
+    devs = [x - k for x in xs]
+    s = 0
+    rec = []
+    for d in devs:
+        s = max(0, s + d)
+        rec.append(s)
+
+    bounds = sorted(set(c for c in cuts if 0 < c < len(devs)))
+    blocks, lo = [], 0
+    for c in [*bounds, len(devs)]:
+        blocks.append(devs[lo:c])
+        lo = c
+
+    got, off, carry = [], 0, None
+    for block in blocks:
+        lp, lmin = 0, None
+        for d in block:
+            lp += d
+            lmin = lp if lmin is None else min(lmin, lp)
+            candidates = [0, off + lmin] + ([carry] if carry is not None else [])
+            got.append((off + lp) - min(candidates))
+        bmin_term = off + lmin
+        carry = bmin_term if carry is None else min(carry, bmin_term)
+        off += lp
+    assert got == rec

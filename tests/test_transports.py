@@ -140,7 +140,17 @@ def test_kinesis_probe_and_fallback(spark, tmp_path):
     )
 
     assert kinesis_connector_available(spark, "parquet")  # registry works
-    assert not kinesis_connector_available(spark, "aws-kinesis")  # no jar
+    # capability-aware (SURVEY §14 CI note): in THIS image the connector
+    # jar is absent so the probe is False and the fallback branch below
+    # is what runs; an image that ships the aws-kinesis connector flips
+    # the probe True and open_audit_stream binds the real source — the
+    # fallback assertions still hold because fallback_path wins only
+    # when the probe is False.
+    have_kinesis = kinesis_connector_available(spark, "aws-kinesis")
+    if have_kinesis:
+        real = open_audit_stream(spark, stream_name="audit", region="us-east-1")
+        assert real.isStreaming
+        return
 
     # seed one envelope file so the fallback stream has a schema source
     import pyarrow as pa
