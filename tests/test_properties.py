@@ -433,3 +433,75 @@ def test_blocked_cusum_equals_recursion(xs, k, cuts):
         carry = bmin_term if carry is None else min(carry, bmin_term)
         off += lp
     assert got == rec
+
+
+@given(
+    xs=st.lists(
+        st.floats(
+            min_value=-1e4, max_value=1e4, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_ewma_dyadic_form_matches_pandas_adjust_true(xs):
+    """window_ewma_finite claims its closed form — dot(l, 0.5^(L-i)) /
+    (2 - 0.5^(L-1)) over the trailing-10 frame — IS pandas
+    ewm(alpha=0.5, adjust=True).mean() restricted to that frame.  Both
+    the Spark query and the DuckDB oracle encode the SAME closed form,
+    so driver parity cannot catch the identity being wrong; pandas'
+    independent recursion can.  (sum of weights 0.5^0..0.5^(L-1) is the
+    geometric sum 2 - 0.5^(L-1) — this pins that algebra.)"""
+    import pandas as pd
+
+    frame = xs[-10:]
+    L = len(frame)
+    num = sum(v * 0.5 ** (L - i) for i, v in enumerate(frame, start=1))
+    den = 2.0 - 0.5 ** (L - 1)
+    expected = pd.Series(frame).ewm(alpha=0.5, adjust=True).mean().iloc[-1]
+    assert abs(num / den - expected) <= 1e-9 * max(1.0, abs(expected))
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),  # gap to next obs (s)
+            st.integers(min_value=-10_000, max_value=10_000),  # cents
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_twa_segment_weighting_equals_per_second_integration(pts):
+    """window_time_weighted_avg weights each observation by the integer
+    seconds until the NEXT observation (LOCF), drops the open-ended
+    tail and zero-length segments.  Verify sum(cents*dur) equals a
+    brute-force per-second walk of the step function (the TimescaleDB
+    time_weight('LOCF') definition), and the integer quotient is
+    consistent."""
+    ts, series = 0, []
+    for gap, cents in pts:
+        series.append((ts, cents))
+        ts += gap
+    # engine form: segment weighting
+    segs = [
+        (series[i][1], series[i + 1][0] - series[i][0])
+        for i in range(len(series) - 1)
+    ]
+    segs = [(c, d) for c, d in segs if d > 0]
+    weighted = sum(c * d for c, d in segs)
+    total = sum(d for c, d in segs)
+    # brute force: evaluate the LOCF step function at every second in
+    # [t_0, t_last) — each second belongs to the most recent observation
+    brute = 0
+    obs_i = 0
+    for t in range(series[0][0], series[-1][0]):
+        while obs_i + 1 < len(series) and series[obs_i + 1][0] <= t:
+            obs_i += 1
+        brute += series[obs_i][1]
+    assert weighted == brute
+    assert total == series[-1][0] - series[0][0]
+    if total > 0:
+        assert weighted // total == brute // total
