@@ -1262,11 +1262,18 @@ def _knn_planes(n: int) -> int:
              ({S.sql_srp_bits('embedding', _KNN_MAX_PLANES)})
                % (1 << (SELECT nb FROM nbits)) AS bucket
       FROM embeddings
+    ), capped AS MATERIALIZED (
+      SELECT vec_id, embedding, bucket,
+             vec_id % ((count(*) OVER (PARTITION BY bucket)
+                        + {_KNN_BUCKET_TARGET - 1}) // {_KNN_BUCKET_TARGET})
+               AS sub
+      FROM bucketed
     ), scored AS MATERIALIZED (
       SELECT a.vec_id AS src, b.vec_id AS dst,
              {sql_cosine('a.embedding', 'b.embedding')} AS cos
-      FROM bucketed a JOIN bucketed b
-        ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+      FROM capped a JOIN capped b
+        ON a.bucket = b.bucket AND a.sub = b.sub
+           AND a.vec_id != b.vec_id
     ), knn AS MATERIALIZED (
       SELECT src, dst, cos,
              row_number() OVER (PARTITION BY src
@@ -1297,14 +1304,20 @@ def _knn_planes(n: int) -> int:
     "size (smallest nb in [8,16] with 64*2^nb >= n, from a "
     "metadata-cheap count — the r7 sf10 scaling run caught the fixed "
     "8-bit version going quadratic: n^2/256 candidate pairs ran 15+ "
-    "minutes at 200k vectors where the adaptive width keeps expected "
-    "bucket size <= 64, so candidate pairs stay ~64*n and the stage "
-    "scales linearly; both engines derive nb by the same integer "
+    "minutes at 200k vectors where the adaptive width keeps EXPECTED "
+    "bucket size <= 64; both engines derive nb by the same integer "
     "comparison, the oracle masking a 16-plane bucket to its nb low "
     "bits, which equals the nb-plane sum exactly since plane i "
-    "contributes 2^i).  Narrower buckets trade recall, not "
-    "correctness — the standard LSH knob.  At 100 TB: the edge list "
-    "is k*n not n^2, and the final join keys are 16-byte id pairs.",
+    "contributes 2^i).  Width alone cannot bound the WORST bucket on "
+    "clustered embeddings (co-clustered vectors share sign patterns — "
+    "measured at sf10: max bucket 3418 at nb=12, 166M pairs), so each "
+    "bucket is additionally round-robin sub-split into ceil(size/64) "
+    "cells by vec_id (pure integer logic, engine-identical), making "
+    "candidate pairs <= 64*n under ANY skew — the same bucket-cap "
+    "discipline as dedup_lsh_bucket_cap.  Both knobs trade recall, "
+    "not correctness — the standard LSH tradeoff.  At 100 TB: the "
+    "edge list is k*n not n^2, and the final join keys are 16-byte "
+    "id pairs.",
 )
 def ann_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1321,10 +1334,30 @@ def ann_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         S.srp_bucket(F.col("embedding"), n_planes=nb).alias("bucket"),
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    # Deterministic bucket cap: clustered embeddings defeat SRP widening
+    # (co-clustered vectors share sign patterns, so one bucket can hold
+    # a whole cluster no matter how many planes split the rest).  Round-
+    # robin each bucket into ceil(size/target) sub-cells by vec_id —
+    # pure integer logic, identical in the oracle — so candidate pairs
+    # are <= target*n under ANY skew.  Recall knob, not correctness.
+    # Bucket sizes as a hash aggregate broadcast back (<= 2^16 rows) —
+    # NOT a count() window, whose per-bucket sort would re-shuffle and
+    # sort the whole corpus just to attach one integer.
+    sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsize"))
+    capped = (
+        bucketed.join(F.broadcast(sizes), "bucket")
+        .withColumn(
+            "sub",
+            F.col("vec_id")
+            % F.expr(f"(bsize + {_KNN_BUCKET_TARGET - 1}) div {_KNN_BUCKET_TARGET}"),
+        )
+        .drop("bsize")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
     scored = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.sub") == F.col("b.sub"))
         & (F.col("a.vec_id") != F.col("b.vec_id")),
     ).select(
         F.col("a.vec_id").alias("src"),
