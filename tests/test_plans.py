@@ -448,12 +448,56 @@ def test_common_neighbors_hash_joins_and_broadcast_degrees(spark):
 def test_knn_graph_no_allpairs(spark):
     """Mutual-kNN graph: candidate generation must be the LSH bucket
     equi-join (hash join), never an all-pairs nested-loop/cartesian;
-    the mutuality check joins two k-bounded edge lists."""
+    the mutuality check joins two k-bounded edge lists; the
+    bucket-size attach must be the broadcast of the tiny size table,
+    not a count() window re-sorting the corpus."""
     df = q(spark, "ann_knn_graph_mutual")
     plan = plan_string(df)
     assert "NestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert not python_eval_nodes(df)
+    # the bucket-size attach is the broadcast join (the per-src top-k
+    # window remains — rank-limit-pushed — so we can't forbid Window
+    # nodes wholesale; the broadcast is the discriminating artifact)
+    assert has_broadcast_hash_join(df)
+
+
+def test_knn_graph_bucket_cap_bounds_cells(spark):
+    """The round-robin sub-split must hold its worst-case guarantee on
+    a PATHOLOGICALLY clustered corpus: identical embeddings all land
+    in one SRP bucket, and no (bucket, sub) cell may exceed the
+    64-row target — the invariant that keeps candidate pairs <= 64*n
+    under any skew (the sf10 run measured a 3418-row bucket without
+    it)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_to_opensearch_lambda_spark.operators import (
+        similarity as S,
+    )
+    from kinesis_to_opensearch_lambda_spark.operators.similarity_queries import (
+        _KNN_BUCKET_TARGET,
+        _knn_planes,
+    )
+
+    n = 500  # one identical cluster: the worst case widening can't split
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array([F.lit(0.1)] * 64).alias("embedding"),
+    )
+    nb = _knn_planes(n)
+    bucketed = emb.select(
+        "vec_id", S.srp_bucket(F.col("embedding"), n_planes=nb).alias("bucket")
+    )
+    sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsize"))
+    capped = bucketed.join(F.broadcast(sizes), "bucket").withColumn(
+        "sub",
+        F.col("vec_id")
+        % F.expr(f"(bsize + {_KNN_BUCKET_TARGET - 1}) div {_KNN_BUCKET_TARGET}"),
+    )
+    cells = capped.groupBy("bucket", "sub").count().collect()
+    assert max(r["count"] for r in cells) <= _KNN_BUCKET_TARGET
+    # every row kept: the cap re-partitions candidates, never drops rows
+    assert sum(r["count"] for r in cells) == n
 
 
 def test_column_profile_single_scan(spark):
