@@ -30,39 +30,72 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @register(
     "tpch_q1_pricing_summary",
     oracle="""
+    WITH li AS (
+        SELECT CAST(l_quantity AS BIGINT)                 AS qty_i,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+               CAST(round(l_discount * 100) AS BIGINT)    AS disc_c,
+               CAST(round(l_tax * 100) AS BIGINT)         AS tax_c,
+               l_returnflag, l_linestatus
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)      AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 2)      AS avg_qty,
-           round(avg(l_extendedprice), 2) AS avg_price,
-           round(avg(l_discount), 4)      AS avg_disc,
+           CAST(sum(qty_i) AS DOUBLE)                        AS sum_qty,
+           CAST(sum(price_c) AS DOUBLE) / 100.0              AS sum_base_price,
+           CAST(sum(price_c * (100 - disc_c)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(sum(price_c * (100 - disc_c) * (100 + tax_c)) AS DOUBLE) / 1000000.0
+                                                             AS sum_charge,
+           CAST(sum(qty_i) AS DOUBLE) / count(*)             AS avg_qty,
+           CAST(sum(price_c) AS DOUBLE) / count(*) / 100.0   AS avg_price,
+           CAST(sum(disc_c) AS DOUBLE) / count(*) / 100.0    AS avg_disc,
            count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    FROM li
     GROUP BY l_returnflag, l_linestatus
     """,
     headline=True,
     doc="TPC-H Q1 shape: scan-filter-hash-agg, 8 aggregates. Partial+final "
-    "agg under AQE; filter pushed to parquet scan.",
+    "agg under AQE; filter pushed to parquet scan. Money columns are "
+    "fixed-point 2-decimal in the data, so sums run on exact scaled "
+    "integers (cents / e4 / e6 units) with decimal(38,0) accumulators: "
+    "order-independent and overflow-proof at any scale.  The sf10 sweep "
+    "caught the double-sum version drifting past the 2-dp rounding at "
+    "~30M rows/group (parallel partial sums reassociate); the exact "
+    "formulation is the one a 100 TB engine needs.  Outputs are "
+    "deterministic IEEE doubles with NO round() calls (Spark's "
+    "string-based HALF_UP vs DuckDB's binary round diverge on halves).",
 )
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    qty_i = F.col("l_quantity").cast("bigint")
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    disc_c = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    tax_c = F.round(F.col("l_tax") * 100, 0).cast("bigint")
+    # products stay in int64 (<= ~1.2e11 per element); accumulate in
+    # decimal(38,0) so group sums never wrap (int64 sums would overflow
+    # near sf100 for sum_charge; DuckDB's HUGEINT does this implicitly)
+    dec = "decimal(28,0)"
+    n = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            qty_i.alias("qty_i"),
+            price_c.alias("price_c"),
+            (price_c * (100 - disc_c)).alias("disc_e4"),
+            (price_c * (100 - disc_c) * (100 + tax_c)).alias("charge_e6"),
+            disc_c.alias("disc_c"),
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.sum(F.col("qty_i").cast(dec)).cast("double").alias("sum_qty"),
+            (F.sum(F.col("price_c").cast(dec)).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(F.col("disc_e4").cast(dec)).cast("double") / 10000.0).alias("sum_disc_price"),
+            (F.sum(F.col("charge_e6").cast(dec)).cast("double") / 1000000.0).alias("sum_charge"),
+            (F.sum(F.col("qty_i").cast(dec)).cast("double") / n).alias("avg_qty"),
+            (F.sum(F.col("price_c").cast(dec)).cast("double") / n / 100.0).alias("avg_price"),
+            (F.sum(F.col("disc_c").cast(dec)).cast("double") / n / 100.0).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -90,18 +123,27 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           round(sum(o_totalprice), 2) AS sum_price,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_price,
            count(*) AS n
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
-    doc="CUBE grouping sets over orders.",
+    doc="CUBE grouping sets over orders.  The () grouping set sums the "
+    "whole table into one group, so the money sum runs on exact cents "
+    "with a decimal accumulator (order-independent at any scale) rather "
+    "than drift-prone double addition.",
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    price_c = F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("decimal(28,0)")
     return (
         _t(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority", price_c.alias("price_c"))
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("sum_price"), F.count("*").alias("n"))
+        .agg(
+            (F.sum("price_c").cast("double") / 100.0).alias("sum_price"),
+            F.count("*").alias("n"),
+        )
     )
 
 
@@ -984,26 +1026,37 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           round(sum(value), 2) AS sum_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
     FROM events
     GROUP BY event_type
     """,
     doc="Skew-salted two-phase aggregation (operators.relational."
     "salted_aggregate): partials on (key, salt) then exact merge on the "
     "key — result identical to the plain GROUP BY oracle, plan spreads "
-    "a hot key over 16 reducers.",
+    "a hot key over 16 reducers.  The summed column is pre-projected to "
+    "exact cents (decimal accumulator), so the two-phase salted sum is "
+    "bit-identical to the one-phase oracle at any scale — double partials "
+    "would make the salted/unsalted results drift apart as groups grow.",
 )
 def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relational import salted_aggregate
 
+    events = _t(spark, sf_dir, "events").withColumn(
+        "value_c", F.round(F.col("value") * 100, 0).cast("bigint").cast("decimal(28,0)")
+    )
     out = salted_aggregate(
-        _t(spark, sf_dir, "events"),
+        events,
         keys=["event_type"],
         salt_buckets=16,
-        sum_cols={"value": "sum_value"},
+        sum_cols={"value_c": "sum_value_c"},
         count_alias="n",
     )
-    return out.select("event_type", "n", F.round("sum_value", 2).alias("sum_value"))
+    return out.select(
+        "event_type",
+        "n",
+        (F.col("sum_value_c").cast("double") / 100.0).alias("sum_value"),
+    )
 
 
 @register(
@@ -1188,7 +1241,9 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+           / 10000.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -1196,10 +1251,18 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_quantity < 24
     """,
     doc="TPC-H Q6 shape: multi-predicate scan + single agg — pure pushdown "
-    "+ whole-stage-codegen sum, the fastest possible plan class.",
+    "+ whole-stage-codegen sum, the fastest possible plan class.  The "
+    "single-group revenue sum runs on exact e4-scaled integers (cents x "
+    "discount-cents) with a decimal accumulator: a grand-total double sum "
+    "is the worst case for parallel-reassociation drift (the sf10 sweep "
+    "caught exactly this on q1), and fixed-point data makes exactness free.",
 )
 def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        * F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    ).cast("decimal(28,0)")
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -1209,9 +1272,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            )
+            (F.sum(rev_e4).cast("double") / 10000.0).alias("revenue")
         )
     )
 
