@@ -70,10 +70,12 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
     disc_c = F.round(F.col("l_discount") * 100, 0).cast("bigint")
     tax_c = F.round(F.col("l_tax") * 100, 0).cast("bigint")
-    # products stay in int64 (<= ~1.2e11 per element); accumulate in
-    # decimal(38,0) so group sums never wrap (int64 sums would overflow
+    # products stay in int64 (<= ~1.2e11 per element).  Elements are cast
+    # to decimal(18,0) — precision <= 18 keeps Spark on the long-backed
+    # compact-decimal fast path — and Sum auto-widens its accumulator to
+    # decimal(28,0), so group sums never wrap (int64 sums would overflow
     # near sf100 for sum_charge; DuckDB's HUGEINT does this implicitly)
-    dec = "decimal(28,0)"
+    dec = "decimal(18,0)"
     n = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
@@ -135,7 +137,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "than drift-prone double addition.",
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    price_c = F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("decimal(28,0)")
+    price_c = F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("decimal(18,0)")
     return (
         _t(spark, sf_dir, "orders")
         .select("o_orderstatus", "o_orderpriority", price_c.alias("price_c"))
@@ -1043,7 +1045,7 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relational import salted_aggregate
 
     events = _t(spark, sf_dir, "events").withColumn(
-        "value_c", F.round(F.col("value") * 100, 0).cast("bigint").cast("decimal(28,0)")
+        "value_c", F.round(F.col("value") * 100, 0).cast("bigint").cast("decimal(18,0)")
     )
     out = salted_aggregate(
         events,
@@ -1262,7 +1264,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_e4 = (
         F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
         * F.round(F.col("l_discount") * 100, 0).cast("bigint")
-    ).cast("decimal(28,0)")
+    ).cast("decimal(18,0)")
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
