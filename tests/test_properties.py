@@ -505,3 +505,86 @@ def test_twa_segment_weighting_equals_per_second_integration(pts):
     assert total == series[-1][0] - series[0][0]
     if total > 0:
         assert weighted // total == brute // total
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=100_000),
+            st.integers(min_value=0, max_value=10_000),
+        ),
+        min_size=3,
+        max_size=300,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_corr_moment_form_matches_numpy(pts):
+    """agg_corr_exact_moments encodes Pearson r as the SAME moment
+    identity (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))
+    in the Spark expression AND the DuckDB oracle, so driver parity
+    cannot detect the identity itself being wrong.  Pin it against
+    numpy's independent two-pass corrcoef on arbitrary integer columns
+    (the query's q/p/d are integer-unit by construction)."""
+    import math
+
+    import numpy as np
+
+    cols = list(zip(*pts))
+    for xi in range(3):
+        for yi in range(xi + 1, 3):
+            x, y = cols[xi], cols[yi]
+            n = len(x)
+            sx, sy = sum(x), sum(y)
+            sxx = sum(v * v for v in x)
+            syy = sum(v * v for v in y)
+            sxy = sum(a * b for a, b in zip(x, y))
+            den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+            if den == 0:  # constant column: r undefined; query data never is
+                continue
+            r_moment = (n * sxy - sx * sy) / den
+            r_ref = float(np.corrcoef(np.array(x, dtype="float64"),
+                                      np.array(y, dtype="float64"))[0, 1])
+            assert abs(r_moment - r_ref) < 1e-9
+
+
+@given(
+    counts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # x category
+            st.integers(min_value=0, max_value=9),   # y bucket
+            st.integers(min_value=1, max_value=1000),  # cell count
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_mutual_information_cell_sum_matches_entropy_decomposition(counts):
+    """agg_mutual_information sums per-cell (nxy/n)*log2(nxy*n/(nx*ny))
+    terms — the same expression in both engines, so parity cannot catch
+    a wrong identity.  Pin the cell-sum form against the independent
+    decomposition I(X;Y) = H(X) + H(Y) - H(X,Y) on arbitrary
+    contingency tables."""
+    import math
+
+    joint: dict[tuple[int, int], int] = {}
+    for x, y, c in counts:
+        joint[(x, y)] = joint.get((x, y), 0) + c
+    n = sum(joint.values())
+    nx: dict[int, int] = {}
+    ny: dict[int, int] = {}
+    for (x, y), c in joint.items():
+        nx[x] = nx.get(x, 0) + c
+        ny[y] = ny.get(y, 0) + c
+
+    mi_cells = sum(
+        (c / n) * math.log2(c * n / (nx[x] * ny[y]))
+        for (x, y), c in joint.items()
+    )
+
+    def h(marg: dict) -> float:
+        return -sum((c / n) * math.log2(c / n) for c in marg.values())
+
+    mi_entropy = h(nx) + h(ny) - h(joint)
+    assert abs(mi_cells - mi_entropy) < 1e-9
