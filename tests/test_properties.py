@@ -588,3 +588,31 @@ def test_mutual_information_cell_sum_matches_entropy_decomposition(counts):
 
     mi_entropy = h(nx) + h(ny) - h(joint)
     assert abs(mi_cells - mi_entropy) < 1e-9
+
+
+def test_poisson1_cutoff_table_matches_exact_cdf():
+    """sample_poisson_bootstrap inverts Poisson(1) via the SAME
+    precomputed 2^60-scaled cutoff table in the Spark expression and
+    the DuckDB oracle — parity cannot catch the table itself being
+    wrong.  Rebuild it independently: cut_k = floor(2^60 * P(X<=k))
+    with P from e^-1/k! at 60-digit precision (the table's
+    construction truncates; round-half-even would differ by exactly
+    1 ulp on k=0 and k=4, which moves a weight only when a 60-bit
+    hash lands on that single integer — probability 2^-60 per row)."""
+    import math
+    from decimal import Decimal, getcontext
+
+    import kinesis_to_opensearch_lambda_spark.queries  # noqa: F401 — registry first
+    from kinesis_to_opensearch_lambda_spark.operators.training_queries import (
+        _POISSON1_CUTS_2POW60,
+    )
+
+    getcontext().prec = 60
+    e_inv = Decimal(-1).exp()
+    cum = Decimal(0)
+    for k, cut in enumerate(_POISSON1_CUTS_2POW60):
+        cum += e_inv / Decimal(math.factorial(k))
+        assert cut == int(cum * (1 << 60)), f"k={k}"
+    # and the tail mass assigned to the ELSE-5 arm is P(X>=5) ~ 0.37%
+    tail = 1 - float(cum)
+    assert abs(tail - (1 - sum(math.exp(-1) / math.factorial(j) for j in range(5)))) < 1e-12
