@@ -616,3 +616,34 @@ def test_poisson1_cutoff_table_matches_exact_cdf():
     # and the tail mass assigned to the ELSE-5 arm is P(X>=5) ~ 0.37%
     tail = 1 - float(cum)
     assert abs(tail - (1 - sum(math.exp(-1) / math.factorial(j) for j in range(5)))) < 1e-12
+
+
+@given(
+    bins=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # n_a
+            st.integers(min_value=0, max_value=10_000),  # n_b
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_psi_term_sum_equals_symmetric_kl(bins):
+    """quality_psi_drift evaluates per-bin (p-q)*ln(p/q) — the same
+    expression in both engines, so parity cannot catch the identity
+    being wrong.  PSI is definitionally the SYMMETRIC KL divergence
+    KL(p||q) + KL(q||p); verify the per-bin term sum equals that
+    independent decomposition on arbitrary Laplace-smoothed count
+    tables (the query's smoothing: (n+1)/(total+10))."""
+    import math
+
+    ta = sum(a for a, _ in bins)
+    tb = sum(b for _, b in bins)
+    p = [(a + 1) / (ta + 10) for a, _ in bins]
+    q = [(b + 1) / (tb + 10) for _, b in bins]
+
+    psi_terms = sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q))
+    kl_pq = sum(pi * math.log(pi / qi) for pi, qi in zip(p, q))
+    kl_qp = sum(qi * math.log(qi / pi) for pi, qi in zip(p, q))
+    assert abs(psi_terms - (kl_pq + kl_qp)) < 1e-9
