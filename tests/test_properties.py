@@ -647,3 +647,52 @@ def test_psi_term_sum_equals_symmetric_kl(bins):
     kl_pq = sum(pi * math.log(pi / qi) for pi, qi in zip(p, q))
     kl_qp = sum(qi * math.log(qi / pi) for pi, qi in zip(p, q))
     assert abs(psi_terms - (kl_pq + kl_qp)) < 1e-9
+
+
+@given(
+    pairs=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # user
+            st.integers(min_value=0, max_value=5),  # item
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_integer_pagerank_tracks_exact_rational_recursion(pairs):
+    """graph.pagerank keeps ranks in integer micro-units with truncating
+    division — and the DuckDB oracle unrolls the IDENTICAL integer
+    recursion, so parity cannot catch the micro-unit scheme drifting
+    from the true random-walk fixed point.  Pin it: on hypothesis
+    bipartite graphs (the engine's construction — user/item pairs
+    unioned in both directions, so every node has an out-edge), run the
+    integer recursion rank' = 150_000 + (85 * sum(rank // deg)) // 100
+    and the EXACT rational recursion r' = 3/20 + (17/20) * sum(r / deg)
+    side by side; after the engine's 5 rounds each node's micro-unit
+    rank must sit within 1e-3 of the exact value (truncation loses
+    <= in-degree + 1 units per round; 1e-3 is ~75x that with room for
+    propagation, yet far below any rank difference of interest)."""
+    from fractions import Fraction
+
+    edges: list[tuple[str, str]] = []
+    for u, i in pairs:
+        edges.append((f"u{u}", f"i{i}"))
+        edges.append((f"i{i}", f"u{u}"))
+    nodes = sorted({s for s, _ in edges})
+    deg = {n: sum(1 for s, _ in edges if s == n) for n in nodes}
+
+    rank_i = {n: 1_000_000 for n in nodes}
+    rank_f = {n: Fraction(1) for n in nodes}
+    for _ in range(5):
+        in_i = {n: 0 for n in nodes}
+        in_f = {n: Fraction(0) for n in nodes}
+        for s, d in edges:
+            in_i[d] += rank_i[s] // deg[s]
+            in_f[d] += rank_f[s] / deg[s]
+        rank_i = {n: 150_000 + (85 * in_i[n]) // 100 for n in nodes}
+        rank_f = {
+            n: Fraction(3, 20) + Fraction(17, 20) * in_f[n] for n in nodes
+        }
+    for n in nodes:
+        assert abs(rank_i[n] / 1_000_000 - float(rank_f[n])) < 1e-3, n
