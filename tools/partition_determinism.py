@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Partition-count determinism sweep: every registry query's value hash
+must be IDENTICAL under different shuffle-partition counts.
+
+The sf10 parity run caught tpch_q1's double-sum drifting with partition
+count (reassociation of parallel partial sums) — a result that silently
+depends on the cluster layout is wrong at 100 TB even when every
+fixed-layout parity check passes.  This sweep runs each query twice in
+the same session with spark.sql.shuffle.partitions set to a small and a
+large value (plus repartitioned inputs via the session's normal reader)
+and hash-compares the materialized results.
+
+Usage: python tools/partition_determinism.py [SF_DIR] [P_LO] [P_HI] [ONLY]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    p_lo = sys.argv[2] if len(sys.argv) > 2 else "3"
+    p_hi = sys.argv[3] if len(sys.argv) > 3 else "32"
+    only = sys.argv[4].split(",") if len(sys.argv) > 4 else None
+
+    from kinesis_to_opensearch_lambda_spark.queries import REGISTRY
+    from kinesis_to_opensearch_lambda_spark.session import get_session
+    from tests.oracle_compare import _rows
+
+    spark = get_session(app_name="partition-determinism", cpus="16")
+
+    names = [
+        n
+        for n, q in REGISTRY.items()
+        if q.oracle is not None
+        and (only is None or any(n == o or n.startswith(o) for o in only))
+    ]
+    failed, timings = [], {}
+    t_all = time.time()
+    for name in names:
+        q = REGISTRY[name]
+        t0 = time.time()
+        hashes = []
+        try:
+            for p in (p_lo, p_hi):
+                spark.conf.set("spark.sql.shuffle.partitions", p)
+                hashes.append(_rows(q.spark(spark, sf_dir).toPandas()))
+        except Exception as exc:  # noqa: BLE001
+            failed.append(name)
+            print(f"# {name}: ERROR {type(exc).__name__}: {exc}"[:200],
+                  file=sys.stderr)
+            continue
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "16")
+        ok = hashes[0] == hashes[1]
+        if not ok:
+            failed.append(name)
+        timings[name] = round(time.time() - t0, 1)
+        print(f"# {name}: {'ok' if ok else 'HASH MISMATCH'} "
+              f"({timings[name]}s)", file=sys.stderr)
+    out = {
+        "metric": "partition_determinism",
+        "sf_dir": sf_dir,
+        "partitions": [int(p_lo), int(p_hi)],
+        "n": len(names),
+        "failed": failed,
+        "total_sec": round(time.time() - t_all, 1),
+    }
+    print(json.dumps(out))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
