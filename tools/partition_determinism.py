@@ -10,7 +10,12 @@ the same session with spark.sql.shuffle.partitions set to a small and a
 large value (plus repartitioned inputs via the session's normal reader)
 and hash-compares the materialized results.
 
-Usage: python tools/partition_determinism.py [SF_DIR] [P_LO] [P_HI] [ONLY]
+Usage: python tools/partition_determinism.py [SF_DIR] [P_LO] [P_HI] [ONLY] [CONF]
+
+CONF (default spark.sql.shuffle.partitions) is the session conf swept
+between the two values — e.g. pass spark.sql.adaptive.enabled with
+values false/true to assert AQE's runtime re-planning (partition
+coalescing, skew splits) never changes a result, only its plan.
 """
 
 from __future__ import annotations
@@ -29,6 +34,7 @@ def main() -> int:
     p_lo = sys.argv[2] if len(sys.argv) > 2 else "3"
     p_hi = sys.argv[3] if len(sys.argv) > 3 else "32"
     only = sys.argv[4].split(",") if len(sys.argv) > 4 else None
+    conf_key = sys.argv[5] if len(sys.argv) > 5 else "spark.sql.shuffle.partitions"
 
     from kinesis_to_opensearch_lambda_spark.queries import REGISTRY
     from kinesis_to_opensearch_lambda_spark.session import get_session
@@ -50,7 +56,7 @@ def main() -> int:
         hashes = []
         try:
             for p in (p_lo, p_hi):
-                spark.conf.set("spark.sql.shuffle.partitions", p)
+                spark.conf.set(conf_key, p)
                 hashes.append(_rows(q.spark(spark, sf_dir).toPandas()))
         except Exception as exc:  # noqa: BLE001
             failed.append(name)
@@ -58,6 +64,7 @@ def main() -> int:
                   file=sys.stderr)
             continue
         finally:
+            spark.conf.unset(conf_key)
             spark.conf.set("spark.sql.shuffle.partitions", "16")
         ok = hashes[0] == hashes[1]
         if not ok:
@@ -68,7 +75,8 @@ def main() -> int:
     out = {
         "metric": "partition_determinism",
         "sf_dir": sf_dir,
-        "partitions": [int(p_lo), int(p_hi)],
+        "conf": conf_key,
+        "values": [p_lo, p_hi],
         "n": len(names),
         "failed": failed,
         "total_sec": round(time.time() - t_all, 1),
