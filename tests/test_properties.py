@@ -696,3 +696,46 @@ def test_integer_pagerank_tracks_exact_rational_recursion(pairs):
         }
     for n in nodes:
         assert abs(rank_i[n] / 1_000_000 - float(rank_f[n])) < 1e-3, n
+
+
+@given(
+    gaps=st.lists(
+        st.integers(min_value=0, max_value=4000),  # seconds between events
+        min_size=0,
+        max_size=100,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_sessionization_flag_sum_matches_sequential_scan(gaps):
+    """window_sessionization expresses 'new session after a >1800s gap'
+    as lag + running sum of new-session flags — the SAME window form in
+    the Spark builder (operators.relational.sessionize) and the DuckDB
+    oracle, so parity cannot catch the expansion being wrong (the CUSUM
+    lesson: the boundary term is where these break).  Pin it against
+    the direct sequential scan that assigns session ids statefully."""
+    ts = [0]
+    for g in gaps:
+        ts.append(ts[-1] + g)
+
+    # closed form: flag rows whose gap to the previous row exceeds the
+    # threshold (first row always flagged), session id = running sum
+    flags = [
+        1 if i == 0 or ts[i] - ts[i - 1] > 1800 else 0
+        for i in range(len(ts))
+    ]
+    closed = []
+    s = 0
+    for f in flags:
+        s += f
+        closed.append(s)
+
+    # independent stateful scan
+    direct, sess, last = [], 0, None
+    for t in ts:
+        if last is None or t - last > 1800:
+            sess += 1
+        direct.append(sess)
+        last = t
+    assert closed == direct
+    # n_sessions per the query's count(distinct session_id)
+    assert len(set(closed)) == sess
