@@ -739,3 +739,38 @@ def test_sessionization_flag_sum_matches_sequential_scan(gaps):
     assert closed == direct
     # n_sessions per the query's count(distinct session_id)
     assert len(set(closed)) == sess
+
+
+@given(
+    ids=st.sets(
+        st.integers(min_value=0, max_value=500), min_size=1, max_size=120
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_gap_islands_row_number_trick_matches_direct_runs(ids):
+    """window_gap_islands uses the classic id-minus-row_number
+    constant-group trick in BOTH engines, so parity cannot catch the
+    trick being wrong (it silently requires ids to be distinct within
+    the partition, which the query guarantees by grouping on a unique
+    key).  Pin it against a direct scan that splits the sorted id list
+    into maximal runs of consecutive integers."""
+    xs = sorted(ids)
+
+    # closed form: group key = id - rank (1-based position)
+    from collections import Counter
+
+    grp = Counter(x - (i + 1) for i, x in enumerate(xs))
+    closed_lens = sorted(grp.values())
+
+    # independent direct scan
+    runs, cur = [], 1
+    for prev, nxt in zip(xs, xs[1:]):
+        if nxt == prev + 1:
+            cur += 1
+        else:
+            runs.append(cur)
+            cur = 1
+    runs.append(cur)
+    assert closed_lens == sorted(runs)
+    assert len(closed_lens) == len(runs)
+    assert max(closed_lens) == max(runs)
