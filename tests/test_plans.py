@@ -876,3 +876,16 @@ def test_blocked_cusum_windows_are_block_partitioned(spark):
     # event-sized passes (sum + min over lp) are both block-local
     assert len(block_local) >= 2, specs
     assert len(key_only) <= 2, specs
+
+
+def test_knn_graph_sizes_broadcast_reused_at_runtime(spark):
+    """The bucket-cap's size table feeds BOTH sides of the candidate
+    self-join; statically the plan carries two copies of the sizes
+    aggregate, and it is AQE's runtime exchange reuse that collapses
+    them to one (ReusedExchange in the final adaptive plan).  Pin
+    that: if exchange reuse is ever disabled (conf change, AQE off for
+    this query), the sizes scan+SRP+aggregate silently runs twice."""
+    df = q(spark, "ann_knn_graph_mutual")
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final or "reused" in final.lower(), final[:2000]
