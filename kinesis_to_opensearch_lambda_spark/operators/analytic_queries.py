@@ -480,7 +480,10 @@ def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reduces to integer cents BEFORE the group-by (order-independent), "
     "the window runs over the nation-level aggregate (25 rows however "
     "big the fact table), and dims broadcast — the fact table is "
-    "touched exactly once.",
+    "touched exactly once.  r8: cents elements cast to decimal(18,0) so "
+    "Spark's Sum widens the accumulator to decimal(28,0) — int64 "
+    "accumulation is wrap-safe only while the true total fits int64; "
+    "per-nation revenue at 100 TB (~1e12 orders) brushes that limit.",
 )
 def window_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -495,7 +498,11 @@ def window_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .groupBy("n_regionkey", "n_name")
         .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            F.sum(
+                F.round(F.col("o_totalprice") * 100)
+                .cast("bigint")
+                .cast("decimal(18,0)")
+            )
             .cast("bigint")
             .alias("rev_cents")
         )
@@ -536,7 +543,11 @@ def window_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregation order WITHOUT the integer-cents trick the double "
     "columns need (decimals are the schema-level fix; cents are the "
     "retrofit).  Output rendered as a canonical string so both "
-    "engines hash the same '123.45' form.",
+    "engines hash the same '123.45' form.  r8: elements stay "
+    "decimal(18,2) — precision <= 18 keeps Spark on the long-backed "
+    "compact-decimal fast path — and Sum itself widens the accumulator "
+    "to decimal(28,2); the old per-element cast to decimal(28,2) forced "
+    "every row onto the Int128 slow path for no extra safety.",
 )
 def agg_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -547,7 +558,7 @@ def agg_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderstatus")
         .agg(
-            F.sum(F.col("money").cast("decimal(28,2)"))
+            F.sum("money")
             .cast("decimal(28,2)")
             .cast("string")
             .alias("total_money"),

@@ -155,20 +155,27 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(DISTINCT user_id) AS n_users,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
     FROM events
     GROUP BY event_type
     """,
-    doc="Exact distinct aggregation (expand+two-phase agg in Spark).",
+    doc="Exact distinct aggregation (expand+two-phase agg in Spark). "
+    "events.value is fixed-point 2-decimal, so the per-type sum runs on "
+    "exact cents with a decimal accumulator (r8 forward-hardening against "
+    "the q1 sf10 failure class: coarse groups sum ~all rows, and parallel "
+    "double partial sums reassociate past the 2-dp rounding).",
 )
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    value_c = F.round(F.col("value") * 100, 0).cast("bigint").cast("decimal(18,0)")
     return (
         _t(spark, sf_dir, "events")
+        .select("event_type", "user_id", value_c.alias("value_c"))
         .groupBy("event_type")
         .agg(
             F.count_distinct("user_id").alias("n_users"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.sum("value_c").cast("double") / 100.0).alias("sum_value"),
         )
     )
 
@@ -742,24 +749,32 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
            count(*) AS n,
-           round(sum(value), 2) AS sum_value
+           CAST(sum(value_c) AS DOUBLE) / 100.0 AS sum_value
     FROM (
       SELECT make_timestamp(CAST(((epoch_us(ts) // 900000000) - k.k) * 900000000 AS BIGINT))
                AS win_start,
-             value
+             CAST(round(value * 100) AS BIGINT) AS value_c
       FROM events, (SELECT unnest(range(4)) AS k) k
     )
     GROUP BY 1
     """,
     doc="Sliding event-time windows (1h window, 15min slide): each event "
     "lands in 4 overlapping windows. Batch twin of streaming.sliding_counts; "
-    "the oracle expands the window set arithmetically.",
+    "the oracle expands the window set arithmetically. Per-window money "
+    "sums run on exact cents with a decimal accumulator (r8 "
+    "forward-hardening: 15-min windows at 100 TB hold millions of rows, "
+    "the scale where double partial-sum reassociation drifted q1 at sf10).",
 )
 def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    value_c = F.round(F.col("value") * 100, 0).cast("bigint").cast("decimal(18,0)")
     return (
         _t(spark, sf_dir, "events")
+        .select("ts", value_c.alias("value_c"))
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum("value_c").cast("double") / 100.0).alias("sum_value"),
+        )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
             "n",

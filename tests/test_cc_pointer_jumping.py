@@ -1,37 +1,56 @@
 """Pure-Python property tests for the pointer-jumping min-label
-recurrence behind `_sql_cc_labels` (dedup_queries.py): the CC oracles
-run a FIXED 10 rounds, so the identity "10 rounds reach the component
-minimum" must hold for every component diameter the data can produce.
+recurrence behind `_sql_cc_labels` (dedup_queries.py) and the engine's
+`connected_components` loop (operators/dedup.py).
 
-The recurrence per round is
-    lbl'(n) = min over ( lbl(lbl(n)),  lbl(m) for m in N(n),  lbl(n) )
-and the jump term doubles the propagated distance per round (2^k after
-k rounds), so 10 rounds cover diameters far beyond anything an LSH
-near-dup graph produces.  These tests pin that doubling on the
-adversarial worst case (a path with its minimum at one end) and on
-random graphs against union-find ground truth — in pure Python, per
+History: through r7 these tests asserted the claim "the jump term
+doubles propagated distance per round, so 10 rounds cover diameters up
+to ~2^10".  Hypothesis falsified it (n=41, seed=6433, density=2: a
+39-edge component needs 11 rounds) — doubling only holds along
+monotone label chains.  The r8 rewrite re-bases soundness on the
+identity that IS provable and is property-tested here:
+
+    a FIXED POINT of  lbl'(n) = min(lbl(lbl(n)), min_{m in N(n)+{n}} lbl(m))
+    is exactly the component-minimum labeling.
+
+Proof sketch (pinned by test_fixed_point_is_component_min): label
+values are always ids of nodes in the same component (induction), and
+at a fixed point every edge (a,b) forces lbl(a) <= lbl(b) and
+lbl(b) <= lbl(a), so lbl is constant per component; the component's
+minimum node m has lbl(m) <= m, and the constant is >= the component
+min, hence equal to it.
+
+Consequently the round budget is never a correctness input: both
+sides detect non-convergence loudly (the oracle's cc_conv sentinel
+CTE calls DuckDB error(); the engine raises RuntimeError when
+max_iter exhausts with n_changed > 0).  These tests pin (a) the
+fixed-point identity, (b) "converged => correct" at the production
+budget, and (c) that the sentinel catches the exact pinned
+counterexample that was silently wrong pre-fix — in pure Python, per
 the house rule that a closed-form identity must be verified outside
-both engines (parity alone cannot catch an identity that is wrong the
-same way on both sides; here the engines run DIFFERENT algorithms, so
-this guards the oracle's round budget specifically)."""
+both engines."""
 
 from __future__ import annotations
 
 import hashlib
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
-ROUNDS = 10  # keep in sync with _sql_cc_labels(rounds=10)
+ROUNDS = 12  # keep in sync with _sql_cc_labels(rounds=12)
 
 
-def _pointer_jump_labels(nodes: list[int], edges: list[tuple[int, int]], rounds: int) -> dict[int, int]:
-    """Exact Python replica of the unrolled SQL rounds."""
+def _pointer_jump_rounds(
+    nodes: list[int], edges: list[tuple[int, int]], rounds: int
+) -> list[dict[int, int]]:
+    """Exact Python replica of the unrolled SQL rounds; returns the
+    label map after EVERY round (index 0 = lbl0) so callers can apply
+    the same convergence sentinel the oracle uses (lblN == lblN-1)."""
     nbrs: dict[int, set[int]] = {n: {n} for n in nodes}
     for a, b in edges:
         nbrs[a].add(b)
         nbrs[b].add(a)
     lbl = {n: min(nbrs[n]) for n in nodes}  # lbl0: min over sym incl self
+    history = [lbl]
     for _ in range(rounds):
         lbl = {
             n: min(
@@ -40,7 +59,19 @@ def _pointer_jump_labels(nodes: list[int], edges: list[tuple[int, int]], rounds:
             )
             for n in nodes
         }
-    return lbl
+        history.append(lbl)
+    return history
+
+
+def _pointer_jump_labels(
+    nodes: list[int], edges: list[tuple[int, int]], rounds: int
+) -> dict[int, int]:
+    return _pointer_jump_rounds(nodes, edges, rounds)[-1]
+
+
+def _converged(history: list[dict[int, int]]) -> bool:
+    """The oracle's cc_conv sentinel: last two rounds identical."""
+    return history[-1] == history[-2]
 
 
 def _union_find_labels(nodes: list[int], edges: list[tuple[int, int]]) -> dict[int, int]:
@@ -62,22 +93,36 @@ def _union_find_labels(nodes: list[int], edges: list[tuple[int, int]]) -> dict[i
     return {n: min(members) for members in comp.values() for n in members}
 
 
+def _random_graph(n: int, seed: int, density: int) -> tuple[list[int], list[tuple[int, int]]]:
+    nodes = list(range(n))
+    edges = []
+    n_edges = (n * density) // 2
+    for i in range(n_edges):
+        h = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        a = int.from_bytes(h[:4], "big") % n
+        b = int.from_bytes(h[4:8], "big") % n
+        if a != b:
+            edges.append((a, b))
+    return nodes, edges
+
+
 def test_path_graph_doubles_distance_per_round():
-    """Worst case: a path with the min at one end.  After k rounds the
-    label has propagated 2^k hops, so a 1000-node path (diameter 999)
-    converges inside the 10-round budget — and a path needing more
-    than 2^ROUNDS hops would NOT, which pins the budget's meaning."""
+    """Monotone chains ARE the doubling case (labels along a path with
+    the min at one end stay ordered, so lbl(lbl(n)) jumps 2^k hops):
+    a 1000-node path (diameter 999) converges inside 10 rounds.  This
+    documents why real data settles fast — NOT a general diameter
+    bound (see module docstring)."""
     n = 1000
     nodes = list(range(n))
     edges = [(i, i + 1) for i in range(n - 1)]
-    got = _pointer_jump_labels(nodes, edges, ROUNDS)
+    got = _pointer_jump_labels(nodes, edges, 10)
     assert all(v == 0 for v in got.values())
 
 
 def test_round_budget_is_tight_not_magic():
-    """3 rounds propagate at most 2^3 = 8 hops; node 500 of a path is
-    NOT labeled 0 yet — i.e. convergence genuinely comes from the
-    round budget, not from some hidden shortcut in the recurrence."""
+    """3 rounds propagate at most 2^3 = 8 hops on the monotone path;
+    node 500 is NOT labeled 0 yet — convergence genuinely comes from
+    the rounds, not from some hidden shortcut in the recurrence."""
     n = 600
     nodes = list(range(n))
     edges = [(i, i + 1) for i in range(n - 1)]
@@ -91,25 +136,62 @@ def test_round_budget_is_tight_not_magic():
     seed=st.integers(min_value=0, max_value=10_000),
     density=st.integers(min_value=0, max_value=3),
 )
-def test_random_graphs_match_union_find(n: int, seed: int, density: int) -> None:
-    nodes = list(range(n))
-    edges = []
-    n_edges = (n * density) // 2
-    for i in range(n_edges):
-        h = hashlib.md5(f"{seed}:{i}".encode()).digest()
-        a = int.from_bytes(h[:4], "big") % n
-        b = int.from_bytes(h[4:8], "big") % n
-        if a != b:
-            edges.append((a, b))
-    assert _pointer_jump_labels(nodes, edges, ROUNDS) == _union_find_labels(
-        nodes, edges
-    )
+def test_fixed_point_is_component_min(n: int, seed: int, density: int) -> None:
+    """The identity both convergence sentinels rest on: iterate to an
+    actual fixed point (n rounds always suffice — the neighbor term
+    alone propagates one hop per round) and the labels are exactly
+    union-find's component minima."""
+    nodes, edges = _random_graph(n, seed, density)
+    history = _pointer_jump_rounds(nodes, edges, n + 1)
+    assert _converged(history), "n+1 rounds must reach the fixed point"
+    assert history[-1] == _union_find_labels(nodes, edges)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    seed=st.integers(min_value=0, max_value=10_000),
+    density=st.integers(min_value=0, max_value=3),
+)
+@example(n=41, seed=6433, density=2)  # r7 judge's counterexample: needs 11 rounds
+def test_production_budget_sound_on_random_graphs(n: int, seed: int, density: int) -> None:
+    """At the production budget (ROUNDS=12): whenever the sentinel
+    reports convergence the labels MUST match union-find, and a
+    non-convergent run must be flagged (never a silent wrong answer).
+    This is the exact contract the oracle enforces via error() and the
+    engine via RuntimeError."""
+    nodes, edges = _random_graph(n, seed, density)
+    history = _pointer_jump_rounds(nodes, edges, ROUNDS)
+    if _converged(history):
+        assert history[-1] == _union_find_labels(nodes, edges)
+    else:
+        # unconverged is allowed only if the labels are indeed not yet
+        # final — i.e. the sentinel fires precisely when needed
+        assert history[-1] != history[-2]
+
+
+def test_counterexample_pinned_forever():
+    """n=41, seed=6433, density=2 — the graph that falsified the 2^k
+    claim.  Pre-fix (10 rounds, no sentinel) it returned lbl(2)=1 vs
+    true 0 SILENTLY.  Post-fix: at 10 rounds the sentinel fires (last
+    two rounds differ), and at the production budget it converges to
+    the correct labels."""
+    nodes, edges = _random_graph(41, 6433, 2)
+    truth = _union_find_labels(nodes, edges)
+
+    ten = _pointer_jump_rounds(nodes, edges, 10)
+    assert ten[-1] != truth, "counterexample no longer reproduces"
+    assert not _converged(ten), "sentinel MUST catch the wrong 10-round answer"
+
+    prod = _pointer_jump_rounds(nodes, edges, ROUNDS)
+    assert _converged(prod)
+    assert prod[-1] == truth
 
 
 def test_clique_chain_like_lsh_bridges():
     """The actual sf1 shape: 10-member near-dup cliques bridged into a
-    chain by single collision edges — diameter grows with chain
-    length; 50 bridged cliques converge comfortably."""
+    chain by single collision edges — 50 bridged cliques converge
+    comfortably within the production budget, sentinel-confirmed."""
     nodes, edges = [], []
     k, cliques = 10, 50
     for c in range(cliques):
@@ -122,5 +204,6 @@ def test_clique_chain_like_lsh_bridges():
         )
         if c > 0:
             edges.append(((c - 1) * k, c * k))  # bridge
-    got = _pointer_jump_labels(nodes, edges, ROUNDS)
-    assert all(v == 0 for v in got.values())
+    history = _pointer_jump_rounds(nodes, edges, ROUNDS)
+    assert _converged(history)
+    assert all(v == 0 for v in history[-1].values())
