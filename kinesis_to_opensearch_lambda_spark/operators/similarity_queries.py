@@ -1249,6 +1249,21 @@ def _knn_planes(n: int) -> int:
     return _KNN_MAX_PLANES
 
 
+# Planner-probe memo (r7 advisor): the corpus count behind the adaptive
+# SRP width is parquet-metadata-cheap but still a Spark job; plan-only
+# paths (tools/explain_audit.py, sweep loops) build the same query many
+# times per process, so cache per sf_dir (test data is immutable).
+_KNN_PLANES_CACHE: dict[str, int] = {}
+
+
+def _knn_planes_for(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _KNN_PLANES_CACHE:
+        _KNN_PLANES_CACHE[sf_dir] = _knn_planes(
+            load_table(spark, sf_dir, "embeddings").count()
+        )
+    return _KNN_PLANES_CACHE[sf_dir]
+
+
 @register(
     "ann_knn_graph_mutual",
     headline=True,
@@ -1327,8 +1342,9 @@ def ann_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     # Planner probe: parquet-metadata count picks the SRP width so the
     # expected bucket size stays <= _KNN_BUCKET_TARGET at any corpus
-    # size (same integer rule as the oracle's nbits CTE).
-    nb = _knn_planes(load_table(spark, sf_dir, "embeddings").count())
+    # size (same integer rule as the oracle's nbits CTE); memoized per
+    # sf_dir so plan-only rebuilds don't re-run the count job.
+    nb = _knn_planes_for(spark, sf_dir)
     bucketed = emb.select(
         "vec_id",
         "embedding",
@@ -1397,4 +1413,119 @@ def ann_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk_fwd",
             "rnk_rev",
         )
+    )
+
+
+@register(
+    "ann_knn_graph_recall",
+    oracle=f"""
+    WITH nbits AS MATERIALIZED (
+      SELECT LEAST({_KNN_MAX_PLANES}, MIN(t.nb)) AS nb
+      FROM (SELECT count(*) AS n FROM embeddings) c, range(8, {_KNN_MAX_PLANES + 1}) t(nb)
+      WHERE c.n <= {_KNN_BUCKET_TARGET} * (1 << t.nb) OR t.nb = {_KNN_MAX_PLANES}
+    ), bucketed AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             ({S.sql_srp_bits('embedding', _KNN_MAX_PLANES)})
+               % (1 << (SELECT nb FROM nbits)) AS bucket
+      FROM embeddings
+    ), capped AS MATERIALIZED (
+      SELECT vec_id, embedding, bucket,
+             vec_id % ((count(*) OVER (PARTITION BY bucket)
+                        + {_KNN_BUCKET_TARGET - 1}) // {_KNN_BUCKET_TARGET})
+               AS sub
+      FROM bucketed
+    ), approx AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {sql_cosine('a.embedding', 'b.embedding')} DESC, b.vec_id)
+                 AS rnk
+        FROM capped a JOIN capped b
+          ON a.bucket = b.bucket AND a.sub = b.sub AND a.vec_id != b.vec_id
+        WHERE a.vec_id < {_N_QUERIES}
+      ) WHERE rnk <= {_KNN_K}
+    ), exact AS (
+      SELECT src, dst FROM (
+        SELECT q.vec_id AS src, e.vec_id AS dst,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {sql_cosine('q.embedding', 'e.embedding')} DESC, e.vec_id)
+                 AS rnk
+        FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+      ) WHERE rnk <= {_KNN_K}
+    )
+    SELECT x.src,
+           coalesce(sum(CASE WHEN a.dst IS NOT NULL THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_hits,
+           round(coalesce(sum(CASE WHEN a.dst IS NOT NULL THEN 1 ELSE 0 END), 0)
+                 / {_KNN_K}.0, 6) AS recall_at_k
+    FROM exact x LEFT JOIN approx a ON x.src = a.src AND x.dst = a.dst
+    GROUP BY x.src
+    """,
+    doc=f"Measured recall of the capped SRP-bucketed kNN-graph candidate "
+    f"stage (ann_knn_graph_mutual's exact pipeline: adaptive SRP width + "
+    f"{_KNN_BUCKET_TARGET}-per-bucket round-robin sub-split) against the "
+    f"exact full-corpus top-{_KNN_K} for {_N_QUERIES} probe nodes — the "
+    "r7 verdict's gap: the bucket cap 'trades recall, not correctness' "
+    "was asserted but unmeasured, unlike MinHash (dedup_lsh_recall) and "
+    "IVF/PQ (ann_ivf_recall/ann_pq_recall).  Probe-side directed edges "
+    "only (exact MUTUAL recall would need full-corpus reverse top-k — "
+    "quadratic); the sub-split and bucket assignment still come from "
+    "the WHOLE corpus, so the approximate side is the production graph, "
+    "not a probe-only rebuild.  Committed recall numbers per round in "
+    "sweeps/KNN_RECALL_r08.json.",
+)
+def ann_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    nb = _knn_planes_for(spark, sf_dir)
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        S.srp_bucket(F.col("embedding"), n_planes=nb).alias("bucket"),
+    )
+    sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsize"))
+    capped = (
+        bucketed.join(F.broadcast(sizes), "bucket")
+        .withColumn(
+            "sub",
+            F.col("vec_id")
+            % F.expr(f"(bsize + {_KNN_BUCKET_TARGET - 1}) div {_KNN_BUCKET_TARGET}"),
+        )
+        .drop("bsize")
+    )
+    from ..functions import cosine
+
+    a = capped.filter(F.col("vec_id") < _N_QUERIES).alias("a")
+    b = capped.alias("b")
+    scored = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.sub") == F.col("b.sub"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    approx = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select(F.col("src").alias("a_src"), F.col("dst").alias("a_dst"))
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = S.brute_force_topk(q, emb.select("vec_id", "embedding"), k=_KNN_K).select(
+        F.col("q_id").alias("src"), F.col("vec_id").alias("dst")
+    )
+    hits = exact.join(
+        approx,
+        (exact.src == approx.a_src) & (exact.dst == approx.a_dst),
+        "left",
+    )
+    found = F.sum(F.when(F.col("a_dst").isNotNull(), 1).otherwise(0))
+    return hits.groupBy("src").agg(
+        F.coalesce(found, F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce(found, F.lit(0)) / float(_KNN_K), 6).alias("recall_at_k"),
     )
