@@ -36,15 +36,9 @@ RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 # the comparison baseline, the query is guarded normally again.  This is
 # a changelog, not an exemption list: an entry is only legitimate for a
 # reviewed trade (e.g. a scale-safety fix with a known small-sf cost).
-INTENTIONAL_PLAN_CHANGES: dict[tuple[str, str], str] = {
-    ("BENCH_r06.json", "ann_knn_graph_mutual"): (
-        "r7 bucket-cap sub-split: bounds candidate pairs to 64*n under "
-        "clustered-embedding skew (the sf10 run hit a 3418-row bucket = "
-        "166M pairs and died without it); costs one extra bucket-sizes "
-        "pass + broadcast size attach — ~1s fixed overhead at sf0.1, "
-        "accepted for scale safety (commit 800697c)"
-    ),
-}
+# (empty since r8: the r7 bucket-cap entry expired once BENCH_r07 — which
+# already carries its cost — became the comparison baseline)
+INTENTIONAL_PLAN_CHANGES: dict[tuple[str, str], str] = {}
 
 
 def main() -> None:

@@ -68,81 +68,77 @@ from .operators import (  # noqa: E402,F401
 )
 
 # ---------------------------------------------------------------------------
-# Driver verification window — round 7 rotation (coverage-completing).
+# Driver verification window — round 8 rotation.
 #
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries in
-# iteration order.  Rounds 1/2/4/5/6 drove 196 distinct queries green
-# (CORRECTNESS_r0{1,2,4,5,6}.json, 196/196 passing).  This window:
-#   - the 27 never-verified entries (the exact R7_DEBT pinned in
-#     tests/test_harness_integrity.py — r6 verdict task 1), completing
-#     driver verification of the WHOLE registry;
-#   - the 7 queries materially rewritten in round 6 whose only driver
-#     rows predate their rewrites (r6 verdict: re-verify the shipped
-#     code, not the r4-era version);
-#   - 1 new entry, anomaly_cusum_drift_blocked (r6 verdict task 4 —
-#     the skew-safe blocked CUSUM; post-freeze rule: every new entry
-#     enters the next window, so it carries no debt);
-#   - 15 re-verification slots spent on the OLDEST driver rows
-#     (r1/r2-era): session conf and comparator details have drifted
-#     over five rounds and those rows predate all of it.
+# iteration order.  Coverage is COMPLETE as of r7 (the union of passing
+# CORRECTNESS rows across rounds spans every entry), so from r8 onward
+# the window follows the STANDING INVARIANT enforced by
+# tests/test_harness_integrity.py::test_driver_window_standing_invariant:
+#   1. every entry ADDED or MATERIALLY REWRITTEN in the previous round
+#      leads the next window (no silent debt on new/changed code);
+#   2. the remaining slots rotate the registry's OLDEST driver rows
+#      (smallest latest-verified round), so every row's age is bounded
+#      and session-conf/comparator drift can never silently accumulate.
 # Every entry keeps full local parity coverage via
 # tests/test_oracle_parity.py regardless of window membership.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- the 27-entry R7_DEBT (never driver-verified) ---
-    "agg_boolean_conditional",
-    "agg_corr_exact_moments",
-    "agg_mutual_information",
-    "ann_knn_graph_mutual",
-    "ann_range_search",
-    "ann_topk_ivf_pq",
-    "corpus_ngram_lm_counts",
-    "curation_ablation_curve",
-    "curation_dataset_card",
-    "curation_rejection_funnel",
-    "dedup_lsh_length_prune",
-    "dedup_lsh_planner",
-    "dedup_lsh_recall",
-    "dedup_prefix_cluster",
-    "diag_column_profile",
-    "diag_observe_metrics",
-    "incremental_agg_merge",
-    "mm_av_sync_join",
-    "mm_scene_change",
-    "sample_bottom_k_per_key",
-    "sample_poisson_bootstrap",
-    "sample_weighted_bernoulli",
-    "snapshot_diff",
-    "split_leakage_safe_groups",
-    "text_bpe_token_estimate",
-    "text_cooccurrence_pmi",
-    "text_mojibake_stats",
-    # --- r6-rewritten queries whose driver rows predate the rewrite ---
-    "decontam_ngram_overlap",
-    "dedup_simhash_near",
-    "dedup_simhash",
+    # --- new in r8 ---
+    "ann_knn_graph_recall",
+    # --- materially rewritten in r8 (CC soundness sentinels; exact-money
+    #     accumulators; triangle oracle; kNN planner memoization) ---
     "dedup_duplicate_clusters",
     "curation_pipeline",
     "dedup_semantic_keep_best",
-    "quality_percentile_filter",
-    # --- new this round (skew-safe CUSUM, r6 verdict task 4) ---
-    "anomaly_cusum_drift_blocked",
-    # --- oldest-row re-verification (latest driver row is r1/r2) ---
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q18_large_volume",
-    "window_sessionization",
-    "window_topk_per_group",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_salted_skew",
-    "join_range_interval",
-    "join_asof_last_order",
-    "setop_except_all",
-    "scalar_null_semantics",
-    "json_extraction",
-    "gap_fill_daily",
+    "agg_distinct",
+    "window_percent_of_total",
+    "window_sliding_15min",
+    "agg_decimal_money",
+    "graph_triangle_count",
+    "ann_knn_graph_mutual",
+    # --- oldest-row rotation: the 29 remaining r2-era rows ---
+    "agg_advanced",
+    "agg_approx_distinct",
+    "agg_rollup",
+    "agg_stats",
+    "array_functions",
+    "cross_join_grid",
+    "dynamic_map_allowlist",
+    "grouped_map_regression",
+    "join_anti",
+    "join_full_outer",
+    "join_outer_null_handling",
+    "join_semi",
+    "join_sortmerge_hint",
+    "pivot_linestatus",
+    "scalar_date_functions",
+    "scalar_functions",
+    "scalar_string_functions",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_distinct",
+    "sort_limit_topn",
+    "tpch_q12_priority_shipmode",
+    "tpch_q14_promo_share",
+    "tpch_q4_priority_exists",
+    "tpch_q5_local_supplier",
+    "unpivot_stack",
+    "window_range_frame",
+    "window_running_lag",
+    "window_tumbling_hourly",
+    # --- oldest-row rotation: the 11 alphabetically-first r4-era rows ---
+    "ann_ivf_recall",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf_bucketed",
+    "ann_topk_pq_adc",
+    "ann_topk_srp_lsh",
+    "curation_perplexity_buckets",
+    "dedup_boilerplate_ngrams",
+    "dedup_duplicate_spans",
+    "dedup_embedding_near",
+    "dedup_exact",
+    "dedup_lsh_bucket_cap",
 )
 
 

@@ -61,7 +61,10 @@ def _ensure_session_conf(spark: SparkSession) -> None:
             existing = spark.conf.get("spark.sql.optimizer.excludedRules")
         except Exception:
             existing = None
-        rules = [r for r in (existing or "").split(",") if r.strip()]
+        # strip each entry (r7 ADVICE): an external list like
+        # 'ruleA, ruleB' would otherwise never match the membership
+        # check and re-append the rule on every call
+        rules = [r.strip() for r in (existing or "").split(",") if r.strip()]
         if rule not in rules:
             rules.append(rule)
         spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))

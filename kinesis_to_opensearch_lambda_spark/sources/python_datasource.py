@@ -134,7 +134,23 @@ class KinesisEnvelopeJsonlStreamReader(SimpleDataSourceStreamReader):
             return offset["pos"]
         if "idx" in offset:
             i = min(int(offset["idx"]), len(files := self._files()))
-            return self._name(files[i - 1]) if i > 0 else ""
+            pos = self._name(files[i - 1]) if i > 0 else ""
+            # best-effort migration maps the count onto the CURRENT
+            # sorted listing; log the translated boundary (r7 ADVICE)
+            # so a listing that shifted between checkpoint and restart
+            # (deleted file, earlier-sorting arrival) is diagnosable
+            # from the stream logs instead of silently skipping/re-
+            # reading one file.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "legacy offset {'idx': %s} translated to name high-water "
+                "mark %r over a %d-file listing",
+                offset["idx"],
+                pos,
+                len(files),
+            )
+            return pos
         raise ValueError(f"unrecognized offset shape: {offset!r}")
 
     def initialOffset(self) -> dict:

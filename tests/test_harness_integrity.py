@@ -56,69 +56,59 @@ def test_comparator_detects_negative_zero():
     assert _rows(a) != _rows(b)
 
 
-# The exact never-driver-verified debt remaining AFTER the round-6
-# window: these 27 entries (plus nothing else) must lead round 7's
-# window, completing driver coverage of the whole registry.
-R7_DEBT = frozenset(
+# Entries ADDED or MATERIALLY REWRITTEN in the round that just shipped
+# (bump each round): the standing invariant forces every one of them
+# into the NEXT driver window, so changed code never carries a stale
+# driver row.  r8: the CC soundness rewrite (sentinel oracle + engine
+# jump/raise), the exact-money accumulator rewrites, the rewritten
+# triangle-count oracle, the kNN planner memoization, and the new
+# recall entry.
+CHANGED_LAST_ROUND = frozenset(
     {
-        "agg_boolean_conditional",
-        "agg_corr_exact_moments",
-        "agg_mutual_information",
-        "ann_knn_graph_mutual",
-        "ann_range_search",
-        "ann_topk_ivf_pq",
-        "corpus_ngram_lm_counts",
-        "curation_ablation_curve",
-        "curation_dataset_card",
-        "curation_rejection_funnel",
-        "dedup_lsh_length_prune",
-        "dedup_lsh_planner",
-        "dedup_lsh_recall",
-        "dedup_prefix_cluster",
-        "diag_column_profile",
-        "diag_observe_metrics",
-        "incremental_agg_merge",
-        "mm_av_sync_join",
-        "mm_scene_change",
-        "sample_bottom_k_per_key",
-        "sample_poisson_bootstrap",
-        "sample_weighted_bernoulli",
-        "snapshot_diff",
-        "split_leakage_safe_groups",
-        "text_bpe_token_estimate",
-        "text_cooccurrence_pmi",
-        "text_mojibake_stats",
-    }
-)
-
-
-# Queries materially rewritten in round 6 whose only driver rows
-# predate the rewrite — the r7 window must re-verify the shipped code.
-R6_REWRITTEN = frozenset(
-    {
-        "decontam_ngram_overlap",
-        "dedup_simhash_near",
-        "dedup_simhash",
+        "ann_knn_graph_recall",  # new in r8
         "dedup_duplicate_clusters",
         "curation_pipeline",
         "dedup_semantic_keep_best",
-        "quality_percentile_filter",
+        "agg_distinct",
+        "window_percent_of_total",
+        "window_sliding_15min",
+        "agg_decimal_money",
+        "graph_triangle_count",
+        "ann_knn_graph_mutual",
     }
 )
 
 
-def test_driver_window_completes_coverage():
-    """Round-7 rotation (r6 verdict tasks 1-2): the window must contain
-    the ENTIRE 27-entry R7_DEBT plus the 7 r6-rewritten queries, and
-    every registry entry not in this window must already hold a driver
-    CORRECTNESS row from rounds 1-6 — i.e. after this window runs,
-    driver coverage of the whole registry is complete.  New entries
-    (no prior row, not in R7_DEBT) must ALL sit in the window — the
-    post-freeze growth rule: every new query enters the next window,
-    never accruing silent debt."""
+def _latest_driver_round() -> dict[str, int]:
+    """name -> newest round with a passing driver CORRECTNESS row."""
     import json
     from pathlib import Path
 
+    root = Path(__file__).resolve().parent.parent
+    latest: dict[str, int] = {}
+    files = sorted(root.glob("CORRECTNESS_r*.json"))
+    assert files, "prior CORRECTNESS files missing"
+    for f in files:
+        rnd = int(f.stem.split("_r")[1])
+        for name, row in json.loads(f.read_text()).items():
+            if isinstance(row, dict) and row.get("rows_match") and not row.get("err"):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def test_driver_window_standing_invariant():
+    """Driver coverage completed in r7; from r8 on the window obeys the
+    standing rotation invariant (r7 verdict task 3):
+
+    1. the window IS the first 50 registry entries (driver contract);
+    2. every entry added or materially rewritten last round is in it
+       (no silent debt on changed code);
+    3. nothing is verification-orphaned: every registry entry either
+       holds a prior driver row or sits in the window;
+    4. the non-changed slots rotate the OLDEST rows: no rotation
+       entry may be younger (by latest driver round) than some entry
+       left out of the window entirely — ties allowed, so the bound
+       is max(rotation rounds) <= min(left-out rounds)."""
     from kinesis_to_opensearch_lambda_spark.queries import DRIVER_WINDOW
 
     first50 = list(REGISTRY)[:50]
@@ -126,19 +116,21 @@ def test_driver_window_completes_coverage():
     assert first50 == list(DRIVER_WINDOW)
 
     window = set(DRIVER_WINDOW)
-    assert R7_DEBT <= window, sorted(R7_DEBT - window)
-    assert R6_REWRITTEN <= window, sorted(R6_REWRITTEN - window)
+    assert CHANGED_LAST_ROUND <= window, sorted(CHANGED_LAST_ROUND - window)
 
-    root = Path(__file__).resolve().parent.parent
-    prior = set()
-    for f in sorted(root.glob("CORRECTNESS_r0[12456].json")):
-        prior |= set(json.loads(f.read_text()).keys())
-    assert prior, "prior CORRECTNESS files missing"
+    latest = _latest_driver_round()
+    gated = {"streaming_stateful_highwater"}  # capability-probed entry
+    orphans = set(REGISTRY) - set(latest) - window - gated
+    assert not orphans, (
+        f"entries with no driver row and no window slot: {sorted(orphans)}"
+    )
 
-    uncovered = set(REGISTRY) - prior - window
-    # streaming_stateful_highwater is capability-probed (registers only
-    # where protobuf exists) — exclude it from the rotation budget
-    uncovered.discard("streaming_stateful_highwater")
-    assert not uncovered, (
-        f"entries with no driver row and no window slot: {sorted(uncovered)}"
+    rotation = window - CHANGED_LAST_ROUND
+    rotation_rounds = [latest[n] for n in rotation if n in latest]
+    left_out = [latest[n] for n in set(REGISTRY) - window - gated if n in latest]
+    assert rotation_rounds and left_out
+    assert max(rotation_rounds) <= min(left_out), (
+        "rotation must take the oldest driver rows first: "
+        f"rotation max round {max(rotation_rounds)} > "
+        f"left-out min round {min(left_out)}"
     )

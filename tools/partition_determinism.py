@@ -41,6 +41,10 @@ def main() -> int:
     from tests.oracle_compare import _rows
 
     spark = get_session(app_name="partition-determinism", cpus="16")
+    # Restore the session factory's own default after each query (r7
+    # ADVICE: the old code hardcoded '16', silently overriding the
+    # configured default when sweeping a non-shuffle conf key).
+    pre_sweep_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
 
     names = [
         n
@@ -65,7 +69,7 @@ def main() -> int:
             continue
         finally:
             spark.conf.unset(conf_key)
-            spark.conf.set("spark.sql.shuffle.partitions", "16")
+            spark.conf.set("spark.sql.shuffle.partitions", pre_sweep_shuffle)
         ok = hashes[0] == hashes[1]
         if not ok:
             failed.append(name)
