@@ -25,18 +25,24 @@ from pyspark.sql import functions as F
 from ..functions import cosine
 
 
-def srp_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+def srp_bucket(
+    vec: Column, n_planes: int = 8, dim: int = 64, plane_offset: int = 0
+) -> Column:
     """Signed-random-projection LSH bucket id for an embedding column.
 
-    Bit *i* of the bucket is the sign of ``dot(vec, plane_i)`` where the
-    hyperplane components come from a deterministic integer hash (Knuth
-    multiplicative) in [-0.5, 0.5) — identical in every engine, no RNG.
-    Pure per-row fold work (zero shuffle); the bucket id is the
-    shuffle/bucketing key that turns all-pairs similarity into an
-    equi-join.  DuckDB twin: :func:`sql_srp_bits`.
+    Bit *i* of the bucket is the sign of ``dot(vec, plane_{offset+i})``
+    where the hyperplane components come from a deterministic integer
+    hash (Knuth multiplicative) in [-0.5, 0.5) — identical in every
+    engine, no RNG.  Pure per-row fold work (zero shuffle); the bucket
+    id is the shuffle/bucketing key that turns all-pairs similarity
+    into an equi-join.  ``plane_offset`` selects a disjoint plane set,
+    giving an INDEPENDENT hash table — the OR-amplification recall
+    knob (table t of L uses ``plane_offset=t*n_planes``).  DuckDB
+    twin: :func:`sql_srp_bits`.
     """
     terms = None
     for i in range(n_planes):
+        p = plane_offset + i
         prods = F.zip_with(
             vec,
             F.sequence(F.lit(0), F.lit(dim - 1)),
@@ -44,7 +50,7 @@ def srp_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
             # the lambda eagerly at expression-build time, and a default
             # arg would change the lambda's arity (HOFs inspect it).
             lambda x, j: x.cast("double")
-            * (((((F.lit(i) * dim + j) * 2654435761) % 1000 + 1000) % 1000) / 1000.0 - 0.5),
+            * (((((F.lit(p) * dim + j) * 2654435761) % 1000 + 1000) % 1000) / 1000.0 - 0.5),
         )
         dot_i = F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
         term = F.when(dot_i >= 0, F.lit(1 << i)).otherwise(F.lit(0))
@@ -52,15 +58,16 @@ def srp_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     return terms
 
 
-def sql_srp_bits(vec: str, n_planes: int = 8, dim: int = 64) -> str:
+def sql_srp_bits(vec: str, n_planes: int = 8, dim: int = 64, plane_offset: int = 0) -> str:
     """DuckDB twin of :func:`srp_bucket` (same fold order, same integer
-    hyperplane components)."""
+    hyperplane components, same plane_offset table-selection rule)."""
     terms = []
     for i in range(n_planes):
+        p = plane_offset + i
         dot = (
             "list_reduce(list_prepend(0.0::DOUBLE, "
             f"list_transform(list_zip({vec}, range(0, {dim})), "
-            f"z -> z[1]::DOUBLE * (((((({i} * {dim} + (z[2])) * 2654435761) % 1000) + 1000) % 1000) / 1000.0 - 0.5))), "
+            f"z -> z[1]::DOUBLE * (((((({p} * {dim} + (z[2])) * 2654435761) % 1000) + 1000) % 1000) / 1000.0 - 0.5))), "
             "(a, x) -> a + x)"
         )
         terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END")

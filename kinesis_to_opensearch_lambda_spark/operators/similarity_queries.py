@@ -1529,3 +1529,165 @@ def ann_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(found, F.lit(0)).cast("long").alias("n_hits"),
         F.round(F.coalesce(found, F.lit(0)) / float(_KNN_K), 6).alias("recall_at_k"),
     )
+
+
+_KNN_TABLES = 4
+
+
+def _sql_knn_table_pairs(t: int) -> str:
+    """One OR-amplification hash table's candidate pairs (probe-side):
+    plane set t*MAX_PLANES..(t+1)*MAX_PLANES-1, masked to the adaptive
+    nb low bits, capped by the same round-robin sub-split as the
+    single-table graph.  Plain CTEs on purpose (r8 triangle-oracle
+    find: MATERIALIZED kills stats propagation in DuckDB 1.0; the
+    probe filter then pushes into the a-side so only 20 rows hash on
+    that side)."""
+    bits = S.sql_srp_bits(
+        "embedding", _KNN_MAX_PLANES, plane_offset=t * _KNN_MAX_PLANES
+    )
+    return f"""bucketed{t} AS (
+      SELECT vec_id,
+             ({bits}) % (1 << (SELECT nb FROM nbits)) AS bucket
+      FROM embeddings
+    ), capped{t} AS (
+      SELECT vec_id, bucket,
+             vec_id % ((count(*) OVER (PARTITION BY bucket)
+                        + {_KNN_BUCKET_TARGET - 1}) // {_KNN_BUCKET_TARGET})
+               AS sub
+      FROM bucketed{t}
+    ), pairs{t} AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM capped{t} a JOIN capped{t} b
+        ON a.bucket = b.bucket AND a.sub = b.sub AND a.vec_id != b.vec_id
+      WHERE a.vec_id < {_N_QUERIES}
+    )"""
+
+
+@register(
+    "ann_knn_graph_multitable",
+    oracle=f"""
+    WITH nbits AS MATERIALIZED (
+      SELECT LEAST({_KNN_MAX_PLANES}, MIN(t.nb)) AS nb
+      FROM (SELECT count(*) AS n FROM embeddings) c, range(8, {_KNN_MAX_PLANES + 1}) t(nb)
+      WHERE c.n <= {_KNN_BUCKET_TARGET} * (1 << t.nb) OR t.nb = {_KNN_MAX_PLANES}
+    ), {", ".join(_sql_knn_table_pairs(t) for t in range(_KNN_TABLES))},
+    cand AS (
+      SELECT DISTINCT src, dst FROM (
+        {" UNION ALL ".join(f"SELECT src, dst FROM pairs{t}" for t in range(_KNN_TABLES))}
+      )
+    ), approx AS (
+      SELECT src, dst FROM (
+        SELECT c.src, c.dst,
+               row_number() OVER (PARTITION BY c.src
+                 ORDER BY {sql_cosine('qa.embedding', 'qb.embedding')} DESC, c.dst)
+                 AS rnk
+        FROM cand c
+        JOIN embeddings qa ON qa.vec_id = c.src
+        JOIN embeddings qb ON qb.vec_id = c.dst
+      ) WHERE rnk <= {_KNN_K}
+    ), exact AS (
+      SELECT src, dst FROM (
+        SELECT q.vec_id AS src, e.vec_id AS dst,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {sql_cosine('q.embedding', 'e.embedding')} DESC, e.vec_id)
+                 AS rnk
+        FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+      ) WHERE rnk <= {_KNN_K}
+    )
+    SELECT x.src,
+           coalesce(sum(CASE WHEN a.dst IS NOT NULL THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_hits,
+           round(coalesce(sum(CASE WHEN a.dst IS NOT NULL THEN 1 ELSE 0 END), 0)
+                 / {_KNN_K}.0, 6) AS recall_at_k
+    FROM exact x LEFT JOIN approx a ON x.src = a.src AND x.dst = a.dst
+    GROUP BY x.src
+    """,
+    doc=f"OR-amplified kNN-graph candidates: {_KNN_TABLES} INDEPENDENT "
+    "SRP hash tables (disjoint deterministic plane sets via "
+    "plane_offset), per-table bucket equi-join + the same "
+    f"{_KNN_BUCKET_TARGET}-cap sub-split, candidates unioned and "
+    "deduped before one exact-cosine scoring pass — the standard LSH "
+    "recall knob that ann_knn_graph_recall's committed numbers "
+    "motivate (single-table recall@3 was 0.10 at sf0.1 for "
+    "weakly-correlated neighbors; a miss needs ALL L tables to split "
+    "the pair, so recall rises ~1-(1-p)^L at L× candidate cost).  "
+    "Same probe-side recall measurement as ann_knn_graph_recall so "
+    "the two entries are directly comparable.  100 TB: candidate "
+    f"pairs <= {_KNN_TABLES}*{_KNN_BUCKET_TARGET}*n under any skew "
+    "(L capped tables), dedup is a distinct on 16-byte id pairs, "
+    "scoring joins broadcast the probe-bounded pair list.",
+)
+def ann_knn_graph_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import cosine
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    nb = _knn_planes_for(spark, sf_dir)
+    per_table = []
+    for t in range(_KNN_TABLES):
+        bucketed = emb.select(
+            "vec_id",
+            S.srp_bucket(
+                F.col("embedding"),
+                n_planes=nb,
+                plane_offset=t * _KNN_MAX_PLANES,
+            ).alias("bucket"),
+        )
+        sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsize"))
+        capped = (
+            bucketed.join(F.broadcast(sizes), "bucket")
+            .withColumn(
+                "sub",
+                F.col("vec_id")
+                % F.expr(
+                    f"(bsize + {_KNN_BUCKET_TARGET - 1}) div {_KNN_BUCKET_TARGET}"
+                ),
+            )
+            .drop("bsize")
+        )
+        a = capped.filter(F.col("vec_id") < _N_QUERIES).alias("a")
+        b = capped.alias("b")
+        per_table.append(
+            a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.sub") == F.col("b.sub"))
+                & (F.col("a.vec_id") != F.col("b.vec_id")),
+            ).select(
+                F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+            )
+        )
+    cand = per_table[0]
+    for df in per_table[1:]:
+        cand = cand.unionAll(df)
+    cand = cand.distinct()
+    qa = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("q_vec"))
+    qb = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("e_vec"))
+    # both scoring joins keep the pair list (<= probes * L * target rows)
+    # as the broadcast build side — the corpus is probed, never shuffled
+    scored = (
+        qb.join(F.broadcast(F.broadcast(cand).join(qa, "src")), "dst")
+        .select("src", "dst", cosine(F.col("q_vec"), F.col("e_vec")).alias("cos"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    approx = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select(F.col("src").alias("a_src"), F.col("dst").alias("a_dst"))
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = S.brute_force_topk(q, emb.select("vec_id", "embedding"), k=_KNN_K).select(
+        F.col("q_id").alias("src"), F.col("vec_id").alias("dst")
+    )
+    hits = exact.join(
+        approx,
+        (exact.src == approx.a_src) & (exact.dst == approx.a_dst),
+        "left",
+    )
+    found = F.sum(F.when(F.col("a_dst").isNotNull(), 1).otherwise(0))
+    return hits.groupBy("src").agg(
+        F.coalesce(found, F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce(found, F.lit(0)) / float(_KNN_K), 6).alias("recall_at_k"),
+    )

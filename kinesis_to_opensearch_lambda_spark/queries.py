@@ -86,6 +86,7 @@ from .operators import (  # noqa: E402,F401
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- new in r8 ---
     "ann_knn_graph_recall",
+    "ann_knn_graph_multitable",
     # --- materially rewritten in r8 (CC soundness sentinels; exact-money
     #     accumulators; triangle oracle; kNN planner memoization) ---
     "dedup_duplicate_clusters",
@@ -127,7 +128,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_range_frame",
     "window_running_lag",
     "window_tumbling_hourly",
-    # --- oldest-row rotation: the 11 alphabetically-first r4-era rows ---
+    # --- oldest-row rotation: the 10 alphabetically-first r4-era rows ---
     "ann_ivf_recall",
     "ann_topk_bruteforce",
     "ann_topk_ivf_bucketed",
@@ -138,7 +139,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_duplicate_spans",
     "dedup_embedding_near",
     "dedup_exact",
-    "dedup_lsh_bucket_cap",
 )
 
 

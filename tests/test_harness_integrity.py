@@ -66,6 +66,7 @@ def test_comparator_detects_negative_zero():
 CHANGED_LAST_ROUND = frozenset(
     {
         "ann_knn_graph_recall",  # new in r8
+        "ann_knn_graph_multitable",  # new in r8
         "dedup_duplicate_clusters",
         "curation_pipeline",
         "dedup_semantic_keep_best",

@@ -462,6 +462,58 @@ def test_knn_graph_no_allpairs(spark):
     assert has_broadcast_hash_join(df)
 
 
+def test_knn_graph_multitable_no_allpairs_and_distinct_tables(spark):
+    """OR-amplified kNN candidates: every per-table candidate stage must
+    be a bucket hash equi-join (no all-pairs), and the plane_offset
+    table selection must genuinely produce DIFFERENT hash tables —
+    otherwise the union adds cost without recall."""
+    from pyspark.sql import functions as F
+
+    from kinesis_to_opensearch_lambda_spark.operators import similarity as S
+
+    df = q(spark, "ann_knn_graph_multitable")
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan, plan
+    # exactly ONE BroadcastNestedLoopJoin is expected and bounded: the
+    # EXACT-baseline side broadcasts the 20 probe vectors against the
+    # corpus (same shape as ann_topk_bruteforce); the L candidate
+    # stages must all be hash equi-joins.  A formatted plan prints
+    # each node twice (tree + numbered detail), so one node == 2 hits.
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert not python_eval_nodes(df)
+    assert has_broadcast_hash_join(df)
+
+    # independence: two plane sets disagree on some vector's bucket
+    from kinesis_to_opensearch_lambda_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(64).select(
+        "vec_id", "embedding"
+    )
+    buckets = emb.select(
+        S.srp_bucket(F.col("embedding"), n_planes=8, plane_offset=0).alias("b0"),
+        S.srp_bucket(F.col("embedding"), n_planes=8, plane_offset=16).alias("b1"),
+    )
+    assert buckets.filter(F.col("b0") != F.col("b1")).count() > 0
+
+
+def test_srp_plane_offset_zero_is_identity(spark):
+    """plane_offset=0 must be bit-identical to the pre-r8 primitive:
+    every existing SRP caller (buckets, dedup, the mutual graph) relies
+    on unchanged bucket ids."""
+    from pyspark.sql import functions as F
+
+    from kinesis_to_opensearch_lambda_spark.operators import similarity as S
+
+    from kinesis_to_opensearch_lambda_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(64).select("embedding")
+    both = emb.select(
+        S.srp_bucket(F.col("embedding"), n_planes=8).alias("default"),
+        S.srp_bucket(F.col("embedding"), n_planes=8, plane_offset=0).alias("explicit"),
+    )
+    assert both.filter(F.col("default") != F.col("explicit")).count() == 0
+
+
 def test_knn_graph_bucket_cap_bounds_cells(spark):
     """The round-robin sub-split must hold its worst-case guarantee on
     a PATHOLOGICALLY clustered corpus: identical embeddings all land
