@@ -188,6 +188,44 @@ def test_counterexample_pinned_forever():
     assert prod[-1] == truth
 
 
+def test_duckdb_sentinel_fires_on_unconverged_budget():
+    """The cc_conv sentinel must fire IN DuckDB, not just in the Python
+    replica: run _sql_cc_labels with a deliberately tiny budget on a
+    path graph that cannot converge in it and assert the query ABORTS
+    (InvalidInputException from error()) instead of returning labels."""
+    import duckdb
+    import pytest
+
+    # load the registry package first: importing dedup_queries directly
+    # short-circuits the queries module's import order (circular import)
+    import kinesis_to_opensearch_lambda_spark.queries  # noqa: F401
+    from kinesis_to_opensearch_lambda_spark.operators.dedup_queries import (
+        _sql_cc_labels,
+    )
+
+    n = 40
+    edges = " UNION ALL ".join(
+        f"SELECT {i} AS a, {i + 1} AS b" for i in range(n - 1)
+    )
+    base = f"""
+    WITH RECURSIVE und AS ({edges}), sym AS (
+      SELECT a, b FROM und
+      UNION SELECT b, a FROM und
+      UNION SELECT a, a FROM und
+      UNION SELECT b, b FROM und
+    ), {{labels}}
+    SELECT * FROM labels
+    """
+    con = duckdb.connect()
+    # budget 2: a 40-node path needs far more rounds -> sentinel aborts
+    with pytest.raises(duckdb.InvalidInputException, match="unconverged"):
+        con.execute(base.format(labels=_sql_cc_labels(rounds=2))).fetchall()
+    # production budget: converges, returns the component minimum for all
+    rows = con.execute(base.format(labels=_sql_cc_labels())).fetchall()
+    assert len(rows) == n
+    assert all(lbl == 0 for _, lbl in rows)
+
+
 def test_clique_chain_like_lsh_bridges():
     """The actual sf1 shape: 10-member near-dup cliques bridged into a
     chain by single collision edges — 50 bridged cliques converge
