@@ -33,8 +33,18 @@ from . import similarity as S
 # ---- deterministic near-dup corpus -----------------------------------
 
 _SQL_WORDS = "string_split(text, ' ')"
-_SQL_MUTATED = """
-  SELECT doc_id + 100000 AS doc_id,
+# Reserved synthetic-id namespace (r8): the pre-r8 offset of 100000
+# COLLIDED with real doc_ids once the corpus passed 100k rows — the
+# sf10 sweep caught curation_pipeline's quality join fanning out on the
+# 50 duplicated ids (exactly the 100 TB failure class: a magic constant
+# that the data grows past).  1e12 keeps synthetic ids disjoint from
+# any corpus this engine targets (100 TB at 100 bytes/doc is 1e9 docs;
+# 1e12 is 1000x headroom) while preserving id ORDER, so min-label
+# cluster representatives remain the originals.
+SYNTH_ID_OFFSET = 1_000_000_000_000
+
+_SQL_MUTATED = f"""
+  SELECT doc_id + {SYNTH_ID_OFFSET} AS doc_id,
          array_to_string((string_split(text, ' '))[2:], ' ') AS text
   FROM documents WHERE doc_id < 50
 """
@@ -44,7 +54,7 @@ def _mutated(docs: DataFrame) -> DataFrame:
     """Drop-first-word near-duplicate copies of the first 50 docs."""
     w = words(F.col("text"))
     return docs.filter(F.col("doc_id") < 50).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + SYNTH_ID_OFFSET).alias("doc_id"),
         F.concat_ws(" ", F.slice(w, 2, F.size(w) - 1)).alias("text"),
     )
 
@@ -266,7 +276,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH mut AS (
-      SELECT doc_id - 100000 AS doc_id, text FROM ({_SQL_MUTATED})
+      SELECT doc_id - 1000000000000 AS doc_id, text FROM ({_SQL_MUTATED})
     )
     SELECT d.doc_id,
            round(
@@ -289,7 +299,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     mut = _mutated(docs).select(
-        (F.col("doc_id") - 100000).alias("doc_id"), "text"
+        (F.col("doc_id") - SYNTH_ID_OFFSET).alias("doc_id"), "text"
     )
     jac = D.jaccard_shingle_similarity(
         docs.filter(F.col("doc_id") < 50), mut, on="doc_id"
@@ -301,7 +311,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_containment",
     oracle=f"""
     WITH mut AS (
-      SELECT doc_id - 100000 AS doc_id, text FROM ({_SQL_MUTATED})
+      SELECT doc_id - 1000000000000 AS doc_id, text FROM ({_SQL_MUTATED})
     ), pairs AS (
       SELECT d.doc_id,
              list_distinct({sql_word_shingles("string_split(m.text, ' ')")}) AS a,
@@ -327,7 +337,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    mut = _mutated(docs).select((F.col("doc_id") - 100000).alias("doc_id"), "text")
+    mut = _mutated(docs).select((F.col("doc_id") - SYNTH_ID_OFFSET).alias("doc_id"), "text")
     out = D.containment_shingle_similarity(
         mut, docs.filter(F.col("doc_id") < 50), on="doc_id"
     )
@@ -354,7 +364,7 @@ _SQL_EMB_CANDIDATES = f"""
       SELECT vec_id, embedding, {S.sql_srp_bits('embedding')} AS bucket
       FROM embeddings
     ), perturbed AS (
-      SELECT vec_id + 100000 AS dup_id, {_SQL_PERTURB} AS p_embedding
+      SELECT vec_id + 1000000000000 AS dup_id, {_SQL_PERTURB} AS p_embedding
       FROM embeddings WHERE vec_id < 50
     ), pbuck AS (
       SELECT dup_id, p_embedding, {S.sql_srp_bits('p_embedding')} AS p_bucket
@@ -381,7 +391,7 @@ def _emb_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", S.srp_bucket(F.col("embedding")).alias("bucket")
     )
     perturbed = emb.filter(F.col("vec_id") < 50).select(
-        (F.col("vec_id") + 100000).alias("dup_id"),
+        (F.col("vec_id") + SYNTH_ID_OFFSET).alias("dup_id"),
         F.transform(
             "embedding",
             lambda x: x.cast("double") + 0.01 * (x.cast("double") * x.cast("double") - 1.0),
@@ -533,7 +543,7 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM resolved
       WHERE score > 0.55 AND doc_id = cluster_id
     )
-    SELECT (SELECT count(*) FROM corpus) AS n_input,
+    SELECT (SELECT count(*) FROM resolved) AS n_input,
            (SELECT count(*) FROM resolved WHERE score <= 0.55) AS n_low_quality,
            (SELECT count(*) FROM resolved WHERE doc_id != cluster_id) AS n_duplicates,
            (SELECT count(*) FROM kept) AS n_kept,
@@ -542,7 +552,12 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="End-to-end training-data curation: quality scoring + MinHash-LSH "
     "near-dup clustering, keep the cluster representative above the quality "
     "bar, report per-stage drop counts — the composed LLM-data-pipeline "
-    "showcase (operators.text.quality_features + dedup.*).",
+    "showcase.  r8: n_input counts the SAME relation (resolved) on both "
+    "sides — the pre-r8 oracle counted the corpus CTE while the engine "
+    "counted post-join rows, a latent mismatch the sf10 id-collision "
+    "exposed (and the reserved synthetic-id namespace now prevents: with "
+    "unique doc_ids the quality join is 1:1, so resolved == corpus) "
+    "(operators.text.quality_features + dedup.*).",
 )
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import text as TX
@@ -595,7 +610,7 @@ _BUCKET_CAP = 20
 _SQL_SKEWED = f"""
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT 200000 + i AS doc_id, '{_BOILERPLATE}' AS text
+      SELECT 2000000000000 + i AS doc_id, '{_BOILERPLATE}' AS text
       FROM range({_N_BOILERPLATE}) t(i)
 """
 
@@ -642,7 +657,7 @@ _SQL_SKEWED = f"""
            (SELECT count(*) FROM sized WHERE sz > {_BUCKET_CAP}) AS n_buckets_dropped,
            (SELECT count(*) FROM pairs_uncapped) AS n_pairs_uncapped,
            (SELECT count(*) FROM pairs_capped) AS n_pairs_capped,
-           (SELECT coalesce(sum(CASE WHEN doc_a >= 200000 THEN 1 ELSE 0 END), 0)::BIGINT
+           (SELECT coalesce(sum(CASE WHEN doc_a >= 2000000000000 THEN 1 ELSE 0 END), 0)::BIGINT
               FROM pairs_capped) AS n_boilerplate_pairs_surviving
     """,
     doc="max_bucket_size mega-bucket guard (operators.dedup."
@@ -655,7 +670,7 @@ _SQL_SKEWED = f"""
 def dedup_lsh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     clones = spark.range(_N_BOILERPLATE).select(
-        (F.col("id") + 200000).alias("doc_id"), F.lit(_BOILERPLATE).alias("text")
+        (F.col("id") + 2 * SYNTH_ID_OFFSET).alias("doc_id"), F.lit(_BOILERPLATE).alias("text")
     )
     corpus = docs.union(clones)
     sigs = D.minhash_signatures(corpus, num_hashes=8)
@@ -679,7 +694,7 @@ def dedup_lsh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             capped.agg(
                 F.count("*").alias("n_pairs_capped"),
                 F.coalesce(
-                    F.sum(F.when(F.col("doc_a") >= 200000, 1).otherwise(0)), F.lit(0)
+                    F.sum(F.when(F.col("doc_a") >= 2 * SYNTH_ID_OFFSET, 1).otherwise(0)), F.lit(0)
                 )
                 .cast("long")
                 .alias("n_boilerplate_pairs_surviving"),
@@ -752,7 +767,7 @@ def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE bit_count(xor(a.sh, b.sh)) <= 3
     )
     SELECT hamming, count(*) AS n_pairs,
-           coalesce(sum(CASE WHEN doc_b - doc_a = 100000 THEN 1 ELSE 0 END), 0)::BIGINT
+           coalesce(sum(CASE WHEN doc_b - doc_a = 1000000000000 THEN 1 ELSE 0 END), 0)::BIGINT
              AS n_mutation_pairs
     FROM pairs GROUP BY hamming
     """,
@@ -762,7 +777,7 @@ def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so candidate generation is a bucket equi-join, verified exactly "
     "with bit_count(xor). Reports, per hamming distance, how many "
     "pairs survive and how many are the planted drop-first-word "
-    "mutations (doc_b = doc_a + 100000).  The fingerprint is 60-bit "
+    "mutations (doc_b = doc_a + 1e12).  The fingerprint is 60-bit "
     "(not the 16-bit demo width of dedup_simhash) because band bucket "
     "cardinality is what bounds the join: 4-bit bands have 16 values "
     "per band, so at 50k docs every bucket holds ~3k members and the "
@@ -777,7 +792,7 @@ def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("hamming").agg(
         F.count("*").alias("n_pairs"),
         F.coalesce(
-            F.sum(F.when(F.col("doc_b") - F.col("doc_a") == 100000, 1).otherwise(0)),
+            F.sum(F.when(F.col("doc_b") - F.col("doc_a") == SYNTH_ID_OFFSET, 1).otherwise(0)),
             F.lit(0),
         )
         .cast("long")

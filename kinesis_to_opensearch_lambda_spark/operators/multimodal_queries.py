@@ -133,7 +133,7 @@ _SQL_SKETCH = """
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 100000 AS doc_id,
+      SELECT doc_id + 1000000000000 AS doc_id,
              array_to_string((string_split(text, ' '))[2:], ' ') AS text
       FROM documents WHERE doc_id < 50
     ), sigs AS (
@@ -151,7 +151,7 @@ _SQL_SKETCH = """
       WHERE bit_count(xor(a.phash, b.phash)) <= 1
     )
     SELECT hamming, count(*) AS n_pairs,
-           coalesce(sum(CASE WHEN doc_b - doc_a = 100000 THEN 1 ELSE 0 END), 0)::BIGINT
+           coalesce(sum(CASE WHEN doc_b - doc_a = 1000000000000 THEN 1 ELSE 0 END), 0)::BIGINT
              AS n_mutation_pairs
     FROM pairs GROUP BY hamming
     """,
@@ -210,7 +210,7 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("hamming").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.coalesce(
-            F.sum(F.when(F.col("doc_b") - F.col("doc_a") == 100000, 1).otherwise(0)),
+            F.sum(F.when(F.col("doc_b") - F.col("doc_a") == 1000000000000, 1).otherwise(0)),
             F.lit(0),
         )
         .cast("bigint")

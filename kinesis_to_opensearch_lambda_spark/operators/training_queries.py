@@ -151,7 +151,7 @@ def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
     "decontam_ngram_overlap",
     oracle=f"""
     WITH bench AS (
-      SELECT doc_id + 100000 AS doc_id,
+      SELECT doc_id + 1000000000000 AS doc_id,
              array_to_string((string_split(text, ' '))[2:], ' ') AS text
       FROM documents WHERE doc_id < 50
     ), bench_shingles AS (

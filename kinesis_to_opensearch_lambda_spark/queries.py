@@ -98,7 +98,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_decimal_money",
     "graph_triangle_count",
     "ann_knn_graph_mutual",
-    # --- oldest-row rotation: the 29 remaining r2-era rows ---
+    # --- r8 reserved synthetic-id namespace rewrite (sf10 sweep found
+    #     the +100000 offset colliding with real ids; now +1e12).  Every
+    #     query whose outputs or oracle changed re-enters the window ---
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_simhash_near",
+    "dedup_lsh_length_prune",
+    "dedup_lsh_bucket_cap",
+    "dedup_embedding_near",
+    "ann_range_search",
+    "mm_phash_neardup",
+    "decontam_ngram_overlap",
+    # --- oldest-row rotation: the 29 remaining r2-era rows (the
+    #     id-namespace rewrite displaced the 10 r4-era rotation slots) ---
     "agg_advanced",
     "agg_approx_distinct",
     "agg_rollup",
@@ -128,17 +142,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_range_frame",
     "window_running_lag",
     "window_tumbling_hourly",
-    # --- oldest-row rotation: the 10 alphabetically-first r4-era rows ---
-    "ann_ivf_recall",
-    "ann_topk_bruteforce",
-    "ann_topk_ivf_bucketed",
-    "ann_topk_pq_adc",
-    "ann_topk_srp_lsh",
-    "curation_perplexity_buckets",
-    "dedup_boilerplate_ngrams",
-    "dedup_duplicate_spans",
-    "dedup_embedding_near",
-    "dedup_exact",
 )
 
 

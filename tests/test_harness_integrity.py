@@ -76,6 +76,18 @@ CHANGED_LAST_ROUND = frozenset(
         "agg_decimal_money",
         "graph_triangle_count",
         "ann_knn_graph_mutual",
+        # reserved synthetic-id namespace rewrite (offset 100000 -> 1e12;
+        # the sf10 sweep caught real ids colliding with the synthetic range)
+        "dedup_minhash_lsh_pairs",
+        "dedup_ngram_jaccard",
+        "dedup_containment",
+        "dedup_simhash_near",
+        "dedup_lsh_length_prune",
+        "dedup_lsh_bucket_cap",
+        "dedup_embedding_near",
+        "ann_range_search",
+        "mm_phash_neardup",
+        "decontam_ngram_overlap",
     }
 )
 
