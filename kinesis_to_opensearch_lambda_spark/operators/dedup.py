@@ -21,7 +21,7 @@ DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import minhash_values, shingle_hashes, word_shingles, words
@@ -195,27 +195,35 @@ def simhash_near_pairs(
     n_bands: int = 4,
     band_bits: int = 4,
     hamming_max: int = 3,
-    max_bucket_size: int | None = None,
+    window: int = 64,
 ) -> DataFrame:
     """Banded hamming-neighbor lookup over SimHash fingerprints — the
     query path that makes SimHash usable at scale.
 
-    Standard SimHash banding (pigeonhole): split the fingerprint into
-    ``n_bands`` contiguous bit bands; any two fingerprints within
-    hamming distance ``n_bands - 1`` agree on at least one full band, so
-    a (band_idx, band_bits) bucket equi-join finds EVERY pair with
-    ``hamming <= n_bands - 1`` — no cross join.  Candidates are then
-    verified exactly with ``bit_count(xor)`` and filtered to
-    ``hamming_max``.
+    Standard SimHash banding: split the fingerprint into ``n_bands``
+    contiguous bit bands; any two fingerprints within hamming distance
+    ``n_bands - 1`` agree on at least one full band, so a (band_idx,
+    band_val) bucket groups every such pair — no cross join.
+    Candidates are verified exactly with ``bit_count(xor)`` and
+    filtered to ``hamming_max``.
 
-    The fingerprint rides inside the bucket's collect_list struct, so
-    the verify stage needs no join back to the fingerprint table: one
-    shuffle on the bucket key, pair expansion + popcount inside the
-    bucket array.  ``max_bucket_size`` is the same mega-bucket skew
-    guard as :func:`lsh_candidate_pairs` — at 100 TB use a 64-bit
-    fingerprint with 16-bit bands (65k bucket values per band); the
-    16-bit/4-band layout here matches the oracle-portable
-    :func:`simhash16`.
+    Within-bucket pairing is Manku-style sorted-fingerprint windowing
+    (r8 rewrite): members are ranked by (sh, id) inside their bucket
+    and each pairs only with its next ``window`` successors.  This
+    caps candidate pairs at ``window * n`` under ANY bucket skew —
+    the pre-r8 version packed each bucket into one ``collect_list``
+    row and expanded all C(size, 2) pairs inside it, which the sf10
+    sweep killed: natural-text simhash bits are non-uniform enough
+    that a 15-bit band bucket reached 25,761 members (= ~331M structs
+    in ONE row, guaranteed executor OOM).  The rank join is chunked
+    (chunk = rank div window; a successor within ``window`` rows lives
+    in the member's chunk or the next one), so the join stays a hash
+    equi-join on (band, bucket, chunk) and never re-expands a skewed
+    bucket.  Recall: full-bucket pigeonhole completeness becomes
+    "complete among fingerprints within ``window`` sorted positions" —
+    hamming-close fingerprints sort near one another with high
+    probability (the original Manku/Google near-dup design); wider
+    windows buy recall linearly in cost.
 
     Returns distinct (doc_a, doc_b, hamming) with doc_a < doc_b.
     """
@@ -234,30 +242,41 @@ def simhash_near_pairs(
     buckets = fingerprints.select(
         F.col(id_col).alias("id"), F.col(sh_col).alias("sh"), F.explode(bands).alias("band")
     ).select("id", "sh", "band.band_idx", "band.band_val")
-    grouped = buckets.groupBy("band_idx", "band_val").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("id"), F.col("sh")))
-        ).alias("members")
+    w = Window.partitionBy("band_idx", "band_val").orderBy("sh", "id")
+    ranked = buckets.withColumn("rn", F.row_number().over(w)).withColumn(
+        "chunk", F.expr(f"(rn - 1) div {window}")
     )
-    grouped = grouped.filter(F.size("members") > 1)
-    if max_bucket_size is not None:
-        grouped = grouped.filter(F.size("members") <= max_bucket_size)
-    pairs = F.flatten(
-        F.transform(
-            F.col("members"),
-            lambda a, i: F.transform(
-                F.slice(F.col("members"), i + 2, F.size(F.col("members")) - i - 1),
-                lambda b: F.struct(
-                    a["id"].alias("doc_a"),
-                    b["id"].alias("doc_b"),
-                    F.bit_count(a["sh"].bitwiseXOR(b["sh"])).alias("hamming"),
-                ),
-            ),
-        )
+    a = ranked.select(
+        "band_idx",
+        "band_val",
+        F.col("rn").alias("rn_a"),
+        F.col("id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.explode(F.array(F.col("chunk"), F.col("chunk") + 1)).alias("probe"),
+    )
+    b = ranked.select(
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_val").alias("band_val_b"),
+        F.col("chunk").alias("chunk_b"),
+        F.col("rn").alias("rn_b"),
+        F.col("id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    cand = a.join(
+        b,
+        (F.col("band_idx") == F.col("band_idx_b"))
+        & (F.col("band_val") == F.col("band_val_b"))
+        & (F.col("probe") == F.col("chunk_b")),
+    ).filter(
+        (F.col("rn_b") - F.col("rn_a") >= 1)
+        & (F.col("rn_b") - F.col("rn_a") <= window)
     )
     return (
-        grouped.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.hamming")
+        cand.select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= hamming_max)
         .distinct()
     )
