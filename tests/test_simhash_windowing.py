@@ -1,0 +1,75 @@
+"""Pins for the r8 Manku-style windowed simhash pairing
+(operators/dedup.py::simhash_near_pairs and the dedup_simhash_near
+oracle's identical SQL rule).
+
+The chunked rank join is pure integer arithmetic with an off-by-one
+hazard at every boundary, so the identity it implements is verified in
+pure Python (house rule: closed-form identities are checked outside
+both engines):
+
+    chunk(r) = (r - 1) div W;  the join emits (a, b) iff
+    b.chunk in {a.chunk, a.chunk + 1} and 1 <= b.rn - a.rn <= W
+
+    == the intended rule:  1 <= b.rn - a.rn <= W   (for ALL pairs)
+
+i.e. probing only two chunks loses nothing and adds nothing.
+
+The Spark test pins the fix's reason for existing: a pathological
+bucket of IDENTICAL fingerprints (the sf10 shape — 25,761 members in
+one 15-bit band bucket) must produce at most W pairs per member and
+complete without materializing C(n, 2) structs in one row."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+W = 64  # keep in sync with simhash_near_pairs(window=64) and the oracle
+
+
+def _window_pairs_direct(n: int, w: int) -> set[tuple[int, int]]:
+    return {(i, j) for i in range(1, n + 1) for j in range(i + 1, min(i + w, n) + 1)}
+
+
+def _window_pairs_chunked(n: int, w: int) -> set[tuple[int, int]]:
+    chunk = lambda r: (r - 1) // w
+    out = set()
+    for a in range(1, n + 1):
+        for probe in (chunk(a), chunk(a) + 1):
+            for b in range(1, n + 1):
+                if chunk(b) == probe and 1 <= b - a <= w:
+                    out.add((a, b))
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(n=st.integers(min_value=0, max_value=300), w=st.integers(min_value=1, max_value=70))
+def test_chunked_probe_equals_direct_window(n: int, w: int) -> None:
+    """Two-chunk probing is exactly the W-window rule — no boundary pair
+    lost (a successor within W rows is always in chunk or chunk+1) and
+    none invented (the rank filter is still applied)."""
+    assert _window_pairs_chunked(n, w) == _window_pairs_direct(n, w)
+
+
+def test_identical_fingerprint_bucket_is_bounded(spark):
+    """The sf10 failure shape: one band bucket holding the whole input
+    (identical fingerprints collide in EVERY band).  The windowed join
+    must return exactly the within-W pairs — n*W - W*(W+1)/2 of them —
+    instead of C(n,2), and run without a single wide row."""
+    from pyspark.sql import functions as F
+
+    from kinesis_to_opensearch_lambda_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    n = 1000
+    fp = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(12345).cast("long").alias("simhash")
+    )
+    pairs = simhash_near_pairs(fp, band_bits=15, hamming_max=3, window=W)
+    got = pairs.count()
+    # every pair is hamming 0; rank order within the single bucket is by
+    # (sh, id) = by id, so the windowed rule keeps exactly j - i <= W
+    expected = n * W - W * (W + 1) // 2
+    assert got == expected
+    assert pairs.filter(F.col("hamming") != 0).count() == 0
