@@ -195,7 +195,7 @@ def simhash_near_pairs(
     n_bands: int = 4,
     band_bits: int = 4,
     hamming_max: int = 3,
-    window: int = 64,
+    window: int = 256,
 ) -> DataFrame:
     """Banded hamming-neighbor lookup over SimHash fingerprints — the
     query path that makes SimHash usable at scale.
@@ -210,7 +210,10 @@ def simhash_near_pairs(
     Within-bucket pairing is Manku-style sorted-fingerprint windowing
     (r8 rewrite): members are ranked by (sh, id) inside their bucket
     and each pairs only with its next ``window`` successors.  This
-    caps candidate pairs at ``window * n`` under ANY bucket skew —
+    caps candidate pairs at ``window * n`` under ANY bucket skew
+    (W=256 measured at sf10: 89.7% of true hamming<=3 pairs, 93% of
+    planted mutations, vs 73%/42% at W=64 — the window is the recall
+    dial and cost is linear in it) —
     the pre-r8 version packed each bucket into one ``collect_list``
     row and expanded all C(size, 2) pairs inside it, which the sf10
     sweep killed: natural-text simhash bits are non-uniform enough

@@ -764,7 +764,7 @@ def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY sh, doc_id) AS rn
       FROM buckets
     ), chunked AS (
-      SELECT *, (rn - 1) // 64 AS chunk FROM ranked
+      SELECT *, (rn - 1) // 256 AS chunk FROM ranked
     ), pairs AS (
       SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
              greatest(a.doc_id, b.doc_id) AS doc_b,
@@ -774,7 +774,7 @@ def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN chunked b
         ON b.band_idx = a.band_idx AND b.band_val = a.band_val
        AND b.chunk = a.chunk + t.k
-       AND b.rn - a.rn BETWEEN 1 AND 64
+       AND b.rn - a.rn BETWEEN 1 AND 256
       WHERE bit_count(xor(a.sh, b.sh)) <= 3
     )
     SELECT hamming, count(*) AS n_pairs,
@@ -785,8 +785,8 @@ def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="SimHash banded hamming-neighbor lookup (operators.dedup."
     "simhash_near_pairs): 60-bit fingerprints, 4 bands of 15 bits, "
     "within-bucket pairing by Manku-style sorted-fingerprint windowing "
-    "(rank by (sh, doc_id), pair with the next 64 successors via a "
-    "chunked rank equi-join) — candidate pairs <= 64*n under ANY "
+    "(rank by (sh, doc_id), pair with the next 256 successors via a "
+    "chunked rank equi-join) — candidate pairs <= 256*n under ANY "
     "bucket skew, verified exactly with bit_count(xor). Reports, per "
     "hamming distance, how many pairs survive and how many are the "
     "planted drop-first-word mutations (doc_b = doc_a + 1e12).  The "
@@ -797,9 +797,10 @@ def dedup_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     "UNwindowed 15-bit version too — natural-text simhash bits skew "
     "one band bucket to 25,761 members (331M in-row pair structs in "
     "the old collect_list expansion).  The window is the same "
-    "skew-cap discipline as the kNN graph's 64-cap sub-split: recall "
-    "knob (hamming-close fingerprints sort near each other with high "
-    "probability), never a correctness or memory hazard.",
+    "skew-cap discipline as the kNN graph's bucket cap: a recall "
+    "dial (W=256 measured at sf10: 89.7% of true pairs, 93% of "
+    "planted mutations; W=64 gave 73%/42%), never a correctness or "
+    "memory hazard.",
 )
 def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)

@@ -24,7 +24,7 @@ from __future__ import annotations
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-W = 64  # keep in sync with simhash_near_pairs(window=64) and the oracle
+W = 256  # keep in sync with simhash_near_pairs(window=256) and the oracle
 
 
 def _window_pairs_direct(n: int, w: int) -> set[tuple[int, int]]:
