@@ -196,6 +196,7 @@ def simhash_near_pairs(
     band_bits: int = 4,
     hamming_max: int = 3,
     window: int = 256,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Banded hamming-neighbor lookup over SimHash fingerprints — the
     query path that makes SimHash usable at scale.
@@ -249,6 +250,14 @@ def simhash_near_pairs(
     ranked = buckets.withColumn("rn", F.row_number().over(w)).withColumn(
         "chunk", F.expr(f"(rn - 1) div {window}")
     )
+    # The rank join references `ranked` twice; without a lineage cut
+    # Catalyst recomputes the whole fingerprint pipeline (the dominant
+    # cost — 60 md5 sign-folds per document) once per side.  Same
+    # durability knob as connected_components: executor-local by
+    # default, reliable checkpoint_dir for long cluster jobs.
+    from .lineage import truncate_lineage
+
+    ranked = truncate_lineage(ranked, checkpoint_dir, eager=False)
     a = ranked.select(
         "band_idx",
         "band_val",

@@ -186,10 +186,18 @@ def test_centroid_diagnostics_broadcast_not_self_join(spark):
 
 
 def test_simhash_near_bucket_join_shuffles(spark):
-    # band-bucket groupBy + pair-distinct + final hamming-histogram agg:
-    # pair expansion happens inside the bucket array, never via a
-    # self-join of the fingerprint lineage
-    assert shuffle_exchange_count(q(spark, "dedup_simhash_near")) <= 3
+    """r8 windowed design: rank window (1 exchange on the bucket key),
+    chunked rank self-join (hash equi-join on bucket+chunk — bounded
+    re-shuffles, never a nested loop), pair-distinct, final histogram
+    agg.  The ranked frame is lineage-cut (localCheckpoint) before the
+    self-join, so the fingerprint pipeline — the dominant cost —
+    computes exactly once; the visible plan therefore starts from the
+    checkpoint scan and must stay equi-join-only."""
+    df = q(spark, "dedup_simhash_near")
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+    assert shuffle_exchange_count(df) <= 5
 
 
 def test_bucketed_join_is_exchange_free(spark):
