@@ -459,18 +459,20 @@ def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT n_regionkey, n_nationkey, n_name FROM nation
     ), rev AS (
       SELECT n_regionkey, n_name,
-             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-               AS rev_cents
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS DECIMAL(28,0)) AS rev_cents_dec
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nat ON c_nationkey = n_nationkey
       GROUP BY n_regionkey, n_name
     )
-    SELECT r_name, n_name, rev_cents,
-           round(rev_cents::DOUBLE
-                 / sum(rev_cents) OVER (PARTITION BY n_regionkey)::DOUBLE, 6)
+    SELECT r_name, n_name,
+           CAST(rev_cents_dec AS VARCHAR) AS rev_cents,
+           round(rev_cents_dec::DOUBLE
+                 / sum(rev_cents_dec) OVER (PARTITION BY n_regionkey)::DOUBLE, 6)
              AS region_share,
-           rank() OVER (PARTITION BY n_regionkey ORDER BY rev_cents DESC, n_name)
+           rank() OVER (PARTITION BY n_regionkey
+                        ORDER BY rev_cents_dec DESC, n_name)
              AS rank_in_region
     FROM rev JOIN region ON rev.n_regionkey = r_regionkey
     """,
@@ -483,7 +485,11 @@ def window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "touched exactly once.  r8: cents elements cast to decimal(18,0) so "
     "Spark's Sum widens the accumulator to decimal(28,0) — int64 "
     "accumulation is wrap-safe only while the true total fits int64; "
-    "per-nation revenue at 100 TB (~1e12 orders) brushes that limit.",
+    "per-nation revenue at 100 TB (~1e12 orders) brushes that limit.  "
+    "r9 (ADVICE): rev_cents STAYS decimal(28,0) through the window/"
+    "ratio math and is rendered as a canonical string — the previous "
+    "post-Sum cast back to bigint reintroduced the exact silent-NULL "
+    "overflow the decimal accumulator was added to prevent.",
 )
 def window_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -503,23 +509,23 @@ def window_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .cast("decimal(18,0)")
             )
-            .cast("bigint")
-            .alias("rev_cents")
+            .cast("decimal(28,0)")
+            .alias("rev_cents_dec")
         )
     )
     w = Window.partitionBy("n_regionkey")
     wr = Window.partitionBy("n_regionkey").orderBy(
-        F.col("rev_cents").desc(), "n_name"
+        F.col("rev_cents_dec").desc(), "n_name"
     )
     return (
         rev.join(F.broadcast(region), rev.n_regionkey == region.r_regionkey)
         .select(
             "r_name",
             "n_name",
-            "rev_cents",
+            F.col("rev_cents_dec").cast("string").alias("rev_cents"),
             F.round(
-                F.col("rev_cents").cast("double")
-                / F.sum("rev_cents").over(w).cast("double"),
+                F.col("rev_cents_dec").cast("double")
+                / F.sum("rev_cents_dec").over(w).cast("double"),
                 6,
             ).alias("region_share"),
             F.rank().over(wr).alias("rank_in_region"),

@@ -195,7 +195,7 @@ def simhash_near_pairs(
     n_bands: int = 4,
     band_bits: int = 4,
     hamming_max: int = 3,
-    window: int = 256,
+    window: int | None = 256,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Banded hamming-neighbor lookup over SimHash fingerprints — the
@@ -229,6 +229,14 @@ def simhash_near_pairs(
     probability (the original Manku/Google near-dup design); wider
     windows buy recall linearly in cost.
 
+    ``window=None`` restores exhaustive within-bucket pairing —
+    pigeonhole-COMPLETE for hamming <= n_bands-1 (the pre-r8
+    contract), implemented as a rank self-join (rn_b > rn_a) so pair
+    expansion is spread across join rows rather than packed into one
+    collect_list row.  Cost is quadratic in the LARGEST band bucket
+    (sf10 observed a 25,761-member bucket => ~331M candidate rows);
+    reserve it for small corpora or recall audits.
+
     Returns distinct (doc_a, doc_b, hamming) with doc_a < doc_b.
     """
     mask = (1 << band_bits) - 1
@@ -247,9 +255,9 @@ def simhash_near_pairs(
         F.col(id_col).alias("id"), F.col(sh_col).alias("sh"), F.explode(bands).alias("band")
     ).select("id", "sh", "band.band_idx", "band.band_val")
     w = Window.partitionBy("band_idx", "band_val").orderBy("sh", "id")
-    ranked = buckets.withColumn("rn", F.row_number().over(w)).withColumn(
-        "chunk", F.expr(f"(rn - 1) div {window}")
-    )
+    ranked = buckets.withColumn("rn", F.row_number().over(w))
+    if window is not None:
+        ranked = ranked.withColumn("chunk", F.expr(f"(rn - 1) div {window}"))
     # The rank join references `ranked` twice; without a lineage cut
     # Catalyst recomputes the whole fingerprint pipeline (the dominant
     # cost — 60 md5 sign-folds per document) once per side.  Same
@@ -258,31 +266,45 @@ def simhash_near_pairs(
     from .lineage import truncate_lineage
 
     ranked = truncate_lineage(ranked, checkpoint_dir, eager=False)
-    a = ranked.select(
-        "band_idx",
-        "band_val",
-        F.col("rn").alias("rn_a"),
-        F.col("id").alias("id_a"),
-        F.col("sh").alias("sh_a"),
-        F.explode(F.array(F.col("chunk"), F.col("chunk") + 1)).alias("probe"),
-    )
     b = ranked.select(
         F.col("band_idx").alias("band_idx_b"),
         F.col("band_val").alias("band_val_b"),
-        F.col("chunk").alias("chunk_b"),
+        *([F.col("chunk").alias("chunk_b")] if window is not None else []),
         F.col("rn").alias("rn_b"),
         F.col("id").alias("id_b"),
         F.col("sh").alias("sh_b"),
     )
-    cand = a.join(
-        b,
-        (F.col("band_idx") == F.col("band_idx_b"))
-        & (F.col("band_val") == F.col("band_val_b"))
-        & (F.col("probe") == F.col("chunk_b")),
-    ).filter(
-        (F.col("rn_b") - F.col("rn_a") >= 1)
-        & (F.col("rn_b") - F.col("rn_a") <= window)
-    )
+    if window is None:
+        a = ranked.select(
+            "band_idx",
+            "band_val",
+            F.col("rn").alias("rn_a"),
+            F.col("id").alias("id_a"),
+            F.col("sh").alias("sh_a"),
+        )
+        cand = a.join(
+            b,
+            (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("band_val") == F.col("band_val_b")),
+        ).filter(F.col("rn_b") > F.col("rn_a"))
+    else:
+        a = ranked.select(
+            "band_idx",
+            "band_val",
+            F.col("rn").alias("rn_a"),
+            F.col("id").alias("id_a"),
+            F.col("sh").alias("sh_a"),
+            F.explode(F.array(F.col("chunk"), F.col("chunk") + 1)).alias("probe"),
+        )
+        cand = a.join(
+            b,
+            (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("band_val") == F.col("band_val_b"))
+            & (F.col("probe") == F.col("chunk_b")),
+        ).filter(
+            (F.col("rn_b") - F.col("rn_a") >= 1)
+            & (F.col("rn_b") - F.col("rn_a") <= window)
+        )
     return (
         cand.select(
             F.least("id_a", "id_b").alias("doc_a"),
@@ -405,6 +427,11 @@ def connected_components(
     from pyspark.sql import Observation
 
     from .lineage import truncate_lineage
+
+    if max_iter < 1:
+        # With a non-positive budget the loop body never runs and the
+        # for/else would reference a never-bound `obs` (r8 ADVICE).
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
 
     edges = truncate_lineage(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))

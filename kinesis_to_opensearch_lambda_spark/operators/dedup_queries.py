@@ -542,12 +542,22 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), kept AS (
       SELECT * FROM resolved
       WHERE score > 0.55 AND doc_id = cluster_id
+    ), guard AS (
+      -- r9 (ADVICE): n_input intentionally counts `resolved`; this
+      -- sentinel makes the assumed 1:1 quality-join invariant a CHECKED
+      -- one — any future join fanout or drop errors instead of shifting
+      -- n_input identically on both sides past parity.
+      SELECT CASE WHEN (SELECT count(*) FROM resolved)
+                       <> (SELECT count(*) FROM corpus)
+             THEN error('curation_pipeline: quality join is not 1:1')
+             ELSE 1 END AS ok
     )
     SELECT (SELECT count(*) FROM resolved) AS n_input,
            (SELECT count(*) FROM resolved WHERE score <= 0.55) AS n_low_quality,
            (SELECT count(*) FROM resolved WHERE doc_id != cluster_id) AS n_duplicates,
            (SELECT count(*) FROM kept) AS n_kept,
            (SELECT round(avg(score), 6) FROM kept) AS kept_avg_score
+    WHERE (SELECT ok FROM guard) = 1
     """,
     doc="End-to-end training-data curation: quality scoring + MinHash-LSH "
     "near-dup clustering, keep the cluster representative above the quality "
@@ -556,7 +566,12 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sides — the pre-r8 oracle counted the corpus CTE while the engine "
     "counted post-join rows, a latent mismatch the sf10 id-collision "
     "exposed (and the reserved synthetic-id namespace now prevents: with "
-    "unique doc_ids the quality join is 1:1, so resolved == corpus) "
+    "unique doc_ids the quality join is 1:1, so resolved == corpus).  "
+    "r9 (ADVICE): that 1:1 invariant is now CHECKED, not assumed, on "
+    "both sides — the engine assert_true()s n_input == count(corpus) "
+    "(one extra O(1)-output count of the small doc corpus) and the "
+    "oracle has an error() guard CTE — so a future fanout/drop fails "
+    "loudly instead of shifting n_input identically past parity "
     "(operators.text.quality_features + dedup.*).",
 )
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -596,6 +611,14 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.avg("quality_score"), 6).alias("kept_avg_score"),
             )
         )
+        .crossJoin(corpus.agg(F.count("*").alias("_n_corpus")))
+        .filter(
+            F.assert_true(
+                F.col("n_input") == F.col("_n_corpus"),
+                F.lit("curation_pipeline: quality join is not 1:1"),
+            ).isNull()
+        )
+        .drop("_n_corpus")
     )
 
 

@@ -68,80 +68,85 @@ from .operators import (  # noqa: E402,F401
 )
 
 # ---------------------------------------------------------------------------
-# Driver verification window — round 8 rotation.
+# Driver verification window — round 9 rotation.
 #
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries in
 # iteration order.  Coverage is COMPLETE as of r7 (the union of passing
 # CORRECTNESS rows across rounds spans every entry), so from r8 onward
 # the window follows the STANDING INVARIANT enforced by
 # tests/test_harness_integrity.py::test_driver_window_standing_invariant:
-#   1. every entry ADDED or MATERIALLY REWRITTEN in the previous round
-#      leads the next window (no silent debt on new/changed code);
+#   1. every entry ADDED or MATERIALLY REWRITTEN this round is in it
+#      (no silent debt on new/changed code);
 #   2. the remaining slots rotate the registry's OLDEST driver rows
-#      (smallest latest-verified round), so every row's age is bounded
-#      and session-conf/comparator drift can never silently accumulate.
+#      (smallest latest-verified round as of rounds < DRIVER_WINDOW_ROUND),
+#      so every row's age is bounded and session-conf/comparator drift
+#      can never silently accumulate.
+# DRIVER_WINDOW_ROUND pins which CORRECTNESS files existed when this
+# window was authored; the invariant evaluates ages against exactly that
+# set, so the test stays meaningful (and green) after this round's own
+# artifacts land.  NEXT SESSION: bump DRIVER_WINDOW_ROUND, reset
+# CHANGED_THIS_ROUND in tests/test_harness_integrity.py, and rotate.
 # Every entry keeps full local parity coverage via
 # tests/test_oracle_parity.py regardless of window membership.
 # ---------------------------------------------------------------------------
+DRIVER_WINDOW_ROUND = 9
+
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- new in r8 ---
-    "ann_knn_graph_recall",
-    "ann_knn_graph_multitable",
-    # --- materially rewritten in r8 (CC soundness sentinels; exact-money
-    #     accumulators; triangle oracle; kNN planner memoization) ---
-    "dedup_duplicate_clusters",
-    "curation_pipeline",
-    "dedup_semantic_keep_best",
-    "agg_distinct",
-    "window_percent_of_total",
-    "window_sliding_15min",
-    "agg_decimal_money",
-    "graph_triangle_count",
-    "ann_knn_graph_mutual",
-    # --- r8 reserved synthetic-id namespace rewrite (sf10 sweep found
-    #     the +100000 offset colliding with real ids; now +1e12).  Every
-    #     query whose outputs or oracle changed re-enters the window ---
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_simhash_near",
-    "dedup_lsh_length_prune",
-    "dedup_lsh_bucket_cap",
-    "dedup_embedding_near",
-    "ann_range_search",
-    "mm_phash_neardup",
-    "decontam_ngram_overlap",
-    # --- oldest-row rotation: the 29 remaining r2-era rows (the
-    #     id-namespace rewrite displaced the 10 r4-era rotation slots) ---
-    "agg_advanced",
-    "agg_approx_distinct",
-    "agg_rollup",
-    "agg_stats",
-    "array_functions",
-    "cross_join_grid",
-    "dynamic_map_allowlist",
-    "grouped_map_regression",
-    "join_anti",
-    "join_full_outer",
-    "join_outer_null_handling",
-    "join_semi",
-    "join_sortmerge_hint",
-    "pivot_linestatus",
-    "scalar_date_functions",
-    "scalar_functions",
-    "scalar_string_functions",
-    "setop_except",
-    "setop_intersect",
-    "setop_union_distinct",
-    "sort_limit_topn",
-    "tpch_q12_priority_shipmode",
-    "tpch_q14_promo_share",
-    "tpch_q4_priority_exists",
-    "tpch_q5_local_supplier",
-    "unpivot_stack",
-    "window_range_frame",
-    "window_running_lag",
-    "window_tumbling_hourly",
+    # --- added or materially rewritten in r9 (kept in sync with
+    #     CHANGED_THIS_ROUND in tests/test_harness_integrity.py) ---
+    "window_percent_of_total",  # rev_cents stays decimal(28,0), string-rendered
+    "curation_pipeline",  # 1:1 quality-join guard (assert_true / error())
+    "dedup_simhash_near",  # window=None exhaustive mode added
+    # --- oldest-row rotation: all 38 remaining r4 rows + the 12
+    #     alphabetically-first r5 rows ---
+    "ann_ivf_recall",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf_bucketed",
+    "ann_topk_pq_adc",
+    "ann_topk_srp_lsh",
+    "curation_perplexity_buckets",
+    "dedup_boilerplate_ngrams",
+    "dedup_duplicate_spans",
+    "dedup_exact",
+    "dedup_minhash_signature",
+    "dq_constraints",
+    "emb_label_centroids",
+    "join_bucketed_colocated",
+    "mm_audio_windows",
+    "mm_binary_metadata",
+    "mm_frame_extract",
+    "pipeline_daily_index",
+    "pipeline_dedup_replay",
+    "pipeline_dlq_stats",
+    "pipeline_es_projection",
+    "pipeline_ip_masking",
+    "pipeline_splunk_envelope",
+    "sample_stratified_deterministic",
+    "split_train_test_hash",
+    "streaming_fanout_counts",
+    "streaming_stateful_user_totals",
+    "streaming_stream_stream_join",
+    "streaming_watermark_drops",
+    "text_chunk_overlap",
+    "text_fingerprint",
+    "text_langid",
+    "text_pii_redaction",
+    "text_quality_score",
+    "text_repetition_signals",
+    "text_tfidf_top_term",
+    "text_token_stats",
+    "token_budget_pack",
+    "tpch_q9_product_profit",
+    # --- r5 rows (oldest remaining tier) ---
+    "agg_conditional",
+    "agg_listagg",
+    "agg_mode_deterministic",
+    "agg_percentiles",
+    "ann_filtered_topk",
+    "ann_pq_recall",
+    "ann_topk_rerank",
+    "anomaly_hourly_zscore",
+    "cohort_retention",
 )
 
 

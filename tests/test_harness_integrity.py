@@ -56,44 +56,31 @@ def test_comparator_detects_negative_zero():
     assert _rows(a) != _rows(b)
 
 
-# Entries ADDED or MATERIALLY REWRITTEN in the round that just shipped
-# (bump each round): the standing invariant forces every one of them
-# into the NEXT driver window, so changed code never carries a stale
-# driver row.  r8: the CC soundness rewrite (sentinel oracle + engine
-# jump/raise), the exact-money accumulator rewrites, the rewritten
-# triangle-count oracle, the kNN planner memoization, and the new
-# recall entry.
-CHANGED_LAST_ROUND = frozenset(
+# Entries ADDED or MATERIALLY REWRITTEN in the CURRENT round (the round
+# the window in queries.py was authored for, = DRIVER_WINDOW_ROUND).
+# The standing invariant forces every one of them into the driver
+# window, so changed code never carries a stale driver row.  Update
+# this set (and re-seat DRIVER_WINDOW) as changes land during the
+# round; reset it at the next round's rotation.
+CHANGED_THIS_ROUND = frozenset(
     {
-        "ann_knn_graph_recall",  # new in r8
-        "ann_knn_graph_multitable",  # new in r8
-        "dedup_duplicate_clusters",
-        "curation_pipeline",
-        "dedup_semantic_keep_best",
-        "agg_distinct",
-        "window_percent_of_total",
-        "window_sliding_15min",
-        "agg_decimal_money",
-        "graph_triangle_count",
-        "ann_knn_graph_mutual",
-        # reserved synthetic-id namespace rewrite (offset 100000 -> 1e12;
-        # the sf10 sweep caught real ids colliding with the synthetic range)
-        "dedup_minhash_lsh_pairs",
-        "dedup_ngram_jaccard",
-        "dedup_containment",
-        "dedup_simhash_near",
-        "dedup_lsh_length_prune",
-        "dedup_lsh_bucket_cap",
-        "dedup_embedding_near",
-        "ann_range_search",
-        "mm_phash_neardup",
-        "decontam_ngram_overlap",
+        # r9 ADVICE fixes that materially touched registered queries:
+        "window_percent_of_total",  # rev_cents decimal end-to-end, string out
+        "curation_pipeline",  # checked 1:1 quality-join invariant
+        "dedup_simhash_near",  # simhash_near_pairs window=None branch
     }
 )
 
 
-def _latest_driver_round() -> dict[str, int]:
-    """name -> newest round with a passing driver CORRECTNESS row."""
+def _latest_driver_round(before_round: int) -> dict[str, int]:
+    """name -> newest round with a passing driver CORRECTNESS row,
+    considering only rounds strictly before ``before_round``.
+
+    The cutoff makes the standing invariant calendar-proof: the window
+    is always judged against exactly the CORRECTNESS files that existed
+    when it was authored, so the test cannot turn red merely because
+    the driver's own end-of-round artifact landed (the r8 failure
+    mode the r8 verdict flagged)."""
     import json
     from pathlib import Path
 
@@ -103,6 +90,8 @@ def _latest_driver_round() -> dict[str, int]:
     assert files, "prior CORRECTNESS files missing"
     for f in files:
         rnd = int(f.stem.split("_r")[1])
+        if rnd >= before_round:
+            continue
         for name, row in json.loads(f.read_text()).items():
             if isinstance(row, dict) and row.get("rows_match") and not row.get("err"):
                 latest[name] = max(latest.get(name, 0), rnd)
@@ -111,34 +100,41 @@ def _latest_driver_round() -> dict[str, int]:
 
 def test_driver_window_standing_invariant():
     """Driver coverage completed in r7; from r8 on the window obeys the
-    standing rotation invariant (r7 verdict task 3):
+    standing rotation invariant (r7 verdict task 3, hardened per the
+    r8 verdict so it can never be red-by-calendar):
 
     1. the window IS the first 50 registry entries (driver contract);
-    2. every entry added or materially rewritten last round is in it
+    2. every entry added or materially rewritten this round is in it
        (no silent debt on changed code);
     3. nothing is verification-orphaned: every registry entry either
-       holds a prior driver row or sits in the window;
-    4. the non-changed slots rotate the OLDEST rows: no rotation
-       entry may be younger (by latest driver round) than some entry
-       left out of the window entirely — ties allowed, so the bound
-       is max(rotation rounds) <= min(left-out rounds)."""
-    from kinesis_to_opensearch_lambda_spark.queries import DRIVER_WINDOW
+       holds a prior driver row or sits in the window (orphan check
+       uses ALL correctness files — more data only helps there);
+    4. the non-changed slots rotate the OLDEST rows as of the window's
+       authoring round: no rotation entry may be younger (by latest
+       driver round < DRIVER_WINDOW_ROUND) than some entry left out of
+       the window entirely — ties allowed, so the bound is
+       max(rotation rounds) <= min(left-out rounds)."""
+    from kinesis_to_opensearch_lambda_spark.queries import (
+        DRIVER_WINDOW,
+        DRIVER_WINDOW_ROUND,
+    )
 
     first50 = list(REGISTRY)[:50]
     assert len(DRIVER_WINDOW) == 50
     assert first50 == list(DRIVER_WINDOW)
 
     window = set(DRIVER_WINDOW)
-    assert CHANGED_LAST_ROUND <= window, sorted(CHANGED_LAST_ROUND - window)
+    assert CHANGED_THIS_ROUND <= window, sorted(CHANGED_THIS_ROUND - window)
 
-    latest = _latest_driver_round()
+    all_rounds = _latest_driver_round(before_round=10**9)
     gated = {"streaming_stateful_highwater"}  # capability-probed entry
-    orphans = set(REGISTRY) - set(latest) - window - gated
+    orphans = set(REGISTRY) - set(all_rounds) - window - gated
     assert not orphans, (
         f"entries with no driver row and no window slot: {sorted(orphans)}"
     )
 
-    rotation = window - CHANGED_LAST_ROUND
+    latest = _latest_driver_round(before_round=DRIVER_WINDOW_ROUND)
+    rotation = window - CHANGED_THIS_ROUND
     rotation_rounds = [latest[n] for n in rotation if n in latest]
     left_out = [latest[n] for n in set(REGISTRY) - window - gated if n in latest]
     assert rotation_rounds and left_out

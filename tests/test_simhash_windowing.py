@@ -73,3 +73,43 @@ def test_identical_fingerprint_bucket_is_bounded(spark):
     expected = n * W - W * (W + 1) // 2
     assert got == expected
     assert pairs.filter(F.col("hamming") != 0).count() == 0
+
+
+def test_window_none_is_exhaustive_and_a_superset(spark):
+    """window=None (r8 ADVICE: restore the pre-r8 exhaustive contract
+    for small corpora) must return EVERY within-bucket pair — C(n,2)
+    on an identical-fingerprint bucket — and be a superset of any
+    windowed run on the same input."""
+    from pyspark.sql import functions as F
+
+    from kinesis_to_opensearch_lambda_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    n = 120
+    fp = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(777).cast("long").alias("simhash")
+    )
+    full = simhash_near_pairs(fp, band_bits=15, hamming_max=3, window=None)
+    assert full.count() == n * (n - 1) // 2
+    windowed = simhash_near_pairs(fp, band_bits=15, hamming_max=3, window=16)
+    got_w = {(r.doc_a, r.doc_b) for r in windowed.collect()}
+    got_f = {(r.doc_a, r.doc_b) for r in full.collect()}
+    assert got_w <= got_f and len(got_w) == n * 16 - 16 * 17 // 2
+
+
+def test_connected_components_rejects_nonpositive_max_iter(spark):
+    """max_iter < 1 must raise ValueError up front (r8 ADVICE: the
+    for/else previously dereferenced a never-bound `obs` -> NameError)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kinesis_to_opensearch_lambda_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.range(1).select(
+        F.lit(1).alias("doc_a"), F.lit(2).alias("doc_b")
+    )
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(pairs, max_iter=0)
