@@ -40,6 +40,21 @@ RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 # already carries its cost — became the comparison baseline)
 INTENTIONAL_PLAN_CHANGES: dict[tuple[str, str], str] = {}
 
+# Second bench tier (r8 verdict task 8): the HEADLINE set has been
+# frozen since r5 for round-over-round comparability, which leaves the
+# newest heavy code paths unbenched.  FRONTIER is the versioned tier —
+# it tracks the current round's heaviest new/rewritten operators and is
+# EXPECTED to change between rounds, so it gets numbers in the round
+# artifact but no regression guard (guarding a moving set would compare
+# different plans).  r9 members: the spill-lean intersect triangle
+# count, the windowed simhash near-dup, and both multitable kNN paths.
+FRONTIER: tuple[str, ...] = (
+    "graph_triangle_count",
+    "dedup_simhash_near",
+    "ann_knn_graph_multitable",
+    "ann_knn_graph_mutual_multitable",
+)
+
 
 def main() -> None:
     from kinesis_to_opensearch_lambda_spark.queries import REGISTRY
@@ -84,6 +99,34 @@ def main() -> None:
     }
     regressions = _regressions_vs_previous_round(timings)
 
+    frontier = [REGISTRY[n] for n in FRONTIER if n in REGISTRY]
+    f_samples: dict[str, list[float]] = {}
+    for q in frontier:  # one warmup pass, then RUNS timed
+        try:
+            q.spark(spark, SF_DIR).count()
+        except Exception as exc:  # noqa: BLE001
+            errors[q.name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"# frontier warmup {q.name} failed: {exc}", file=sys.stderr)
+    for run in range(RUNS):
+        for q in frontier:
+            if q.name in errors:
+                continue
+            t0 = time.perf_counter()
+            try:
+                n = q.spark(spark, SF_DIR).count()
+            except Exception as exc:  # noqa: BLE001
+                errors[q.name] = f"{type(exc).__name__}: {exc}"[:200]
+                continue
+            sec = time.perf_counter() - t0
+            f_samples.setdefault(q.name, []).append(sec)
+            print(
+                f"# frontier run {run + 1}/{RUNS} {q.name}: {sec:.3f}s ({n} rows)",
+                file=sys.stderr,
+            )
+    f_timings = {
+        name: round(statistics.median(vals), 3) for name, vals in f_samples.items()
+    }
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
         sf_val: float | str = float(sf)
@@ -97,6 +140,8 @@ def main() -> None:
         "sf": sf_val,
         "runs": RUNS,
         "stat": "median",
+        "frontier": f_timings,
+        "frontier_total": round(sum(f_timings.values()), 3),
     }
     if errors:
         out["errors"] = errors

@@ -920,7 +920,13 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top-10 (full groupBy) is the verification harness, same pattern "
     "as ann_ivf_recall; production reads frequencies straight off the "
     "2048-cell table.  At 100 TB: frequency queries without a "
-    "per-key shuffle — the sketch rides the map side.",
+    "per-key shuffle — the sketch rides the map side.  Sizing bound "
+    "(r9 const audit): CMS over-estimates by at most ~e*n/W with "
+    "probability 1-e^-D for total row mass n, so W=512 resolves only "
+    "hitters well above n/512 — at n=1e12 that is an absolute error "
+    "band of ~5e9.  W here is the demo config; size W ~ e/eps for a "
+    "target relative error eps at production mass (the counter table "
+    "stays tiny either way: W=2^20 is 32 MB).",
 )
 def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     D, W = 4, 512

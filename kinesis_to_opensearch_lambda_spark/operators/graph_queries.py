@@ -257,8 +257,21 @@ _SQL_CO_ORDER_EDGES = """
     "the 100 TB skew fix: a celebrity node of degree d contributes "
     "O(d) oriented out-edges only if nothing heavier is adjacent, so "
     "wedge counts are Sum C(out_deg, 2) with out_deg <= O(sqrt(E)) "
-    "instead of C(d, 2).  All joins are hash equi-joins on fixed-width "
-    "int keys; no iteration, no driver state.",
+    "instead of C(d, 2).  r9 (spill fix): the engine mirrors the "
+    "oracle's sorted-adjacency intersection — per oriented edge "
+    "(a, b), triangles close as array_intersect(adj(a), adj(b)) — so "
+    "the wedge set NEVER materializes as exploded shuffle rows.  The "
+    "pre-r9 wedge-expansion form shuffled every wedge (3 longs + row "
+    "overhead each; ~4.3B wedges = hundreds of GB at sf10) into the "
+    "closure join and exceeded this box's disk; the intersect form's "
+    "largest shuffle carries |E| rows each holding one adjacency "
+    "array — Sum over edges of out_deg(src) ~ 2x wedge COUNT in raw "
+    "longs but ~6x fewer shuffle bytes (no per-wedge row overhead), "
+    "and wedges exist only transiently inside the intersect kernel.  "
+    "Degree orientation bounds every adjacency array at O(sqrt(E)) "
+    "elements (~12k longs at sf10), so no collect_list heap bomb.  "
+    "All joins remain hash equi-joins on fixed-width int keys; no "
+    "iteration, no driver state.",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _co_order_edges(spark, sf_dir)
@@ -278,18 +291,26 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
     )
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    wedges = o1.join(
-        o2,
-        (F.col("o1.src") == F.col("o2.src")) & (F.col("o1.dst") < F.col("o2.dst")),
-    ).select(
-        F.col("o1.src").alias("a"),
-        F.col("o1.dst").alias("b"),
-        F.col("o2.dst").alias("c"),
+    # Sorted out-adjacency per source; out_deg <= O(sqrt(E)) under the
+    # degree orientation, so each list is small and bounded.
+    adj = oriented.groupBy("src").agg(
+        F.array_sort(F.collect_list("dst")).alias("nbrs")
     )
-    tri = wedges.join(
-        e, (F.col("b") == F.col("u")) & (F.col("c") == F.col("v"))
-    ).select("a", "b", "c")
+    tri = (
+        oriented.join(
+            adj.select(F.col("src").alias("_sa"), F.col("nbrs").alias("nbrs_a")),
+            F.col("src") == F.col("_sa"),
+        )
+        .join(
+            adj.select(F.col("src").alias("_sb"), F.col("nbrs").alias("nbrs_b")),
+            F.col("dst") == F.col("_sb"),
+        )
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.explode(F.array_intersect("nbrs_a", "nbrs_b")).alias("c"),
+        )
+    )
     members = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return members.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")

@@ -1335,9 +1335,32 @@ def _knn_planes_for(spark: SparkSession, sf_dir: str) -> int:
     "id pairs.",
 )
 def ann_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_graph_mutual(spark, sf_dir, n_tables=1)
+
+
+def knn_graph_mutual(
+    spark: SparkSession, sf_dir: str, n_tables: int = 1
+) -> DataFrame:
+    """Mutual kNN graph builder, parameterized by the number of
+    independent SRP hash tables (r8 verdict task 4: the measured
+    multitable recall lift — 0.80 -> 0.93 at sf1, worst probe
+    0.0 -> 0.33, sweeps/KNN_RECALL_r08.json — promoted from the
+    probe-side recall entry into the production graph).
+
+    ``n_tables=1`` is the original single-table plan, bit-identical
+    (candidates score inside the bucket join, no pair dedup).
+    ``n_tables=L>1`` unions candidate id-pairs from L independent
+    plane sets (disjoint via ``plane_offset``), dedups on the 16-byte
+    pair key, then runs ONE exact-cosine scoring pass (two vec_id
+    equi-joins back to the corpus) — candidate pairs are bounded at
+    L * {target} * n under any skew, and a true neighbor pair is
+    missed only if ALL L tables split it."""
     from pyspark.sql import Window
 
     from ..functions import cosine
+
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     # Planner probe: parquet-metadata count picks the SRP width so the
@@ -1345,41 +1368,79 @@ def ann_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size (same integer rule as the oracle's nbits CTE); memoized per
     # sf_dir so plan-only rebuilds don't re-run the count job.
     nb = _knn_planes_for(spark, sf_dir)
-    bucketed = emb.select(
-        "vec_id",
-        "embedding",
-        S.srp_bucket(F.col("embedding"), n_planes=nb).alias("bucket"),
-    )
-    # Deterministic bucket cap: clustered embeddings defeat SRP widening
-    # (co-clustered vectors share sign patterns, so one bucket can hold
-    # a whole cluster no matter how many planes split the rest).  Round-
-    # robin each bucket into ceil(size/target) sub-cells by vec_id —
-    # pure integer logic, identical in the oracle — so candidate pairs
-    # are <= target*n under ANY skew.  Recall knob, not correctness.
-    # Bucket sizes as a hash aggregate broadcast back (<= 2^16 rows) —
-    # NOT a count() window, whose per-bucket sort would re-shuffle and
-    # sort the whole corpus just to attach one integer.
-    sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsize"))
-    capped = (
-        bucketed.join(F.broadcast(sizes), "bucket")
-        .withColumn(
-            "sub",
-            F.col("vec_id")
-            % F.expr(f"(bsize + {_KNN_BUCKET_TARGET - 1}) div {_KNN_BUCKET_TARGET}"),
+
+    def _capped(t: int) -> DataFrame:
+        bucketed = emb.select(
+            "vec_id",
+            "embedding",
+            S.srp_bucket(
+                F.col("embedding"), n_planes=nb, plane_offset=t * _KNN_MAX_PLANES
+            ).alias("bucket"),
         )
-        .drop("bsize")
-    )
-    a, b = capped.alias("a"), capped.alias("b")
-    scored = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.sub") == F.col("b.sub"))
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("src"),
-        F.col("b.vec_id").alias("dst"),
-        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
-    )
+        # Deterministic bucket cap: clustered embeddings defeat SRP
+        # widening (co-clustered vectors share sign patterns, so one
+        # bucket can hold a whole cluster no matter how many planes
+        # split the rest).  Round-robin each bucket into
+        # ceil(size/target) sub-cells by vec_id — pure integer logic,
+        # identical in the oracle — so candidate pairs are <= target*n
+        # under ANY skew.  Recall knob, not correctness.  Bucket sizes
+        # as a hash aggregate broadcast back (<= 2^16 rows) — NOT a
+        # count() window, whose per-bucket sort would re-shuffle and
+        # sort the whole corpus just to attach one integer.
+        sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsize"))
+        return (
+            bucketed.join(F.broadcast(sizes), "bucket")
+            .withColumn(
+                "sub",
+                F.col("vec_id")
+                % F.expr(
+                    f"(bsize + {_KNN_BUCKET_TARGET - 1}) div {_KNN_BUCKET_TARGET}"
+                ),
+            )
+            .drop("bsize")
+        )
+
+    if n_tables == 1:
+        capped = _capped(0)
+        a, b = capped.alias("a"), capped.alias("b")
+        scored = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+    else:
+        per_table = []
+        for t in range(n_tables):
+            capped = _capped(t)
+            a, b = capped.alias("a"), capped.alias("b")
+            per_table.append(
+                a.join(
+                    b,
+                    (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.sub") == F.col("b.sub"))
+                    & (F.col("a.vec_id") != F.col("b.vec_id")),
+                ).select(
+                    F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+                )
+            )
+        cand = per_table[0]
+        for df in per_table[1:]:
+            cand = cand.unionAll(df)
+        # Dedup BEFORE scoring: a pair found by several tables must be
+        # scored (and counted by the mutuality groupBy) exactly once.
+        cand = cand.distinct()
+        qa = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
+        qb = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
+        scored = (
+            cand.join(qa, "src")
+            .join(qb, "dst")
+            .select("src", "dst", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        )
     w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
     knn = scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= _KNN_K
@@ -1534,17 +1595,19 @@ def ann_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_TABLES = 4
 
 
-def _sql_knn_table_pairs(t: int) -> str:
-    """One OR-amplification hash table's candidate pairs (probe-side):
+def _sql_knn_table_pairs(t: int, probe_only: bool = True) -> str:
+    """One OR-amplification hash table's candidate pairs:
     plane set t*MAX_PLANES..(t+1)*MAX_PLANES-1, masked to the adaptive
     nb low bits, capped by the same round-robin sub-split as the
     single-table graph.  Plain CTEs on purpose (r8 triangle-oracle
     find: MATERIALIZED kills stats propagation in DuckDB 1.0; the
     probe filter then pushes into the a-side so only 20 rows hash on
-    that side)."""
+    that side).  ``probe_only=False`` drops the probe-set filter —
+    the all-node form the production multitable mutual graph uses."""
     bits = S.sql_srp_bits(
         "embedding", _KNN_MAX_PLANES, plane_offset=t * _KNN_MAX_PLANES
     )
+    probe = f"WHERE a.vec_id < {_N_QUERIES}" if probe_only else ""
     return f"""bucketed{t} AS (
       SELECT vec_id,
              ({bits}) % (1 << (SELECT nb FROM nbits)) AS bucket
@@ -1559,7 +1622,7 @@ def _sql_knn_table_pairs(t: int) -> str:
       SELECT a.vec_id AS src, b.vec_id AS dst
       FROM capped{t} a JOIN capped{t} b
         ON a.bucket = b.bucket AND a.sub = b.sub AND a.vec_id != b.vec_id
-      WHERE a.vec_id < {_N_QUERIES}
+      {probe}
     )"""
 
 
@@ -1691,3 +1754,56 @@ def ann_knn_graph_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(found, F.lit(0)).cast("long").alias("n_hits"),
         F.round(F.coalesce(found, F.lit(0)) / float(_KNN_K), 6).alias("recall_at_k"),
     )
+
+
+@register(
+    "ann_knn_graph_mutual_multitable",
+    oracle=f"""
+    WITH nbits AS MATERIALIZED (
+      SELECT LEAST({_KNN_MAX_PLANES}, MIN(t.nb)) AS nb
+      FROM (SELECT count(*) AS n FROM embeddings) c, range(8, {_KNN_MAX_PLANES + 1}) t(nb)
+      WHERE c.n <= {_KNN_BUCKET_TARGET} * (1 << t.nb) OR t.nb = {_KNN_MAX_PLANES}
+    ), {", ".join(_sql_knn_table_pairs(t, probe_only=False) for t in range(_KNN_TABLES))},
+    cand AS (
+      SELECT DISTINCT src, dst FROM (
+        {" UNION ALL ".join(f"SELECT src, dst FROM pairs{t}" for t in range(_KNN_TABLES))}
+      )
+    ), scored AS (
+      SELECT c.src, c.dst,
+             {sql_cosine('qa.embedding', 'qb.embedding')} AS cos
+      FROM cand c
+      JOIN embeddings qa ON qa.vec_id = c.src
+      JOIN embeddings qb ON qb.vec_id = c.dst
+    ), knn AS (
+      SELECT src, dst, cos,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cos DESC, dst) AS rnk
+      FROM scored
+      QUALIFY rnk <= {_KNN_K}
+    )
+    SELECT e1.src, e1.dst, round(e1.cos, 6) AS cos,
+           CAST(e1.rnk AS BIGINT) AS rnk_fwd,
+           CAST(e2.rnk AS BIGINT) AS rnk_rev
+    FROM knn e1 JOIN knn e2
+      ON e1.src = e2.dst AND e1.dst = e2.src
+    WHERE e1.src < e1.dst
+    """,
+    doc=f"The PRODUCTION multitable mutual kNN graph (r8 verdict task 4): "
+    f"ann_knn_graph_mutual's builder with n_tables={_KNN_TABLES} — "
+    f"{_KNN_TABLES} independent SRP tables (disjoint plane sets via "
+    "plane_offset) generate candidate id-pairs, the union is deduped "
+    "on the 16-byte pair key, ONE exact-cosine pass scores each pair "
+    "once, and per-node top-k + the mutuality groupBy run over the "
+    "amplified candidate set — so the measured recall lift "
+    "(sweeps/KNN_RECALL_r08.json: 0.80 -> 0.93 at sf1, worst probe "
+    "0.0 -> 0.33) now reaches the graph downstream consumers use, not "
+    "just the probe-side measurement entry.  An edge is mutual iff "
+    "both endpoints rank each other in THEIR amplified top-k, so "
+    "L>1 genuinely changes mutuality (more candidates can displace "
+    f"weaker neighbors).  100 TB: candidate pairs <= {_KNN_TABLES}*"
+    f"{_KNN_BUCKET_TARGET}*n under any skew; dedup + scoring joins are "
+    "hash equi-joins on 8/16-byte keys; the corpus shuffles by vec_id "
+    "exactly twice for scoring (never all-pairs).",
+)
+def ann_knn_graph_mutual_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_graph_mutual(spark, sf_dir, n_tables=_KNN_TABLES)

@@ -97,6 +97,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_percent_of_total",  # rev_cents stays decimal(28,0), string-rendered
     "curation_pipeline",  # 1:1 quality-join guard (assert_true / error())
     "dedup_simhash_near",  # window=None exhaustive mode added
+    "graph_triangle_count",  # spill-lean sorted-adjacency intersect form
+    "ann_knn_graph_mutual",  # builder refactored into knn_graph_mutual(n_tables)
+    "ann_knn_graph_mutual_multitable",  # NEW: production L=4 mutual graph
     # --- oldest-row rotation: all 38 remaining r4 rows + the 12
     #     alphabetically-first r5 rows ---
     "ann_ivf_recall",
@@ -144,9 +147,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_percentiles",
     "ann_filtered_topk",
     "ann_pq_recall",
-    "ann_topk_rerank",
-    "anomaly_hourly_zscore",
-    "cohort_retention",
 )
 
 

@@ -68,6 +68,10 @@ CHANGED_THIS_ROUND = frozenset(
         "window_percent_of_total",  # rev_cents decimal end-to-end, string out
         "curation_pipeline",  # checked 1:1 quality-join invariant
         "dedup_simhash_near",  # simhash_near_pairs window=None branch
+        # r9 verdict tasks 3 + 4:
+        "graph_triangle_count",  # spill-lean intersect form (sf10-proven)
+        "ann_knn_graph_mutual",  # refactor into knn_graph_mutual(n_tables=1)
+        "ann_knn_graph_mutual_multitable",  # NEW production L=4 mutual graph
     }
 )
 

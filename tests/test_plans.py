@@ -388,15 +388,20 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
 def test_triangle_count_all_hash_joins(spark):
     """Compact-forward triangle counting must stay hash equi-joins end
     to end: edge build joins on l_orderkey (the < predicate is a post-
-    join filter, not a join strategy degradation), wedge enumeration
-    joins oriented out-edges on src, and closure is an equi-join on the
-    (b, c) edge key.  A BroadcastNestedLoopJoin anywhere would be the
-    all-pairs trap this design exists to avoid."""
+    join filter, not a join strategy degradation), and triangle closure
+    is the sorted-adjacency array_intersect per oriented edge (r9) —
+    the wedge set must NEVER materialize as exploded pre-join rows,
+    which is what exceeded disk at sf10 in the r8 form.  A
+    BroadcastNestedLoopJoin anywhere would be the all-pairs trap this
+    design exists to avoid."""
     df = q(spark, "graph_triangle_count")
     plan = plan_string(df)
     assert "NestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert not python_eval_nodes(df)
+    # the intersect kernel is the discriminating artifact of the
+    # spill-lean form (sweeps/PARITY_TRI_SF10_r09.json)
+    assert "array_intersect" in plan, plan
 
 
 def test_degree_distribution_two_aggregations(spark):
@@ -468,6 +473,25 @@ def test_knn_graph_no_allpairs(spark):
     # window remains — rank-limit-pushed — so we can't forbid Window
     # nodes wholesale; the broadcast is the discriminating artifact)
     assert has_broadcast_hash_join(df)
+
+
+def test_knn_graph_multitable_mutual_bounded(spark):
+    """The L-table production mutual graph (r9): every candidate stage
+    must still be an LSH bucket equi-join — L tables multiply the
+    candidate BOUND (L*64*n), never the join type — and the one
+    exact-cosine scoring pass joins the deduped pair list back to the
+    corpus by vec_id equi-joins.  No nested-loop/cartesian anywhere,
+    no Python eval, L broadcast bucket-size attaches."""
+    from kinesis_to_opensearch_lambda_spark.operators.similarity_queries import (
+        _KNN_TABLES,
+    )
+
+    df = q(spark, "ann_knn_graph_mutual_multitable")
+    plan = plan_string(df)
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert not python_eval_nodes(df)
+    assert broadcast_join_count(df) >= _KNN_TABLES
 
 
 def test_knn_graph_multitable_no_allpairs_and_distinct_tables(spark):
