@@ -98,6 +98,69 @@ def test_window_none_is_exhaustive_and_a_superset(spark):
     assert got_w <= got_f and len(got_w) == n * 16 - 16 * 17 // 2
 
 
+def _window_recall_on_planted(spark, sf_dir: str) -> tuple[int, int]:
+    """(planted pairs with hamming<=3, windowed pairs found) — the
+    denominator is computed DIRECTLY (one O(n) id-offset join on the
+    fingerprints), no LSH, so it is exact ground truth."""
+    from pyspark.sql import functions as F
+
+    import kinesis_to_opensearch_lambda_spark.queries  # noqa: F401 - break the
+    # operators circular import (dedup_queries <-> similarity_queries) by
+    # letting the package module drive the import order
+    from kinesis_to_opensearch_lambda_spark.operators import dedup as D
+    from kinesis_to_opensearch_lambda_spark.operators.dedup_queries import (
+        SYNTH_ID_OFFSET,
+        _corpus,
+    )
+
+    fp = D.simhash60(_corpus(spark, sf_dir)).select("doc_id", "simhash")
+    o, m = fp.alias("o"), fp.alias("m")
+    planted = (
+        o.join(m, F.col("m.doc_id") == F.col("o.doc_id") + F.lit(SYNTH_ID_OFFSET))
+        .select(
+            F.bit_count(F.col("o.simhash").bitwiseXOR(F.col("m.simhash"))).alias("h")
+        )
+        .filter(F.col("h") <= 3)
+        .count()
+    )
+    found = (
+        D.simhash_near_pairs(fp, band_bits=15, hamming_max=3)
+        .filter(F.col("doc_b") - F.col("doc_a") == SYNTH_ID_OFFSET)
+        .count()
+    )
+    return planted, found
+
+
+# W=256 recall floor (r8 verdict task 6): the window is a recall dial,
+# and the measured curve (sweeps/SIMHASH_WINDOW_RECALL_r08.json) is
+# data-dependent — a future corpus/data shift that degrades windowed
+# recall on the planted-mutation set must fail LOUDLY here instead of
+# silently keeping more duplicates.  Measured r9: 43/43 = 1.0 at both
+# sf0.1 and sf1 (buckets only get crowded enough to cost recall at
+# sf10, where the measured figure is 0.93); floor 0.9 leaves margin
+# for benign drift while still catching a real degradation.
+RECALL_FLOOR = 0.9
+
+
+def test_window_recall_floor_sf01(spark):
+    planted, found = _window_recall_on_planted(spark, "/root/testdata/sf0.1")
+    assert planted > 0
+    assert found / planted >= RECALL_FLOOR, (planted, found)
+
+
+def test_window_recall_floor_sf1(spark):
+    import os
+
+    import pytest
+
+    sf1 = "/root/repo/.scratch/sf1"
+    if not os.path.isdir(sf1):
+        pytest.skip("sf1 scratch tiling not generated (tools/gen_sf.py 10)")
+    planted, found = _window_recall_on_planted(spark, sf1)
+    assert planted > 0
+    assert found / planted >= RECALL_FLOOR, (planted, found)
+
+
 def test_connected_components_rejects_nonpositive_max_iter(spark):
     """max_iter < 1 must raise ValueError up front (r8 ADVICE: the
     for/else previously dereferenced a never-bound `obs` -> NameError)."""
