@@ -116,3 +116,20 @@ def test_implausible_uniform_drift_carries_warning():
     # and the plausible band carries no warning
     ok = bench._diff_vs_baseline({n: 1.4 for n in prev}, prev)
     assert "host_drift_warning" not in ok
+
+
+def test_frontier_names_are_registered():
+    """The FRONTIER tier is versioned by hand each round; a renamed or
+    deleted query must fail here, not silently drop out of the round's
+    bench record."""
+    from kinesis_to_opensearch_lambda_spark.queries import REGISTRY
+
+    missing = [n for n in bench.FRONTIER if n not in REGISTRY]
+    assert not missing, missing
+
+
+def test_frontier_disjoint_semantics():
+    """Frontier entries MAY overlap headline (a headline query can also
+    be the round's newest heavy path), but the tier itself must be
+    non-empty and duplicate-free so totals are meaningful."""
+    assert len(bench.FRONTIER) == len(set(bench.FRONTIER)) > 0

@@ -176,3 +176,17 @@ def test_connected_components_rejects_nonpositive_max_iter(spark):
     )
     with pytest.raises(ValueError, match="max_iter"):
         connected_components(pairs, max_iter=0)
+
+
+def test_knn_graph_mutual_rejects_nonpositive_n_tables(spark):
+    """knn_graph_mutual(n_tables<1) must fail fast, mirroring the
+    connected_components max_iter guard."""
+    import pytest
+
+    import kinesis_to_opensearch_lambda_spark.queries  # noqa: F401
+    from kinesis_to_opensearch_lambda_spark.operators.similarity_queries import (
+        knn_graph_mutual,
+    )
+
+    with pytest.raises(ValueError, match="n_tables"):
+        knn_graph_mutual(spark, "/root/testdata/sf0.001", n_tables=0)

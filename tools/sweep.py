@@ -41,6 +41,17 @@ def main() -> int:
     failed: list[str] = []
     timings: dict[str, float] = {}
     t_all = time.time()
+    # Session recycling (r9): the sf10 headline sweep's first session
+    # died of GCLocker allocation thrash after ~20 minutes of heavy
+    # entries — an executor-local checkpoint block was evicted from the
+    # sick JVM and every later entry cascade-failed on the dead session
+    # (sweeps/SWEEP_SF10_r09.json).  A long sweep is many independent
+    # queries, so bound the blast radius: restart the session after
+    # every ~10 minutes of accumulated query wall time.  Cheap (one
+    # ~8s JVM start per recycle) and each entry still runs in a
+    # driver-equivalent fresh-conf session.
+    recycle_budget_s = float(os.environ.get("SWEEP_RECYCLE_SEC", "600"))
+    since_recycle = 0.0
     for i, name in enumerate(names):
         t0 = time.time()
         try:
@@ -55,6 +66,12 @@ def main() -> int:
             f"({timings[name]:.1f}s)",
             flush=True,
         )
+        since_recycle += timings[name]
+        if since_recycle >= recycle_budget_s and i + 1 < len(names):
+            print(f"# recycling session after {since_recycle:.0f}s", flush=True)
+            spark.stop()
+            spark = get_session(app_name="sweep", cpus=cpus)
+            since_recycle = 0.0
     print(f"TOTAL {len(names)} in {time.time() - t_all:.0f}s")
     print("FAILED:", failed or "none")
     # machine-readable summary (one line, bench.py convention) so sweep
