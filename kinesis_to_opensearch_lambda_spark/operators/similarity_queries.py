@@ -1353,8 +1353,13 @@ def knn_graph_mutual(
     plane sets (disjoint via ``plane_offset``), dedups on the 16-byte
     pair key, then runs ONE exact-cosine scoring pass (two vec_id
     equi-joins back to the corpus) — candidate pairs are bounded at
-    L * {target} * n under any skew, and a true neighbor pair is
-    missed only if ALL L tables split it."""
+    L * _KNN_BUCKET_TARGET * n under any skew, and a true neighbor
+    pair is missed only if ALL L tables split it.  Measured effect at
+    sf1 (sweeps/KNN_MUTUAL_L4_r09.json): L=4 returns exactly the
+    jittered-twin graph (all edges cos 1.0) where L=1 admits ~6%
+    spurious weak-mutual edges down to cos 0.17 — amplification
+    buys production-graph PRECISION as well as the directed recall
+    lift in sweeps/KNN_RECALL_r08.json."""
     from pyspark.sql import Window
 
     from ..functions import cosine
