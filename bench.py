@@ -99,23 +99,28 @@ def main() -> None:
     }
     regressions = _regressions_vs_previous_round(timings)
 
+    # Frontier failures are tracked SEPARATELY from the headline errors
+    # dict: a query can be in both tiers (triangle), and sharing state
+    # would let a transient frontier failure misreport a green headline
+    # run (or a headline failure silently skip the frontier timing).
     frontier = [REGISTRY[n] for n in FRONTIER if n in REGISTRY]
     f_samples: dict[str, list[float]] = {}
+    f_errors: dict[str, str] = {}
     for q in frontier:  # one warmup pass, then RUNS timed
         try:
             q.spark(spark, SF_DIR).count()
         except Exception as exc:  # noqa: BLE001
-            errors[q.name] = f"{type(exc).__name__}: {exc}"[:200]
+            f_errors[q.name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"# frontier warmup {q.name} failed: {exc}", file=sys.stderr)
     for run in range(RUNS):
         for q in frontier:
-            if q.name in errors:
+            if q.name in f_errors:
                 continue
             t0 = time.perf_counter()
             try:
                 n = q.spark(spark, SF_DIR).count()
             except Exception as exc:  # noqa: BLE001
-                errors[q.name] = f"{type(exc).__name__}: {exc}"[:200]
+                f_errors[q.name] = f"{type(exc).__name__}: {exc}"[:200]
                 continue
             sec = time.perf_counter() - t0
             f_samples.setdefault(q.name, []).append(sec)
@@ -145,6 +150,8 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    if f_errors:
+        out["frontier_errors"] = f_errors
     if regressions is not None:
         out["vs_previous_round"] = regressions
     print(json.dumps(out))

@@ -239,6 +239,12 @@ def simhash_near_pairs(
 
     Returns distinct (doc_a, doc_b, hamming) with doc_a < doc_b.
     """
+    if window is not None and window < 1:
+        # window=-k would silently return ZERO pairs (the rank-delta
+        # filter becomes unsatisfiable) and window=0 dies deep in
+        # execution with an ANSI divide-by-zero from `(rn-1) div 0` —
+        # fail fast instead, mirroring connected_components(max_iter).
+        raise ValueError(f"window must be >= 1 or None, got {window}")
     mask = (1 << band_bits) - 1
     bands = F.array(
         *[

@@ -1779,7 +1779,12 @@ def ann_knn_graph_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cand c
       JOIN embeddings qa ON qa.vec_id = c.src
       JOIN embeddings qb ON qb.vec_id = c.dst
-    ), knn AS (
+    ), knn AS MATERIALIZED (
+      -- MATERIALIZED: the mutuality join references knn twice; a plain
+      -- CTE would re-execute the whole 4-table candidate + scoring
+      -- pipeline per reference (the _SQL_CO_ORDER_EDGES hazard).  The
+      -- downstream is a self-join on 8-byte keys, so the DuckDB-1.0
+      -- stats-through-CTE penalty does not bite here.
       SELECT src, dst, cos,
              row_number() OVER (PARTITION BY src
                                 ORDER BY cos DESC, dst) AS rnk

@@ -100,8 +100,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "graph_triangle_count",  # spill-lean sorted-adjacency intersect form
     "ann_knn_graph_mutual",  # builder refactored into knn_graph_mutual(n_tables)
     "ann_knn_graph_mutual_multitable",  # NEW: production L=4 mutual graph
-    # --- oldest-row rotation: all 38 remaining r4 rows + the 12
-    #     alphabetically-first r5 rows ---
+    # --- oldest-row rotation: all 38 remaining r4 rows + the 6
+    #     alphabetically-first r5 rows (the changed-set seats above
+    #     displaced the other r5 candidates; r5 rows remaining OUTSIDE
+    #     this window stay the oldest tier for the r10 rotation) ---
     "ann_ivf_recall",
     "ann_topk_bruteforce",
     "ann_topk_ivf_bucketed",

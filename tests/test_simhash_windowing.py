@@ -155,7 +155,9 @@ def test_window_recall_floor_sf1(spark):
 
     sf1 = "/root/repo/.scratch/sf1"
     if not os.path.isdir(sf1):
-        pytest.skip("sf1 scratch tiling not generated (tools/gen_sf.py 10)")
+        pytest.skip(
+            "sf1 scratch tiling not generated (python tools/gen_sf.py 10 .scratch/sf1)"
+        )
     planted, found = _window_recall_on_planted(spark, sf1)
     assert planted > 0
     assert found / planted >= RECALL_FLOOR, (planted, found)
@@ -190,3 +192,21 @@ def test_knn_graph_mutual_rejects_nonpositive_n_tables(spark):
 
     with pytest.raises(ValueError, match="n_tables"):
         knn_graph_mutual(spark, "/root/testdata/sf0.001", n_tables=0)
+
+
+def test_simhash_near_pairs_rejects_nonpositive_window(spark):
+    """window < 1 must fail fast: -k silently returned zero pairs and 0
+    died with a deep ANSI divide-by-zero (r9 self-review find)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kinesis_to_opensearch_lambda_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    fp = spark.range(3).select(
+        F.col("id").alias("doc_id"), F.lit(1).cast("long").alias("simhash")
+    )
+    for w in (0, -5):
+        with pytest.raises(ValueError, match="window"):
+            simhash_near_pairs(fp, window=w)
