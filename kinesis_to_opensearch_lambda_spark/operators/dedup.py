@@ -156,6 +156,15 @@ def simhash_bits(
     hs = F.transform(words(F.col(text_col)), lambda w: md5_long(w))
     df = df.withColumn(hash_expr_col, hs)
 
+    # Measured dead end (r9), kept as a note so it isn't re-attempted:
+    # a SINGLE aggregate over an n_bits-wide counter array (per-token
+    # ±1 bit vectors, zip_with add) is 28% faster at sf0.1 (2.04s ->
+    # 1.46s) but 54% SLOWER at sf10 (149s -> 230s Spark-side for
+    # dedup_simhash_near) — every interpreted step allocates two fresh
+    # 60-int arrays per token, and at 500k docs the allocation rate is
+    # GC-bound.  The n_bits separate int-accumulator folds below stay
+    # allocation-lean and win at the scale that matters.
+
     # Strictly two-parameter merge lambdas via a factory (see
     # functions.minhash_values for why default-arg closures are unsafe
     # with PySpark higher-order functions).
