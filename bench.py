@@ -94,9 +94,7 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    timings = {
-        name: round(statistics.median(vals), 3) for name, vals in samples.items()
-    }
+    timings = _median_timings(samples, errors)
     regressions = _regressions_vs_previous_round(timings)
 
     # Frontier failures are tracked SEPARATELY from the headline errors
@@ -128,9 +126,7 @@ def main() -> None:
                 f"# frontier run {run + 1}/{RUNS} {q.name}: {sec:.3f}s ({n} rows)",
                 file=sys.stderr,
             )
-    f_timings = {
-        name: round(statistics.median(vals), 3) for name, vals in f_samples.items()
-    }
+    f_timings = _median_timings(f_samples, f_errors)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
@@ -163,6 +159,21 @@ def main() -> None:
             file=sys.stderr,
         )
         sys.exit(3)
+
+
+def _median_timings(
+    samples: dict[str, list[float]], errors: dict[str, str]
+) -> dict[str, float]:
+    """Per-query medians, EXCLUDING any query that also errored: a query
+    that fails partway through the timed runs would otherwise keep its
+    earlier samples and appear in both the timings (median of fewer
+    than RUNS samples) and the errors dict, silently mixing partial and
+    complete medians in the tier total (r9 ADVICE)."""
+    return {
+        name: round(statistics.median(vals), 3)
+        for name, vals in samples.items()
+        if name not in errors
+    }
 
 
 def _regressions_vs_previous_round(timings: dict[str, float]) -> dict | None:

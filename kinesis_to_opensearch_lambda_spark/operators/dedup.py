@@ -206,6 +206,7 @@ def simhash_near_pairs(
     hamming_max: int = 3,
     window: int | None = 256,
     checkpoint_dir: str | None = None,
+    exhaustive_bucket_cap: int = 10_000,
 ) -> DataFrame:
     """Banded hamming-neighbor lookup over SimHash fingerprints — the
     query path that makes SimHash usable at scale.
@@ -244,7 +245,13 @@ def simhash_near_pairs(
     expansion is spread across join rows rather than packed into one
     collect_list row.  Cost is quadratic in the LARGEST band bucket
     (sf10 observed a 25,761-member bucket => ~331M candidate rows);
-    reserve it for small corpora or recall audits.
+    reserve it for small corpora or recall audits.  A plan-side guard
+    (``assert_true`` over the bucket-size window max, no extra action
+    or shuffle — the max reuses the rank's partition) fails the job
+    with an explainable message the moment any bucket exceeds
+    ``exhaustive_bucket_cap`` (default 10k => <=~50M pairs from one
+    bucket), instead of an opaque executor OOM hours in; raise the cap
+    deliberately for an audit that has the memory budget.
 
     Returns distinct (doc_a, doc_b, hamming) with doc_a < doc_b.
     """
@@ -290,7 +297,24 @@ def simhash_near_pairs(
         F.col("sh").alias("sh_b"),
     )
     if window is None:
-        a = ranked.select(
+        # Exhaustive mode is quadratic in the largest bucket: fail fast
+        # and loud at exactly the row that breaches the cap.  bucket
+        # size = max(rn) over the SAME partition the rank used, so the
+        # guard adds no shuffle and no eager action.
+        bucket_w = Window.partitionBy("band_idx", "band_val")
+        guarded = ranked.withColumn("_bsz", F.max("rn").over(bucket_w)).filter(
+            F.assert_true(
+                F.col("_bsz") <= F.lit(exhaustive_bucket_cap),
+                F.format_string(
+                    "simhash_near_pairs(window=None): band bucket size %s "
+                    f"exceeds exhaustive_bucket_cap={exhaustive_bucket_cap} "
+                    "(quadratic pair expansion); use a windowed mode or "
+                    "raise the cap deliberately",
+                    F.col("_bsz"),
+                ),
+            ).isNull()
+        )
+        a = guarded.select(
             "band_idx",
             "band_val",
             F.col("rn").alias("rn_a"),

@@ -68,7 +68,7 @@ from .operators import (  # noqa: E402,F401
 )
 
 # ---------------------------------------------------------------------------
-# Driver verification window — round 9 rotation.
+# Driver verification window — round 10 rotation.
 #
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries in
 # iteration order.  Coverage is COMPLETE as of r7 (the union of passing
@@ -89,66 +89,69 @@ from .operators import (  # noqa: E402,F401
 # Every entry keeps full local parity coverage via
 # tests/test_oracle_parity.py regardless of window membership.
 # ---------------------------------------------------------------------------
-DRIVER_WINDOW_ROUND = 9
+DRIVER_WINDOW_ROUND = 10
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- added or materially rewritten in r9 (kept in sync with
-    #     CHANGED_THIS_ROUND in tests/test_harness_integrity.py) ---
-    "window_percent_of_total",  # rev_cents stays decimal(28,0), string-rendered
-    "curation_pipeline",  # 1:1 quality-join guard (assert_true / error())
-    "dedup_simhash_near",  # window=None exhaustive mode added
-    "graph_triangle_count",  # spill-lean sorted-adjacency intersect form
-    "ann_knn_graph_mutual",  # builder refactored into knn_graph_mutual(n_tables)
-    "ann_knn_graph_mutual_multitable",  # NEW: production L=4 mutual graph
-    # --- oldest-row rotation: all 38 remaining r4 rows + the 6
-    #     alphabetically-first r5 rows (the changed-set seats above
-    #     displaced the other r5 candidates; r5 rows remaining OUTSIDE
-    #     this window stay the oldest tier for the r10 rotation) ---
-    "ann_ivf_recall",
-    "ann_topk_bruteforce",
-    "ann_topk_ivf_bucketed",
-    "ann_topk_pq_adc",
-    "ann_topk_srp_lsh",
-    "curation_perplexity_buckets",
-    "dedup_boilerplate_ngrams",
-    "dedup_duplicate_spans",
-    "dedup_exact",
-    "dedup_minhash_signature",
-    "dq_constraints",
-    "emb_label_centroids",
-    "join_bucketed_colocated",
-    "mm_audio_windows",
-    "mm_binary_metadata",
-    "mm_frame_extract",
-    "pipeline_daily_index",
-    "pipeline_dedup_replay",
-    "pipeline_dlq_stats",
-    "pipeline_es_projection",
-    "pipeline_ip_masking",
-    "pipeline_splunk_envelope",
-    "sample_stratified_deterministic",
-    "split_train_test_hash",
-    "streaming_fanout_counts",
-    "streaming_stateful_user_totals",
-    "streaming_stream_stream_join",
-    "streaming_watermark_drops",
-    "text_chunk_overlap",
-    "text_fingerprint",
-    "text_langid",
-    "text_pii_redaction",
-    "text_quality_score",
-    "text_repetition_signals",
-    "text_tfidf_top_term",
-    "text_token_stats",
-    "token_budget_pack",
-    "tpch_q9_product_profit",
-    # --- r5 rows (oldest remaining tier) ---
-    "agg_conditional",
-    "agg_listagg",
-    "agg_mode_deterministic",
-    "agg_percentiles",
-    "ann_filtered_topk",
-    "ann_pq_recall",
+    # --- added or materially rewritten in r10 (kept in sync with
+    #     CHANGED_THIS_ROUND in tests/test_harness_integrity.py): none
+    #     yet — maintenance round; any entry touched later this round
+    #     must be seated here AND in CHANGED_THIS_ROUND. ---
+    # --- oldest-row rotation: ALL 42 remaining r5 rows (the oldest
+    #     tier as of rounds < 10) + the 8 alphabetically-first r6 rows
+    #     (ties allowed by the invariant: rotation max == left-out
+    #     min == 6; the r6 rows remaining outside stay the oldest
+    #     tier for the r11 rotation) ---
+    "ann_topk_rerank",
+    "anomaly_hourly_zscore",
+    "cohort_retention",
+    "corpus_dup_rate_by_source",
+    "corpus_mixture_weights",
+    "corpus_quality_vs_dup",
+    "corpus_zipf_fit",
+    "curation_source_cap",
+    "diag_key_skew",
+    "emb_pq_assign",
+    "funnel_stages",
+    "graph_lpa_communities",
+    "graph_pagerank_items",
+    "join_asof_tolerance",
+    "lateral_posexplode",
+    "lateral_topk_per_nation",
+    "scd2_customer_history",
+    "source_csv_scan",
+    "source_jsonl_scan",
+    "streaming_dlq_split",
+    "streaming_sliding_counts",
+    "text_gopher_filter",
+    "text_regex_stats",
+    "text_unigram_entropy",
+    "text_unigram_logprob",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_value",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive",
+    "tpch_q20_excess_supply",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "window_gap_islands",
+    "window_rank_distribution",
+    "window_session_builtin",
+    "window_value_functions",
+    # --- r6 rows (alphabetically first of the next-oldest tier) ---
+    "agg_countmin_heavy_hitters",
+    "agg_histogram",
+    "agg_hll_partial_merge",
+    "agg_quantile_sketch_tolerance",
+    "ann_topk_ivf_multiprobe",
+    "anomaly_cusum_drift",
+    "anomaly_iqr_outliers",
+    "cdc_merge_upsert",
 )
 
 

@@ -62,16 +62,12 @@ def test_comparator_detects_negative_zero():
 # window, so changed code never carries a stale driver row.  Update
 # this set (and re-seat DRIVER_WINDOW) as changes land during the
 # round; reset it at the next round's rotation.
-CHANGED_THIS_ROUND = frozenset(
+CHANGED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # r9 ADVICE fixes that materially touched registered queries:
-        "window_percent_of_total",  # rev_cents decimal end-to-end, string out
-        "curation_pipeline",  # checked 1:1 quality-join invariant
-        "dedup_simhash_near",  # simhash_near_pairs window=None branch
-        # r9 verdict tasks 3 + 4:
-        "graph_triangle_count",  # spill-lean intersect form (sf10-proven)
-        "ann_knn_graph_mutual",  # refactor into knn_graph_mutual(n_tables=1)
-        "ann_knn_graph_mutual_multitable",  # NEW production L=4 mutual graph
+        # r10 is a maintenance round: no registered query added or
+        # materially rewritten yet.  Any entry whose builder/oracle is
+        # materially touched this round MUST be added here AND seated
+        # in DRIVER_WINDOW (queries.py).
     }
 )
 

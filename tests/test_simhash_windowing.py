@@ -210,3 +210,31 @@ def test_simhash_near_pairs_rejects_nonpositive_window(spark):
     for w in (0, -5):
         with pytest.raises(ValueError, match="window"):
             simhash_near_pairs(fp, window=w)
+
+
+def test_exhaustive_bucket_cap_guard(spark):
+    """window=None is quadratic in the largest band bucket; the r9
+    ADVICE hardening demands an early, explainable failure instead of
+    an unbounded join.  The guard is plan-side (assert_true over the
+    bucket-size window max): over-cap buckets kill the job with the
+    cap named in the message; under-cap corpora run exhaustively."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kinesis_to_opensearch_lambda_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    # 8 identical fingerprints -> every band bucket has 8 members.
+    fp = spark.range(8).select(
+        F.col("id").alias("doc_id"), F.lit(7).cast("long").alias("simhash")
+    )
+    with pytest.raises(Exception, match="exhaustive_bucket_cap=4"):
+        simhash_near_pairs(
+            fp, band_bits=15, window=None, exhaustive_bucket_cap=4
+        ).count()
+    # Cap at the bucket size: all C(8,2)=28 hamming-0 pairs survive.
+    ok = simhash_near_pairs(
+        fp, band_bits=15, window=None, exhaustive_bucket_cap=8
+    )
+    assert ok.count() == 28

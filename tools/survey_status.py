@@ -8,10 +8,11 @@ it).  This tool recomputes it deterministically:
     driver = rEarliest [→ rLatest] [→ r<WINDOW> (window)]
 
 where earliest/latest are passing driver CORRECTNESS rounds and the
-window suffix marks membership in the CURRENT round's window.  The
-hand-curated columns (family/oracle/headline/test ref) are preserved
-from the existing table; family/oracle/headline are cross-checked
-against the registry and new registry entries get fresh rows.
+window suffix marks membership in the CURRENT round's window.
+family/oracle/headline are recomputed from the registry; the only
+hand-curated cell preserved from the existing table is `test ref`.
+Parsed family/oracle are diffed against the recompute and a warning
+is printed on mismatch.  New registry entries get fresh rows.
 
 Usage:  python tools/survey_status.py          # rewrite SURVEY.md in place
         python tools/survey_status.py --check  # exit 1 if table is stale
@@ -63,8 +64,16 @@ def _driver_cell(name: str, spans, window: set[str], window_round: int) -> str:
 
 
 def build_table() -> tuple[str, str]:
-    """Return (header_line, table_text) for the fresh §12 block."""
-    sys.path.insert(0, str(ROOT))
+    """Return (header_line, table_text) for the fresh §12 block.
+
+    family/oracle are RECOMPUTED from the registry (the table's source
+    of truth); the only hand-curated cell carried over from the
+    existing table is `test ref`.  Parsed family/oracle values are
+    compared against the recomputed ones and a warning is printed on
+    drift, so a hand-edit that disagrees with the registry is surfaced
+    instead of silently overwritten."""
+    if str(ROOT) not in sys.path:
+        sys.path.insert(0, str(ROOT))
     from kinesis_to_opensearch_lambda_spark.queries import (
         DRIVER_WINDOW,
         DRIVER_WINDOW_ROUND,
@@ -75,8 +84,9 @@ def build_table() -> tuple[str, str]:
     window = set(DRIVER_WINDOW)
 
     survey = (ROOT / "SURVEY.md").read_text()
-    # Parse existing table rows to preserve hand-curated columns.
-    existing: dict[str, tuple[str, str, str]] = {}  # name -> (family, testref, _)
+    # Parse existing table rows: testref is preserved; family/oracle
+    # are kept only to cross-check against the registry recompute.
+    existing: dict[str, tuple[str, str, str]] = {}  # name -> (family, oracle, testref)
     m = re.search(
         r"^## 12\..*?^\| query \|.*?\n\|[-| ]+\|\n(.*?)(?=^## |\Z)",
         survey,
@@ -86,7 +96,7 @@ def build_table() -> tuple[str, str]:
         for line in m.group(1).strip().splitlines():
             cells = [c.strip() for c in line.strip().strip("|").split("|")]
             if len(cells) >= 6:
-                existing[cells[0]] = (cells[1], cells[5], cells[2])
+                existing[cells[0]] = (cells[1], cells[2], cells[5])
 
     rows = []
     for name in sorted(REGISTRY):
@@ -94,7 +104,20 @@ def build_table() -> tuple[str, str]:
         family = q.spark.__module__.rsplit(".", 1)[-1].replace("_queries", "")
         oracle = "sql" if q.oracle is not None else "rows-only"
         headline = "yes" if q.headline else ""
-        testref = existing.get(name, ("", "", ""))[1]
+        old_family, old_oracle, testref = existing.get(name, ("", "", ""))
+        if name in existing:
+            if old_family and old_family != family:
+                print(
+                    f"warning: {name}: table family {old_family!r} != "
+                    f"registry {family!r} (recomputed value wins)",
+                    file=sys.stderr,
+                )
+            if old_oracle and old_oracle != oracle:
+                print(
+                    f"warning: {name}: table oracle {old_oracle!r} != "
+                    f"registry {oracle!r} (recomputed value wins)",
+                    file=sys.stderr,
+                )
         driver = _driver_cell(name, spans, window, DRIVER_WINDOW_ROUND)
         rows.append(f"| {name} | {family} | {oracle} | {driver} | {headline} | {testref} |")
 
