@@ -21,7 +21,20 @@ parameter, not a docstring promise.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+# Deployment-level override: when a caller passes checkpoint_dir=None
+# (every registered query builder does — the registry signature is
+# (spark, sf_dir) and cannot thread the knob), this env var switches
+# ALL lineage cuts to reliable checkpoints at once.  Motivation
+# (r9 sweep, SWEEP_SF10_r09.json): a long heavy-entry session died of
+# GCLocker allocation thrash evicting a localCheckpoint block mid-CC —
+# executor-local blocks share the sick JVM's fate, reliable checkpoint
+# files do not.  tools/sweep.py sets it from --checkpoint-dir; on a
+# real cluster set it to an HDFS/S3 path in spark-env.
+CHECKPOINT_DIR_ENV = "SPARK_GRAFT_CHECKPOINT_DIR"
 
 
 def truncate_lineage(
@@ -31,7 +44,15 @@ def truncate_lineage(
     ``checkpoint_dir`` when set, else executor-local
     ``localCheckpoint()``.  Eager by default — iterative callers want
     the materialization job to run now so the next round's plan starts
-    from the checkpoint."""
+    from the checkpoint.
+
+    An explicit ``checkpoint_dir`` argument wins; when it is None the
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` env var is consulted so whole
+    deployments (sweeps, cluster jobs running registry builders whose
+    signature cannot carry the knob) can opt into reliable checkpoints
+    without touching call sites."""
+    if checkpoint_dir is None:
+        checkpoint_dir = os.environ.get(CHECKPOINT_DIR_ENV) or None
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext

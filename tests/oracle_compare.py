@@ -57,15 +57,31 @@ def _rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
 
 
 def assert_parity(spark, name: str, sf_dir: str) -> None:
+    timed_parity(spark, name, sf_dir)
+
+
+def timed_parity(spark, name: str, sf_dir: str) -> dict[str, float]:
+    """assert_parity plus an engine-vs-oracle cost attribution:
+    returns ``{"spark_sec": ..., "oracle_sec": ...}`` (oracle_sec 0.0
+    for rows-only entries).  Sweep artifacts record the split so
+    DuckDB harness cost is never mistaken for engine cost — the r6
+    triangle lesson (a 950s combined figure that was mostly oracle)
+    made structural per the r9 verdict."""
+    import time
+
     from kinesis_to_opensearch_lambda_spark.queries import REGISTRY
 
     q = REGISTRY[name]
+    t0 = time.perf_counter()
     actual = q.spark(spark, sf_dir).toPandas()
+    spark_sec = round(time.perf_counter() - t0, 2)
     if q.oracle is None:
         assert len(actual) >= 0  # rows-only smoke
-        return
+        return {"spark_sec": spark_sec, "oracle_sec": 0.0}
+    t0 = time.perf_counter()
     con = duck_con(sf_dir)
     expected = con.execute(q.oracle).fetchdf()
+    oracle_sec = round(time.perf_counter() - t0, 2)
 
     assert sorted(actual.columns) == sorted(expected.columns), (
         f"{name}: column mismatch\n spark={sorted(actual.columns)}\n "
@@ -85,3 +101,4 @@ def assert_parity(spark, name: str, sf_dir: str) -> None:
             f"{name}: value mismatch ({len(diffs)}+ differing rows shown)\n"
             + "\n".join(diffs)
         )
+    return {"spark_sec": spark_sec, "oracle_sec": oracle_sec}

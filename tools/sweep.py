@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Full-registry parity sweep at an arbitrary scale factor.
 
-Usage: python tools/sweep.py [SF_DIR] [CPUS] [ONLY]
+Usage: python tools/sweep.py [SF_DIR] [CPUS] [ONLY] [--checkpoint-dir DIR]
 
 Runs every registered query against $SF_DIR (default /root/testdata/sf0.1)
 and compares rows + schema + value-hash with its DuckDB oracle — the same
@@ -12,6 +12,15 @@ sf0.001 does not prove the plan survives 100x the data.
 ONLY (optional) restricts the sweep to a comma-separated list of query
 names and/or name prefixes (e.g. "streaming_,graph_,tpch_q1_pricing") —
 used for the sf1 stress subset where a full-registry pass is hours.
+
+--checkpoint-dir DIR (r9 verdict task 2): exports
+SPARK_GRAFT_CHECKPOINT_DIR so every iterative operator's lineage cut
+(pagerank / LPA / connected-components / simhash rank join) uses a
+reliable checkpoint() into DIR instead of localCheckpoint.  The r9
+sf10 sweep's session died of GCLocker thrash evicting an
+executor-local checkpoint block mid-CC; reliable checkpoint files
+survive the sick JVM.  The sweep verifies files actually landed in
+DIR and records that in the summary line.
 """
 
 from __future__ import annotations
@@ -25,12 +34,22 @@ sys.path.insert(0, REPO)
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    cpus = sys.argv[2] if len(sys.argv) > 2 else "16"
-    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    argv = list(sys.argv[1:])
+    checkpoint_dir = None
+    if "--checkpoint-dir" in argv:
+        i = argv.index("--checkpoint-dir")
+        checkpoint_dir = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
+    cpus = argv[1] if len(argv) > 1 else "16"
+    only = argv[2].split(",") if len(argv) > 2 else None
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        os.environ["SPARK_GRAFT_CHECKPOINT_DIR"] = checkpoint_dir
+        print(f"# reliable checkpoints -> {checkpoint_dir}", flush=True)
     from kinesis_to_opensearch_lambda_spark.queries import REGISTRY
     from kinesis_to_opensearch_lambda_spark.session import get_session
-    from tests.oracle_compare import assert_parity
+    from tests.oracle_compare import timed_parity
 
     spark = get_session(app_name="sweep", cpus=cpus)
     names = sorted(
@@ -40,6 +59,7 @@ def main() -> int:
     )
     failed: list[str] = []
     timings: dict[str, float] = {}
+    splits: dict[str, dict[str, float]] = {}
     t_all = time.time()
     # Session recycling (r9): the sf10 headline sweep's first session
     # died of GCLocker allocation thrash after ~20 minutes of heavy
@@ -55,15 +75,21 @@ def main() -> int:
     for i, name in enumerate(names):
         t0 = time.time()
         try:
-            assert_parity(spark, name, sf_dir)
+            splits[name] = timed_parity(spark, name, sf_dir)
             status = "ok"
         except Exception as exc:  # noqa: BLE001 - record and continue
             failed.append(name)
             status = f"FAIL {str(exc)[:300]}"
         timings[name] = round(time.time() - t0, 1)
+        split = splits.get(name)
+        attrib = (
+            f", spark {split['spark_sec']}s / oracle {split['oracle_sec']}s"
+            if split
+            else ""
+        )
         print(
             f"[{i + 1}/{len(names)}] {name}: {status} "
-            f"({timings[name]:.1f}s)",
+            f"({timings[name]:.1f}s{attrib})",
             flush=True,
         )
         since_recycle += timings[name]
@@ -78,19 +104,23 @@ def main() -> int:
     # runs self-document per-query parity timings for the round record
     import json
 
-    print(
-        json.dumps(
-            {
-                "metric": "parity_sweep",
-                "sf_dir": sf_dir,
-                "n": len(names),
-                "failed": failed,
-                "queries": timings,
-                "unit": "sec",
-            }
-        ),
-        flush=True,
-    )
+    summary = {
+        "metric": "parity_sweep",
+        "sf_dir": sf_dir,
+        "n": len(names),
+        "failed": failed,
+        "queries": timings,
+        # engine-vs-oracle attribution (r9 verdict task 3): combined
+        # totals hide how much of a "950s entry" is DuckDB harness cost
+        "query_splits": splits,
+        "unit": "sec",
+    }
+    if checkpoint_dir:
+        ckpt_files = sum(len(fs) for _, _, fs in os.walk(checkpoint_dir))
+        summary["checkpoint_dir"] = checkpoint_dir
+        summary["checkpoint_files"] = ckpt_files
+        print(f"# reliable checkpoint files written: {ckpt_files}", flush=True)
+    print(json.dumps(summary), flush=True)
     return 1 if failed else 0
 
 
