@@ -46,8 +46,11 @@ INTENTIONAL_PLAN_CHANGES: dict[tuple[str, str], str] = {}
 # it tracks the current round's heaviest new/rewritten operators and is
 # EXPECTED to change between rounds, so it gets numbers in the round
 # artifact but no regression guard (guarding a moving set would compare
-# different plans).  r9 members: the spill-lean intersect triangle
-# count, the windowed simhash near-dup, and both multitable kNN paths.
+# different plans).  r10 review: membership UNCHANGED from r9 (the
+# spill-lean intersect triangle count, the windowed simhash near-dup,
+# and both multitable kNN paths) — the maintenance round added no
+# heavier operator; the one materially-changed entry
+# (agg_countmin_heavy_hitters, derived W) is already headline-guarded.
 FRONTIER: tuple[str, ...] = (
     "graph_triangle_count",
     "dedup_simhash_near",

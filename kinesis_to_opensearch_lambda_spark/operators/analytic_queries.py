@@ -881,14 +881,39 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cms_width(eps_rel: float = 0.5, phi: float = 0.01) -> int:
+    """Count-min width DERIVED from an error contract, not a magic
+    number (r9 const-audit gap, closed per the r9 verdict task 8 —
+    same derive-from-target pattern as similarity._knn_planes).
+
+    CMS over-estimates any count by at most e*n/W with probability
+    1 - e^-D (n = total row mass).  For keys at or above the
+    heavy-hitter threshold phi*n, relative error <= eps_rel therefore
+    needs  e*n/W <= eps_rel * phi * n,  i.e.  W >= e/(eps_rel*phi) —
+    note n cancels: the width depends only on the CONTRACT (which
+    hitters must be resolved, how precisely), never on data mass, so
+    the same sketch is correctly sized at sf0.001 and at 100 TB.
+    Rounded up to a power of two for cheap masking.  Defaults
+    (eps_rel=0.5, phi=1%) -> W=1024: any key holding >=1% of row mass
+    is over-counted by at most 50% of its own count, w.p. ~98% (D=4).
+    """
+    import math
+
+    w = math.e / (eps_rel * phi)
+    return 1 << math.ceil(math.log2(w))
+
+
+_CMS_W = _cms_width()  # 1024
+
+
 @register(
     "agg_countmin_heavy_hitters",
     headline=True,
-    oracle="""
+    oracle=f"""
     WITH keys AS (SELECT l_suppkey AS k FROM lineitem),
     slots AS (
       SELECT i,
-             (('0x' || substr(md5(k::VARCHAR || ':cm'), 1 + 8 * i, 8))::BIGINT) % 512
+             (('0x' || substr(md5(k::VARCHAR || ':cm'), 1 + 8 * i, 8))::BIGINT) % {_CMS_W}
                AS slot,
              count(*) AS c
       FROM keys, (SELECT unnest(range(4)) AS i) d
@@ -904,11 +929,11 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(min(s.c) >= e.exact_cnt AS VARCHAR) AS never_under
     FROM exact e
     JOIN slots s
-      ON s.slot = (('0x' || substr(md5(e.k::VARCHAR || ':cm'), 1 + 8 * s.i, 8))::BIGINT) % 512
+      ON s.slot = (('0x' || substr(md5(e.k::VARCHAR || ':cm'), 1 + 8 * s.i, 8))::BIGINT) % {_CMS_W}
     GROUP BY e.k, e.exact_cnt
     """,
-    doc="Count-min sketch heavy hitters: a d=4 x w=512 counter table "
-    "built in one groupBy over md5-derived (row, slot) pairs — 2048 "
+    doc="Count-min sketch heavy hitters: a d=4 x w counter table "
+    "built in one groupBy over md5-derived (row, slot) pairs — d*w "
     "cells TOTAL regardless of corpus size, counters are additive so "
     "partial sketches from every partition/day merge by summation "
     "(map-side combine does exactly this for free).  Estimates are "
@@ -919,17 +944,14 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tolerance needed, unlike HLL (agg_hll_partial_merge).  The exact "
     "top-10 (full groupBy) is the verification harness, same pattern "
     "as ann_ivf_recall; production reads frequencies straight off the "
-    "2048-cell table.  At 100 TB: frequency queries without a "
-    "per-key shuffle — the sketch rides the map side.  Sizing bound "
-    "(r9 const audit): CMS over-estimates by at most ~e*n/W with "
-    "probability 1-e^-D for total row mass n, so W=512 resolves only "
-    "hitters well above n/512 — at n=1e12 that is an absolute error "
-    "band of ~5e9.  W here is the demo config; size W ~ e/eps for a "
-    "target relative error eps at production mass (the counter table "
-    "stays tiny either way: W=2^20 is 32 MB).",
+    "counter table.  At 100 TB: frequency queries without a per-key "
+    "shuffle — the sketch rides the map side.  W is DERIVED from the "
+    "error contract by _cms_width (W >= e/(eps_rel*phi), mass-free: "
+    "the r9 const-audit's one documented-ceiling sketch constant, now "
+    "closed); the table stays tiny at any contract (W=2^20 is 32 MB).",
 )
 def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    D, W = 4, 512
+    D, W = 4, _CMS_W
     keys = _t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k"))
 
     # the d hash functions are d disjoint 8-hex-char slices of ONE md5

@@ -64,10 +64,10 @@ def test_comparator_detects_negative_zero():
 # round; reset it at the next round's rotation.
 CHANGED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # r10 is a maintenance round: no registered query added or
-        # materially rewritten yet.  Any entry whose builder/oracle is
-        # materially touched this round MUST be added here AND seated
-        # in DRIVER_WINDOW (queries.py).
+        # r10 verdict task 8: count-min width derived from the error
+        # contract (W = next_pow2(e/(eps_rel*phi)) = 1024) instead of
+        # the audited demo constant 512 — builder AND oracle changed.
+        "agg_countmin_heavy_hitters",
     }
 )
 

@@ -759,7 +759,8 @@ def test_variant_extract_single_shuffle_no_python(spark):
 def test_countmin_sketch_bounded_shuffles_probe_broadcast(spark):
     # counter build (partial-agg to <= d*w cells/partition), exact
     # top-10 harness agg + its order/limit, probe join broadcast: 3
-    # exchanges, probes broadcast against the 2048-cell counter table
+    # exchanges, probes broadcast against the d*w-cell counter table
+    # (w derived from the error contract by _cms_width)
     df = q(spark, "agg_countmin_heavy_hitters")
     assert shuffle_exchange_count(df) == 3
     assert has_broadcast_hash_join(df)

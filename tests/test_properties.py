@@ -774,3 +774,34 @@ def test_gap_islands_row_number_trick_matches_direct_runs(ids):
     assert closed_lens == sorted(runs)
     assert len(closed_lens) == len(runs)
     assert max(closed_lens) == max(runs)
+
+
+def test_cms_width_derivation():
+    """_cms_width is the error-contract -> width formula (W >=
+    e/(eps_rel*phi), next power of two).  Pure math — no Spark: the
+    guarantee argument is mass-free, so the property must hold for
+    every contract, not just the default."""
+    import math
+
+    import kinesis_to_opensearch_lambda_spark.queries  # noqa: F401 - registry first
+    from kinesis_to_opensearch_lambda_spark.operators.analytic_queries import (
+        _CMS_W,
+        _cms_width,
+    )
+
+    # default contract: 1%-of-mass hitters within 50% relative error
+    assert _CMS_W == _cms_width() == 1024
+
+    for eps in (0.1, 0.25, 0.5, 1.0):
+        for phi in (0.001, 0.01, 0.05):
+            w = _cms_width(eps, phi)
+            # power of two, and the bound actually satisfied:
+            # e/W <= eps*phi  (relative error at the phi threshold)
+            assert w & (w - 1) == 0
+            assert math.e / w <= eps * phi
+            # ...but not over-provisioned by more than the pow2 round-up
+            assert math.e / (w / 2) > eps * phi
+
+    # tighter contract -> wider sketch, monotonically
+    assert _cms_width(0.1, 0.01) >= _cms_width(0.5, 0.01)
+    assert _cms_width(0.5, 0.001) >= _cms_width(0.5, 0.01)
