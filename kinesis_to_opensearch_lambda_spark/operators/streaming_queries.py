@@ -22,6 +22,26 @@ from ..sources.kinesis import audit_events_from_events, kinesis_envelope, read_e
 from ..streaming.pipeline import decode_stream, dual_sink_fanout
 
 
+def _drain(q, timeout_s: int = 600) -> None:
+    """Block until an availableNow StreamingQuery finishes — LOUDLY.
+
+    ``awaitTermination(timeout)`` returns False after the timeout
+    WITHOUT stopping the query.  Treating that as completion is a
+    silent-wrong-results bug, observed in the r10 sf10 streaming
+    sweep: the stream-stream join's micro-batch outlived the 600s
+    wait, the builder read a zero-file spool (0 rows vs the oracle's
+    24) and the tempdir teardown then raced the still-live query's
+    state-store commits (CANNOT_WRITE_STATE_STORE noise).  On timeout
+    this stops the query and raises, so a too-slow drain is an
+    explainable failure, never a truncated result."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not drain within "
+            f"{timeout_s}s; refusing to read a partial spool"
+        )
+
+
 @register(
     "streaming_fanout_counts",
     oracle="""
@@ -48,7 +68,7 @@ def streaming_fanout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stream = decode_stream(read_envelope_stream(spark, f"{d}/src"))
         q = dual_sink_fanout(stream, es, hec, f"{d}/ckpt")
-        q.awaitTermination(600)
+        _drain(q)
         rows = [
             ("opensearch", es.last_success),
             ("splunk", hec.last_success),
@@ -141,7 +161,7 @@ def streaming_watermark_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _drain(q)
         # update-mode sink holds one row per (window, batch-with-change);
         # counts only grow, so max(n) per window is the final state
         upd = spark.table(name)
@@ -157,17 +177,19 @@ def streaming_watermark_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_stream_stream_join",
     oracle="""
-    WITH imp AS (
-      SELECT (event_id // 3) % 200 AS k,
+    WITH km AS (
+      SELECT 200 * greatest(1, count(*) // 100000) AS key_mod FROM events
+    ), imp AS (
+      SELECT (event_id // 3) % key_mod AS k,
              TIMESTAMP '2026-02-01 00:00:00'
                + ((event_id // 3) % 24) * INTERVAL 1 HOUR AS its
-      FROM events WHERE event_id % 3 = 0
+      FROM events, km WHERE event_id % 3 = 0
     ), clk AS (
-      SELECT (event_id // 3) % 200 AS ck,
+      SELECT (event_id // 3) % key_mod AS ck,
              TIMESTAMP '2026-02-01 00:00:00'
                + ((event_id // 3) % 24) * INTERVAL 1 HOUR
                + ((event_id // 3) % 30) * INTERVAL 1 MINUTE AS cts
-      FROM events WHERE event_id % 3 = 1
+      FROM events, km WHERE event_id % 3 = 1
     )
     SELECT strftime(its, '%Y-%m-%d %H:%M:%S') AS hour_start,
            count(*) AS n_matches
@@ -183,7 +205,15 @@ def streaming_watermark_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "requirement. One file per side -> one micro-batch, so the drained "
     "result equals the batch join and the oracle is exact. At scale "
     "the join keys co-partition both state stores; the watermark "
-    "bounds state to ~2x the range window per key.",
+    "bounds state to ~2x the range window per key PROVIDED key "
+    "cardinality scales with the data: the synthetic key modulus is "
+    "derived from the row count (200 keys per 100k events, exact 200 "
+    "below that so sf<=0.1 results are unchanged).  The r10 sf10 sweep "
+    "proved why: a FIXED 200-key lattice makes matched-pair mass grow "
+    "quadratically with sf (1.8M rows at sf0.1 -> ~18.5B at sf10, an "
+    "unfinishable micro-batch); with the derived modulus it grows "
+    "linearly (~185M at sf10).  Both engines derive the modulus from "
+    "the same count, so parity holds at every scale.",
 )
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
@@ -193,16 +223,19 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="stream_ssj_")
     try:
         ids = load_table(spark, sf_dir, "events").select("event_id")
+        # key_mod mirrors the oracle's km CTE exactly (same count, same
+        # formula); .count() here is a cheap parquet-metadata action
+        key_mod = 200 * max(1, ids.count() // 100_000)
         base = "timestamp '2026-02-01 00:00:00'"
         imp = ids.filter(F.col("event_id") % 3 == 0).select(
-            F.expr("(event_id div 3) % 200").alias("k"),
+            F.expr(f"(event_id div 3) % {key_mod}").alias("k"),
             F.expr(
                 f"{base} + make_interval(0, 0, 0, 0,"
                 " (event_id div 3) % 24, 0, 0)"
             ).alias("its"),
         )
         clk = ids.filter(F.col("event_id") % 3 == 1).select(
-            F.expr("(event_id div 3) % 200").alias("ck"),
+            F.expr(f"(event_id div 3) % {key_mod}").alias("ck"),
             F.expr(
                 f"{base} + make_interval(0, 0, 0, 0, (event_id div 3) % 24,"
                 " (event_id div 3) % 30, 0)"
@@ -222,7 +255,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "k = ck AND cts >= its AND cts < its + interval 45 minutes"
             ),
         )
-        # Spool the RAW join output to a parquet sink (executor-side
+        # Spool the join output to a parquet sink (executor-side
         # files), never a driver-memory sink: matched pairs grow with
         # the data (1.8M rows at sf0.1 already OOMs a default 1g heap
         # if collected in a memory sink) while the post-hoc aggregate
@@ -230,17 +263,20 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # append-only in Spark, which would drop the last unsealed
         # windows — aggregating the spooled files sidesteps that while
         # keeping the drained result exactly equal to the batch join.
+        # Only `its` is spooled: it is the only column the aggregate
+        # reads, and at sf10 the 1-column spool is ~4x fewer bytes.
         q = (
-            joined.writeStream.outputMode("append")
+            joined.select("its")
+            .writeStream.outputMode("append")
             .format("parquet")
             .option("path", f"{d}/out")
             .option("checkpointLocation", f"{d}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _drain(q)
         agg = (
-            spark.read.schema("k bigint, its timestamp, ck bigint, cts timestamp")
+            spark.read.schema("its timestamp")
             .parquet(f"{d}/out")
             .groupBy(
                 F.date_format("its", "yyyy-MM-dd HH:mm:ss").alias("hour_start")
@@ -313,7 +349,7 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _drain(q)
         # one emitted row per (user, batch-seen); totals are cumulative,
         # so the struct max (events strictly grow) is the final state
         final = (
@@ -410,7 +446,7 @@ def streaming_stateful_highwater(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _drain(q)
         # batch counter strictly grows, so the struct max is final state
         return (
             spark.table(name)
@@ -499,7 +535,7 @@ def streaming_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _drain(q)
         out = (
             spark.read.parquet(f"{d}/good")
             .unionAll(spark.read.parquet(f"{d}/dead"))
@@ -577,7 +613,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _drain(q)
         return (
             spark.table(name)
             .groupBy(
@@ -662,7 +698,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _drain(q)
         # complete mode rewrites the whole table each batch; counts only
         # grow, so max per key == the final (fully-drained) emission
         return (
@@ -753,7 +789,7 @@ def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _drain(q)
         final = spark.read.parquet(state["current"])
         # materialize before the temp dir disappears (recompute-safe)
         rows = final.collect()
@@ -848,7 +884,7 @@ def streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-        q.awaitTermination(600)
+        _drain(q)
         return (
             spark.table(name)
             .groupBy("performer_kind")
@@ -974,7 +1010,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _drain(q)
         # append emits each closed session exactly once; drop the sentinel
         return spark.table(name).filter(F.col("user_id") >= 0)
     finally:
@@ -1053,7 +1089,7 @@ def streaming_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        _drain(q)
         streamed = (
             spark.table(name)
             .filter(F.col("w.start") < F.lit("2025-01-01").cast("timestamp"))

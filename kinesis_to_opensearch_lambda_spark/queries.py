@@ -93,14 +93,15 @@ DRIVER_WINDOW_ROUND = 10
 
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- added or materially rewritten in r10 (kept in sync with
-    #     CHANGED_THIS_ROUND in tests/test_harness_integrity.py): none
-    #     yet — maintenance round; any entry touched later this round
-    #     must be seated here AND in CHANGED_THIS_ROUND. ---
+    #     CHANGED_THIS_ROUND in tests/test_harness_integrity.py) ---
+    "agg_countmin_heavy_hitters",  # W derived from error contract (1024)
+    "streaming_stream_stream_join",  # data-derived key_mod + loud drain
     # --- oldest-row rotation: ALL 42 remaining r5 rows (the oldest
-    #     tier as of rounds < 10) + the 8 alphabetically-first r6 rows
-    #     (ties allowed by the invariant: rotation max == left-out
-    #     min == 6; the r6 rows remaining outside stay the oldest
-    #     tier for the r11 rotation) ---
+    #     tier as of rounds < 10) + the 6 alphabetically-next r6 rows
+    #     (the two changed seats displaced countmin's alphabetical
+    #     peers; ties allowed by the invariant: rotation max ==
+    #     left-out min == 6; the r6 rows remaining outside stay the
+    #     oldest tier for the r11 rotation) ---
     "ann_topk_rerank",
     "anomaly_hourly_zscore",
     "cohort_retention",
@@ -144,14 +145,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_session_builtin",
     "window_value_functions",
     # --- r6 rows (alphabetically first of the next-oldest tier) ---
-    "agg_countmin_heavy_hitters",
     "agg_histogram",
     "agg_hll_partial_merge",
     "agg_quantile_sketch_tolerance",
     "ann_topk_ivf_multiprobe",
     "anomaly_cusum_drift",
     "anomaly_iqr_outliers",
-    "cdc_merge_upsert",
 )
 
 

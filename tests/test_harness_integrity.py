@@ -68,6 +68,12 @@ CHANGED_THIS_ROUND: frozenset[str] = frozenset(
         # contract (W = next_pow2(e/(eps_rel*phi)) = 1024) instead of
         # the audited demo constant 512 — builder AND oracle changed.
         "agg_countmin_heavy_hitters",
+        # r10 sf10 streaming sweep finding: data-derived key modulus
+        # (matched-pair mass linear, not quadratic, in sf) + _drain
+        # raises on an un-drained availableNow query instead of
+        # silently reading a truncated spool.  Builder AND oracle
+        # changed (values identical at sf<=0.1).
+        "streaming_stream_stream_join",
     }
 )
 
