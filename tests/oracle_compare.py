@@ -61,12 +61,18 @@ def assert_parity(spark, name: str, sf_dir: str) -> None:
 
 
 def timed_parity(spark, name: str, sf_dir: str) -> dict[str, float]:
-    """assert_parity plus an engine-vs-oracle cost attribution:
-    returns ``{"spark_sec": ..., "oracle_sec": ...}`` (oracle_sec 0.0
-    for rows-only entries).  Sweep artifacts record the split so
-    DuckDB harness cost is never mistaken for engine cost — the r6
-    triangle lesson (a 950s combined figure that was mostly oracle)
-    made structural per the r9 verdict."""
+    """assert_parity plus a cost attribution: returns
+    ``{"spark_sec": ..., "oracle_sec": ..., "compare_sec": ...}``
+    (oracle/compare 0.0 for rows-only entries).  Sweep artifacts
+    record the split so harness cost is never mistaken for engine
+    cost — the r6 triangle lesson (a 950s combined figure that was
+    mostly oracle) made structural per the r9 verdict.  compare_sec
+    (the pure-Python row canonicalization both result sets pass
+    through) was added after the r10 relational sweep showed it
+    DOMINATING wide results: window_range_frame at sf10 was 165.7s
+    total but only 4.1s Spark + 8.7s DuckDB — the other ~150s was the
+    comparator, and without the third bucket that read as engine
+    cost."""
     import time
 
     from kinesis_to_opensearch_lambda_spark.queries import REGISTRY
@@ -77,11 +83,12 @@ def timed_parity(spark, name: str, sf_dir: str) -> dict[str, float]:
     spark_sec = round(time.perf_counter() - t0, 2)
     if q.oracle is None:
         assert len(actual) >= 0  # rows-only smoke
-        return {"spark_sec": spark_sec, "oracle_sec": 0.0}
+        return {"spark_sec": spark_sec, "oracle_sec": 0.0, "compare_sec": 0.0}
     t0 = time.perf_counter()
     con = duck_con(sf_dir)
     expected = con.execute(q.oracle).fetchdf()
     oracle_sec = round(time.perf_counter() - t0, 2)
+    t_cmp = time.perf_counter()
 
     assert sorted(actual.columns) == sorted(expected.columns), (
         f"{name}: column mismatch\n spark={sorted(actual.columns)}\n "
@@ -101,4 +108,8 @@ def timed_parity(spark, name: str, sf_dir: str) -> dict[str, float]:
             f"{name}: value mismatch ({len(diffs)}+ differing rows shown)\n"
             + "\n".join(diffs)
         )
-    return {"spark_sec": spark_sec, "oracle_sec": oracle_sec}
+    return {
+        "spark_sec": spark_sec,
+        "oracle_sec": oracle_sec,
+        "compare_sec": round(time.perf_counter() - t_cmp, 2),
+    }
