@@ -43,6 +43,18 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # The parity harness's full-value comparator collects the entire
+        # result (tests/oracle_compare.timed_parity) — by design, so the
+        # check is a value check and not a sample.  At sf10 a wide
+        # projection entry (pipeline_es_projection: ~1.07 GiB serialized)
+        # trips Spark's 1g default, which exists to protect multi-tenant
+        # drivers; on this single-tenant 16g driver 4g is safe headroom.
+        # Engine queries never collect unbounded results (plan-tested),
+        # so this only widens the HARNESS ceiling, not query behavior.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT_SIZE", "4g"),
+        )
         # InferFiltersFromGenerate duplicates the ENTIRE generator
         # expression into a size(...)>0 pre-filter.  For cheap
         # generators that is harmless; for shingle/n-gram transforms it
