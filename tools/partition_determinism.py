@@ -11,11 +11,19 @@ large value (plus repartitioned inputs via the session's normal reader)
 and hash-compares the materialized results.
 
 Usage: python tools/partition_determinism.py [SF_DIR] [P_LO] [P_HI] [ONLY] [CONF]
+           [--checkpoint-dir DIR]
 
 CONF (default spark.sql.shuffle.partitions) is the session conf swept
 between the two values — e.g. pass spark.sql.adaptive.enabled with
 values false/true to assert AQE's runtime re-planning (partition
 coalescing, skew splits) never changes a result, only its plan.
+
+--checkpoint-dir DIR (r10 queue item 5, same seam as tools/sweep.py):
+exports SPARK_GRAFT_CHECKPOINT_DIR so iterative operators' lineage
+cuts use reliable checkpoint() files in DIR instead of
+executor-local localCheckpoint blocks — long determinism sweeps over
+the iterative/graph entries get the same GCLocker-eviction robustness
+the parity sweep gained in r10 (sweeps/SWEEP_SF10_HEAVY_r10.json).
 """
 
 from __future__ import annotations
@@ -30,11 +38,21 @@ sys.path.insert(0, REPO)
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    p_lo = sys.argv[2] if len(sys.argv) > 2 else "3"
-    p_hi = sys.argv[3] if len(sys.argv) > 3 else "32"
-    only = sys.argv[4].split(",") if len(sys.argv) > 4 else None
-    conf_key = sys.argv[5] if len(sys.argv) > 5 else "spark.sql.shuffle.partitions"
+    argv = list(sys.argv[1:])
+    checkpoint_dir = None
+    if "--checkpoint-dir" in argv:
+        i = argv.index("--checkpoint-dir")
+        checkpoint_dir = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    p_lo = argv[1] if len(argv) > 1 else "3"
+    p_hi = argv[2] if len(argv) > 2 else "32"
+    only = argv[3].split(",") if len(argv) > 3 else None
+    conf_key = argv[4] if len(argv) > 4 else "spark.sql.shuffle.partitions"
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        os.environ["SPARK_GRAFT_CHECKPOINT_DIR"] = checkpoint_dir
+        print(f"# reliable checkpoints -> {checkpoint_dir}", file=sys.stderr)
 
     from kinesis_to_opensearch_lambda_spark.queries import REGISTRY
     from kinesis_to_opensearch_lambda_spark.session import get_session
@@ -85,6 +103,11 @@ def main() -> int:
         "failed": failed,
         "total_sec": round(time.time() - t_all, 1),
     }
+    if checkpoint_dir:
+        out["checkpoint_dir"] = checkpoint_dir
+        out["checkpoint_files"] = sum(
+            len(fs) for _, _, fs in os.walk(checkpoint_dir)
+        )
     print(json.dumps(out))
     return 1 if failed else 0
 
