@@ -673,3 +673,137 @@ def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sources",
         "mean_quality_millionths",
     )
+
+
+@register(
+    "corpus_source_jsd",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+    ), cw AS (
+      SELECT source, word, count(*)::BIGINT AS c FROM tok GROUP BY source, word
+    ), tot AS (
+      SELECT source, sum(c)::BIGINT AS t FROM cw GROUP BY source
+    ), d AS (
+      SELECT cw.source, word, cw.c::DOUBLE / tot.t::DOUBLE AS p
+      FROM cw JOIN tot USING (source)
+    ), pairs AS (
+      SELECT a.source AS s1, b.source AS s2
+      FROM (SELECT DISTINCT source FROM d) a
+      JOIN (SELECT DISTINCT source FROM d) b ON a.source < b.source
+    ), a_terms AS (
+      SELECT pr.s1, pr.s2,
+             CAST(round(1000000 * d1.p
+                        * log2(2.0 * d1.p / (d1.p + coalesce(d2.p, 0.0))))
+                  AS BIGINT)
+             + CASE WHEN d2.p IS NOT NULL
+                    THEN CAST(round(1000000 * d2.p
+                                    * log2(2.0 * d2.p / (d1.p + d2.p)))
+                              AS BIGINT)
+                    ELSE 0 END AS mb,
+             (d2.p IS NOT NULL) AS shared
+      FROM pairs pr
+      JOIN d d1 ON d1.source = pr.s1
+      LEFT JOIN d d2 ON d2.source = pr.s2 AND d2.word = d1.word
+    ), b_terms AS (
+      SELECT pr.s1, pr.s2,
+             CAST(round(1000000 * d2.p) AS BIGINT) AS mb,
+             FALSE AS shared
+      FROM pairs pr
+      JOIN d d2 ON d2.source = pr.s2
+      WHERE NOT EXISTS (
+        SELECT 1 FROM d d1 WHERE d1.source = pr.s1 AND d1.word = d2.word
+      )
+    )
+    SELECT s1, s2,
+           count(*)::BIGINT AS n_words_union,
+           sum(CASE WHEN shared THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+           sum(mb)::BIGINT AS jsd_microbits,
+           sum(mb)::DOUBLE / 2000000.0 AS jsd_bits
+    FROM (SELECT * FROM a_terms UNION ALL SELECT * FROM b_terms)
+    GROUP BY s1, s2
+    """,
+    doc="Pairwise Jensen-Shannon divergence (in bits) between per-source "
+    "unigram distributions — the data-mixing diagnostic that tells a "
+    "corpus curator which sources are near-duplicates of each other in "
+    "token space (JSD ~ 0) and which add genuinely new mass (JSD ~ 1), "
+    "the input to mixture reweighting beside corpus_mixture_weights.  "
+    "JSD(p,q) = sum_w [p ln2(2p/(p+q)) + q ln2(2q/(p+q))] / 2 over the "
+    "vocab union; each word's two terms are scaled to exact integer "
+    "micro-bits BEFORE the per-pair sum (the text_unigram_logprob "
+    "discipline), so the aggregate is summation-order independent and "
+    "libm ulp drift between engines is absorbed by the rounding.  "
+    "Shape: ONE tokenize+count shuffle (the TF-IDF shape), then "
+    "everything is vocab-bounded: the per-source distribution joins "
+    "the broadcast 190-row pair table, so pair-stage mass is "
+    "n_pairs x |vocab| rows regardless of corpus size.  100 TB: the "
+    "corpus is tokenized once; source count (not document count) "
+    "drives the quadratic term, and that is dimension-sized.",
+)
+def corpus_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("source", F.explode(words("text")).alias("word"))
+    cw = tok.groupBy("source", "word").agg(F.count("*").cast("long").alias("c"))
+    tot = cw.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    d = cw.join(tot, "source").select(
+        "source",
+        "word",
+        (F.col("c").cast("double") / F.col("t").cast("double")).alias("p"),
+    )
+    srcs = d.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+    )
+    d1 = d.select(
+        F.col("source").alias("s1"), "word", F.col("p").alias("p1")
+    )
+    d2 = d.select(
+        F.col("source").alias("s2"), "word", F.col("p").alias("p2")
+    )
+
+    def _micro(p_, q_):
+        return F.round(
+            F.lit(1_000_000) * p_ * F.log2(F.lit(2.0) * p_ / (p_ + q_))
+        ).cast("long")
+
+    a = F.broadcast(pairs).join(d1, "s1").join(d2, ["s2", "word"], "left")
+    a_terms = a.select(
+        "s1",
+        "s2",
+        (
+            _micro(F.col("p1"), F.coalesce(F.col("p2"), F.lit(0.0)))
+            + F.when(
+                F.col("p2").isNotNull(), _micro(F.col("p2"), F.col("p1"))
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("mb"),
+        F.col("p2").isNotNull().alias("shared"),
+    )
+    b_terms = (
+        F.broadcast(pairs)
+        .join(d2, "s2")
+        .join(d1.select("s1", "word"), ["s1", "word"], "left_anti")
+        .select(
+            "s1",
+            "s2",
+            F.round(F.lit(1_000_000) * F.col("p2")).cast("long").alias("mb"),
+            F.lit(False).alias("shared"),
+        )
+    )
+    return (
+        a_terms.unionByName(b_terms)
+        .groupBy("s1", "s2")
+        .agg(
+            F.count("*").cast("long").alias("n_words_union"),
+            F.sum(F.col("shared").cast("int")).cast("long").alias("n_shared"),
+            F.sum("mb").cast("long").alias("jsd_microbits"),
+            # NOT rounded: an odd micro-bit sum sits EXACTLY on the 7th
+            # decimal half (sum/2e6 = x.xxxxxx5), where Spark's
+            # decimal-string HALF_UP and DuckDB's binary-double round()
+            # disagree — found at sf0.01 on ~half of all pairs.  The raw
+            # quotient of the identical integer sum is the same binary
+            # double on both engines, so it hashes identically.
+            (F.sum("mb").cast("double") / 2_000_000.0).alias("jsd_bits"),
+        )
+    )

@@ -1817,3 +1817,150 @@ def ann_knn_graph_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_knn_graph_mutual_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph_mutual(spark, sf_dir, n_tables=_KNN_TABLES)
+
+
+_MRL_DIM = 16  # truncated (Matryoshka) search dimension; full dim is 64
+
+
+@register(
+    "ann_matryoshka_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), brute AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {sql_cosine('q.q_vec', 'e.embedding')} DESC, e.vec_id
+               ) AS rnk
+        FROM q JOIN embeddings e ON e.vec_id != q.q_id
+      ) WHERE rnk <= 5
+    ), trunc AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {sql_cosine(f'(q.q_vec[1:{_MRL_DIM}])', f'(e.embedding[1:{_MRL_DIM}])')} DESC,
+                          e.vec_id
+               ) AS rnk
+        FROM q JOIN embeddings e ON e.vec_id != q.q_id
+      ) WHERE rnk <= 5
+    )
+    SELECT b.q_id,
+           coalesce(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_hits,
+           round(coalesce(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+                 / 5.0, 6) AS recall_at_5
+    FROM brute b LEFT JOIN trunc t ON b.q_id = t.q_id AND b.vec_id = t.vec_id
+    GROUP BY b.q_id
+    """,
+    doc=f"Matryoshka retrieval recall (Kusupati et al. 2022, public): "
+    f"search with only the FIRST {_MRL_DIM} of 64 dimensions (array "
+    "slice, no re-embedding) and measure recall@5 against the full-dim "
+    "exact top-5 on the same 20 queries — the accuracy contract behind "
+    f"the {64 // _MRL_DIM}x compute/memory cut a truncated-dim first "
+    "pass buys.  Same bounded plan family as ann_ivf_recall: broadcast "
+    "queries, one corpus scan per arm, WindowGroupLimit-bounded top-k "
+    "exchanges, then an equi-join of two 20x5-row sets.  100 TB: the "
+    "truncated arm is the cheap shortlist stage (pair it with "
+    "ann_topk_rerank's exact rerank); recall is the dial that sizes "
+    "the shortlist.",
+)
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    brute = S.brute_force_topk(q, emb.select("vec_id", "embedding"), k=5).select(
+        "q_id", "vec_id"
+    )
+    q_t = q.select("q_id", F.slice("q_vec", 1, _MRL_DIM).alias("q_vec"))
+    emb_t = emb.select("vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding"))
+    trunc = (
+        S.brute_force_topk(q_t, emb_t, k=5)
+        .select(F.col("q_id").alias("t_q_id"), F.col("vec_id").alias("t_vec_id"))
+    )
+    hits = brute.join(
+        trunc,
+        (brute.q_id == trunc.t_q_id) & (brute.vec_id == trunc.t_vec_id),
+        "left",
+    )
+    hit = F.sum(F.when(F.col("t_vec_id").isNotNull(), 1).otherwise(0))
+    return hits.groupBy("q_id").agg(
+        F.coalesce(hit, F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce(hit, F.lit(0)) / 5.0, 6).alias("recall_at_5"),
+    )
+
+
+@register(
+    "emb_hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), scored AS (
+      SELECT q.q_id, e.vec_id, (e.label = q.q_label) AS same_label,
+             {sql_cosine('q.q_vec', 'e.embedding')} AS cos
+      FROM q JOIN embeddings e ON e.vec_id != q.q_id
+    ), best AS (
+      SELECT q_id, vec_id, same_label, cos FROM (
+        SELECT q_id, vec_id, same_label, cos,
+               row_number() OVER (PARTITION BY q_id, same_label
+                                  ORDER BY cos DESC, vec_id) AS rnk
+        FROM scored
+      ) WHERE rnk = 1
+    )
+    SELECT q_id,
+           max(CASE WHEN same_label THEN vec_id END) AS pos_id,
+           round(max(CASE WHEN same_label THEN cos END), 6) AS pos_cos,
+           max(CASE WHEN NOT same_label THEN vec_id END) AS neg_id,
+           round(max(CASE WHEN NOT same_label THEN cos END), 6) AS neg_cos,
+           round(max(CASE WHEN same_label THEN cos END)
+                 - max(CASE WHEN NOT same_label THEN cos END), 6) AS margin
+    FROM best GROUP BY q_id
+    """,
+    doc="Contrastive hard-negative mining (the DPR/SimCSE training-data "
+    "primitive): for each anchor, the nearest SAME-label vector (the "
+    "positive) and the nearest DIFFERENT-label vector (the hard "
+    "negative) by exact cosine, plus the margin between them — "
+    "near-zero or negative margins flag label noise and the pairs a "
+    "contrastive batch builder should sample.  One scored corpus scan "
+    "feeds both arms via a (q_id, same_label)-partitioned top-1 window "
+    "(WindowGroupLimit-bounded), then a 2-rows-per-anchor conditional "
+    "pivot.  100 TB: swap the broadcast-anchor scan for the SRP-LSH "
+    "bucketed candidate stage (ann_filtered_topk's path) — mining is "
+    "per-anchor top-1, so bucket recall, not corpus size, is the dial.",
+)
+def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id",
+        "vec_id",
+        (F.col("label") == F.col("q_label")).alias("same_label"),
+        cosine(F.col("q_vec"), F.col("embedding")).alias("cos"),
+    )
+    w = Window.partitionBy("q_id", "same_label").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    best = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )
+    pos_cos = F.max(F.when(F.col("same_label"), F.col("cos")))
+    neg_cos = F.max(F.when(~F.col("same_label"), F.col("cos")))
+    return best.groupBy("q_id").agg(
+        F.max(F.when(F.col("same_label"), F.col("vec_id"))).alias("pos_id"),
+        F.round(pos_cos, 6).alias("pos_cos"),
+        F.max(F.when(~F.col("same_label"), F.col("vec_id"))).alias("neg_id"),
+        F.round(neg_cos, 6).alias("neg_cos"),
+        F.round(pos_cos - neg_cos, 6).alias("margin"),
+    )

@@ -86,3 +86,49 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(w)))).alias("fp_sorted"),
         rolling_hash(w).alias("fp_rolling"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 4, w: int = 8
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003): word ``k``-gram md5 hashes; every window of ``w``
+    consecutive hashes selects its RIGHTMOST minimum; the distinct
+    selected (position, hash) pairs are the document's fingerprints.
+
+    Guarantee: two documents sharing any run of >= ``k + w - 1`` words
+    share at least one fingerprint (the shared run contains a full
+    hash window, whose minimum is selected on both sides); expected
+    density is 2/(w+1) of the gram count.  Documents with fewer than
+    ``w`` grams winnow one whole-doc window (>= 1 fingerprint for any
+    doc with >= ``k`` words); shorter docs yield no rows.
+
+    Pure per-row array program — shingle, hash, window-argmin scan in
+    higher-order functions, one explode of the selected positions;
+    ZERO shuffles.  Output: (doc_id, gram_pos, fp)."""
+    from ..functions import shingle_hashes, word_shingles, words as _words
+
+    hashed = df.select(
+        "doc_id",
+        shingle_hashes(word_shingles(_words(F.col(text_col)), k)).alias("hashed"),
+    ).filter(F.size("hashed") >= 1)
+    m = F.size("hashed")
+    eff_w = F.least(F.lit(w), m)
+
+    def _win(p: Column) -> Column:
+        return F.slice(F.col("hashed"), p, eff_w)
+
+    positions = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), m - eff_w + 1),
+            lambda p: p.cast("long")
+            + eff_w.cast("long")
+            - F.array_position(F.reverse(_win(p)), F.array_min(_win(p))),
+        )
+    )
+    sel = hashed.select("doc_id", "hashed", F.explode(positions).alias("gram_pos"))
+    return sel.select(
+        "doc_id",
+        F.col("gram_pos").cast("long").alias("gram_pos"),
+        F.element_at("hashed", F.col("gram_pos").cast("int")).cast("long").alias("fp"),
+    )

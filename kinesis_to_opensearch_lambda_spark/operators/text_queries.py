@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import HASH_PRIME, SQL_MD5_LONG
+from ..functions import HASH_PRIME, SQL_MD5_LONG, sql_word_shingles
 from ..queries import register
 from ..sources.batch import fan_out, load_table
 from . import text as TX
@@ -477,3 +477,62 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# Winnowing parameters: word k-grams of size _WIN_K, window of _WIN_W
+# consecutive gram hashes.  Guarantee (Schleimer et al., SIGMOD 2003):
+# any shared run of >= _WIN_K + _WIN_W - 1 = 11 words yields a shared
+# fingerprint; no fingerprint window goes unsampled.
+_WIN_K = 4
+_WIN_W = 8
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             list_transform(
+               {sql_word_shingles(_W, _WIN_K)},
+               s -> {SQL_MD5_LONG.format(x='s')} % {HASH_PRIME}) AS hashed
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, hashed,
+             len(hashed) AS m,
+             LEAST({_WIN_W}, len(hashed)) AS eff_w
+      FROM grams WHERE len(hashed) >= 1
+    ), sel AS (
+      SELECT doc_id, hashed,
+             unnest(list_distinct(list_transform(
+               range(1, m - eff_w + 2),
+               p -> p + eff_w
+                    - list_position(
+                        list_reverse(array_slice(hashed, p, p + eff_w - 1)),
+                        list_min(array_slice(hashed, p, p + eff_w - 1)))
+             ))) AS gram_pos
+      FROM sized
+    )
+    SELECT doc_id,
+           CAST(gram_pos AS BIGINT) AS gram_pos,
+           CAST(hashed[gram_pos] AS BIGINT) AS fp
+    FROM sel
+    """,
+    doc=f"Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, "
+    f"SIGMOD 2003 — the MOSS local fingerprinting algorithm): word "
+    f"{_WIN_K}-gram md5 hashes, then each window of {_WIN_W} consecutive "
+    "hashes selects its RIGHTMOST minimum, and the distinct selected "
+    "positions are the document's fingerprint set — guaranteeing any "
+    f"shared run of >= {_WIN_K + _WIN_W - 1} words between two documents "
+    "shares a fingerprint, at ~2/(w+1) the density of keeping every "
+    "gram (the partial-overlap detector text_fingerprint's whole-doc "
+    "hashes cannot be).  Docs with fewer than w grams winnow one "
+    "whole-doc window.  Shape: pure per-row array programs (shingle -> "
+    "hash -> window-argmin scan) in codegen-adjacent HOFs, one explode "
+    "of the ~2m/w selected positions, ZERO shuffles before the "
+    "comparator; downstream dedup joins on the 8-byte fp exactly like "
+    "dedup_duplicate_spans.  100 TB: per-doc work is O(words*w), "
+    "fingerprint mass ~2n_grams/w rows — both linear; nothing global.",
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return TX.winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W)

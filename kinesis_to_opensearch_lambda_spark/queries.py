@@ -96,6 +96,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #     CHANGED_THIS_ROUND in tests/test_harness_integrity.py) ---
     "agg_countmin_heavy_hitters",  # W derived from error contract (1024)
     "streaming_stream_stream_join",  # data-derived key_mod + loud drain
+    "ann_matryoshka_recall",  # NEW r10: truncated-dim retrieval recall
+    "corpus_source_jsd",  # NEW r10: source-pair Jensen-Shannon divergence
+    "emb_hard_negative_mining",  # NEW r10: contrastive hard negatives
+    "text_winnowing_fingerprints",  # NEW r10: MOSS winnowing fingerprints
     # --- oldest-row rotation: ALL 42 remaining r5 rows (the oldest
     #     tier as of rounds < 10) + the 6 alphabetically-next r6 rows
     #     (the two changed seats displaced countmin's alphabetical
@@ -144,13 +148,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_rank_distribution",
     "window_session_builtin",
     "window_value_functions",
-    # --- r6 rows (alphabetically first of the next-oldest tier) ---
+    # --- r6 rows (alphabetically first of the next-oldest tier; four
+    #     of the original six seats were displaced by the four NEW r10
+    #     entries above — ties allowed by the invariant: rotation max ==
+    #     left-out min == 6) ---
     "agg_histogram",
     "agg_hll_partial_merge",
-    "agg_quantile_sketch_tolerance",
-    "ann_topk_ivf_multiprobe",
-    "anomaly_cusum_drift",
-    "anomaly_iqr_outliers",
 )
 
 

@@ -74,6 +74,14 @@ CHANGED_THIS_ROUND: frozenset[str] = frozenset(
         # silently reading a truncated spool.  Builder AND oracle
         # changed (values identical at sf<=0.1).
         "streaming_stream_stream_join",
+        # NEW in r10 (late): four LLM-pipeline operators added beyond
+        # the r9 queue — truncated-dim (Matryoshka) retrieval recall,
+        # pairwise source Jensen-Shannon divergence, contrastive
+        # hard-negative mining, and MOSS winnowing fingerprints.
+        "ann_matryoshka_recall",
+        "corpus_source_jsd",
+        "emb_hard_negative_mining",
+        "text_winnowing_fingerprints",
     }
 )
 
