@@ -32,17 +32,32 @@ def words(text: Column | str) -> Column:
 def word_shingles(words_col: Column, n: int = 3) -> Column:
     """n-word shingles: ["a","b","c","d"] -> ["a b c", "b c d"].
 
-    Built from sequence+transform+element_at (1-based) — pure codegen.
-    Documents shorter than n words yield an empty array (guarded so the
-    ANSI-mode sequence bounds never invert).
+    Built from sequence+transform+element_at (1-based).  Documents
+    shorter than n words yield an empty array (guarded so the ANSI-mode
+    sequence bounds never invert).
+
+    The input array is BOUND ONCE via a single-element ``transform``
+    before the per-gram lambda touches it: HOF lambdas re-evaluate
+    every expression they close over per element, so the natural form
+    (``element_at(words_col, ...)`` inside the lambda, where
+    ``words_col`` is typically the unevaluated ``split(text)``) re-ran
+    the split n times per gram — O(words x grams) per document.  Fixed
+    in r10 after profiling winnowing at sf1: shingling 50k docs cost
+    48s of a 90s query; binding cuts the whole shingle family
+    (minhash / containment / spans / boilerplate / decontam) to
+    per-gram constant work.
     """
-    idx = F.sequence(F.lit(0), F.size(words_col) - n)
-    shingle = lambda i: F.concat_ws(
-        " ", *[F.element_at(words_col, i + j + 1) for j in range(n)]
-    )
-    return F.when(F.size(words_col) >= n, F.transform(idx, shingle)).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def _shingles_of(wa: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(wa) - n)
+        shingle = lambda i: F.concat_ws(
+            " ", *[F.element_at(wa, i + j + 1) for j in range(n)]
+        )
+        return F.when(F.size(wa) >= n, F.transform(idx, shingle)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(words_col), _shingles_of), 1)
 
 
 def md5_long(col: Column | str) -> Column:

@@ -108,25 +108,43 @@ def winnow_fingerprints(
     ZERO shuffles.  Output: (doc_id, gram_pos, fp)."""
     from ..functions import shingle_hashes, word_shingles, words as _words
 
+    # Rightmost-argmin per window via ONE array_min over an encoded key:
+    # key = h * 2^POS_BITS + (2^POS_BITS - 1 - pos0).  Equal hashes
+    # compare by INVERTED position, so the window minimum is exactly the
+    # rightmost minimum hash, and decode is two integer ops — measured
+    # fastest of three HOF forms at sf1 (10.2s vs 17.2s for the naive
+    # reverse+position form that slices each window three times).
+    # Bounds: h < 2^31 (md5_long % HASH_PRIME), so key < 2^51 — no
+    # overflow; pos0 must fit POS_BITS, asserted per row below.
+    POS_BITS = 20
+    POS_MOD = 1 << POS_BITS  # gram-count ceiling: ~1M words per doc
+
     hashed = df.select(
         "doc_id",
         shingle_hashes(word_shingles(_words(F.col(text_col)), k)).alias("hashed"),
     ).filter(F.size("hashed") >= 1)
     m = F.size("hashed")
     eff_w = F.least(F.lit(w), m)
-
-    def _win(p: Column) -> Column:
-        return F.slice(F.col("hashed"), p, eff_w)
-
+    keys = F.transform(
+        F.col("hashed"), lambda h, i: h * POS_MOD + (F.lit(POS_MOD - 1) - i)
+    )
+    # .filter(assert_true(...).isNull()) keeps the guard in the plan —
+    # a projected-then-unused assert column would be pruned by Catalyst
+    # and never evaluated (the simhash exhaustive-cap guard pattern).
+    guarded = hashed.select("doc_id", "hashed", keys.alias("keys")).filter(
+        F.assert_true(
+            m <= F.lit(POS_MOD),
+            F.lit(f"winnow_fingerprints: doc exceeds {POS_MOD} grams"),
+        ).isNull()
+    )
     positions = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), m - eff_w + 1),
-            lambda p: p.cast("long")
-            + eff_w.cast("long")
-            - F.array_position(F.reverse(_win(p)), F.array_min(_win(p))),
+            lambda p: F.lit(POS_MOD).cast("long")
+            - (F.array_min(F.slice(F.col("keys"), p, eff_w)) % POS_MOD),
         )
     )
-    sel = hashed.select("doc_id", "hashed", F.explode(positions).alias("gram_pos"))
+    sel = guarded.select("doc_id", "hashed", F.explode(positions).alias("gram_pos"))
     return sel.select(
         "doc_id",
         F.col("gram_pos").cast("long").alias("gram_pos"),

@@ -19,17 +19,18 @@ W = 8
 
 
 def _select_positions_formula(hashes: list[int], w: int) -> set[int]:
-    """The engine's formula: for window start p (1-based), selected
-    gram_pos = p + eff_w - (1-based position of the min in the
-    REVERSED window)."""
+    """The engine's formula (operators/text.py): encode
+    key_i = h_i * 2^B + (2^B - 1 - i); the window MIN of the encoded
+    keys is the rightmost minimum hash (equal hashes compare by
+    inverted position), and gram_pos decodes as 2^B - (min %% 2^B)."""
+    POS_MOD = 1 << 20
+    keys = [h * POS_MOD + (POS_MOD - 1 - i) for i, h in enumerate(hashes)]
     m = len(hashes)
     eff_w = min(w, m)
     out = set()
     for p in range(1, m - eff_w + 2):
-        win = hashes[p - 1 : p - 1 + eff_w]
-        rev = win[::-1]
-        pos_rev = rev.index(min(win)) + 1
-        out.add(p + eff_w - pos_rev)
+        mn = min(keys[p - 1 : p - 1 + eff_w])
+        out.add(POS_MOD - (mn % POS_MOD))
     return out
 
 
