@@ -486,11 +486,11 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WIN_K = 4
 _WIN_W = 8
 
-
-@register(
-    "text_winnowing_fingerprints",
-    oracle=f"""
-    WITH grams AS (
+# DuckDB twin of TX.winnow_fingerprints as a reusable CTE body yielding
+# (doc_id, gram_pos, fp) — referenced by the fingerprint entry AND the
+# overlap-pair entry so the two oracles cannot drift apart.
+_SQL_WINNOW = f"""
+    grams AS (
       SELECT doc_id,
              list_transform(
                {sql_word_shingles(_W, _WIN_K)},
@@ -511,11 +511,20 @@ _WIN_W = 8
                         list_min(array_slice(hashed, p, p + eff_w - 1)))
              ))) AS gram_pos
       FROM sized
+    ), winnow AS (
+      SELECT doc_id,
+             CAST(gram_pos AS BIGINT) AS gram_pos,
+             CAST(hashed[gram_pos] AS BIGINT) AS fp
+      FROM sel
     )
-    SELECT doc_id,
-           CAST(gram_pos AS BIGINT) AS gram_pos,
-           CAST(hashed[gram_pos] AS BIGINT) AS fp
-    FROM sel
+"""
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH {_SQL_WINNOW}
+    SELECT doc_id, gram_pos, fp FROM winnow
     """,
     doc=f"Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, "
     f"SIGMOD 2003 — the MOSS local fingerprinting algorithm): word "
@@ -536,3 +545,100 @@ _WIN_W = 8
 def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return TX.winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W)
+
+
+# Document-frequency cap for winnowing overlap pairs: fingerprints
+# appearing in more than this many documents are boilerplate (common
+# phrases), excluded from pairing — the dedup_duplicate_spans /
+# dedup_boilerplate_ngrams discipline.  Bounds pair mass at
+# sum_fp C(df, 2) <= n_fps * DF_CAP^2 / 2 under any skew.
+_WIN_DF_CAP = 64
+_WIN_MIN_SHARED = 2
+
+
+@register(
+    "dedup_winnowing_overlap",
+    oracle=f"""
+    WITH {_SQL_WINNOW},
+    doc_fps AS (
+      SELECT DISTINCT doc_id, fp FROM winnow
+    ), kept AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp,
+               count(*) OVER (PARTITION BY fp) AS df
+        FROM doc_fps
+      ) WHERE df <= {_WIN_DF_CAP}
+    ), sizes AS (
+      SELECT doc_id, count(*)::BIGINT AS n_fps FROM kept GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*)::BIGINT AS n_shared
+      FROM kept a JOIN kept b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) >= {_WIN_MIN_SHARED}
+    )
+    SELECT p.doc_a, p.doc_b, p.n_shared,
+           sa.n_fps AS n_fps_a, sb.n_fps AS n_fps_b,
+           (1000000 * p.n_shared) // LEAST(sa.n_fps, sb.n_fps)
+             AS overlap_ppm
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    """,
+    doc=f"Winnowing-based near-duplicate pairs — the dedup CONSUMER of "
+    "text_winnowing_fingerprints (MOSS's second half): distinct "
+    "(doc, fp) sets, boilerplate fingerprints pruned by document "
+    f"frequency (df > {_WIN_DF_CAP} excluded — common phrases pair "
+    "everything with everything), then a self-equi-join on the 8-byte "
+    f"fp groups shared-fingerprint counts per pair (>= {_WIN_MIN_SHARED} "
+    "kept) and scores containment-style overlap against the smaller "
+    "fingerprint set in exact integer ppm.  Catches partial overlap "
+    "(quoting, templating, section reuse) that whole-doc hashing and "
+    "symmetric-threshold MinHash both miss, at winnowed density "
+    "(~2/(w+1) of gram mass).  100 TB: every stage shuffles 8-byte "
+    "hashes or (id,id) pairs, never text; the df cap bounds per-fp "
+    f"pair expansion at C({_WIN_DF_CAP},2) under any skew; integer "
+    "floor-division keeps the score engine-exact (Spark `div` == "
+    "DuckDB `//` on non-negative operands).",
+)
+def dedup_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    doc_fps = (
+        TX.winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    kept = (
+        doc_fps.withColumn("df", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("df") <= _WIN_DF_CAP)
+        .drop("df")
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_fps"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, ["fp"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fps").alias("n_fps_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fps").alias("n_fps_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_fps_a",
+            "n_fps_b",
+            F.expr("(1000000 * n_shared) div least(n_fps_a, n_fps_b)").alias(
+                "overlap_ppm"
+            ),
+        )
+    )

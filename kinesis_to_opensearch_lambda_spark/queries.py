@@ -98,6 +98,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_stream_stream_join",  # data-derived key_mod + loud drain
     "ann_matryoshka_recall",  # NEW r10: truncated-dim retrieval recall
     "corpus_source_jsd",  # NEW r10: source-pair Jensen-Shannon divergence
+    "dedup_winnowing_overlap",  # NEW r10: winnowing near-dup pairs
     "emb_hard_negative_mining",  # NEW r10: contrastive hard negatives
     "text_winnowing_fingerprints",  # NEW r10: MOSS winnowing fingerprints
     # --- oldest-row rotation: ALL 42 remaining r5 rows (the oldest
@@ -148,12 +149,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_rank_distribution",
     "window_session_builtin",
     "window_value_functions",
-    # --- r6 rows (alphabetically first of the next-oldest tier; four
-    #     of the original six seats were displaced by the four NEW r10
+    # --- r6 rows (alphabetically first of the next-oldest tier; five
+    #     of the original six seats were displaced by the five NEW r10
     #     entries above — ties allowed by the invariant: rotation max ==
     #     left-out min == 6) ---
     "agg_histogram",
-    "agg_hll_partial_merge",
 )
 
 

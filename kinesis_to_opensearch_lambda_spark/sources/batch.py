@@ -129,8 +129,44 @@ def _scan_task_estimate(
     # over-counts on many-tiny-file layouts and would suppress the
     # fan-out exactly when the scan is most starved).
     packed = max(1, -(-total // max_split))
+    # Byte-range splits are an UPPER BOUND on useful width: a parquet
+    # row group belongs entirely to the split containing its start, so
+    # a file with fewer row groups than splits yields row-carrying
+    # tasks only for those row groups — the rest scan footer bytes and
+    # emit nothing.  Found at sf10: a 51 MB single-row-group embeddings
+    # file estimated 13 splits (above the fan-out threshold, so no
+    # repartition) but executed as ONE row-bearing task — brute-force
+    # cosine ran single-threaded, 75s instead of 8s.  Cap the estimate
+    # by the actual row-group count (footer-only metadata read, cached
+    # like the sizes).
+    rg_total = _row_group_count(files)
+    if rg_total is not None:
+        packed = min(packed, max(1, rg_total))
     _FAN_OUT_CACHE[key] = packed
     return packed
+
+
+def _row_group_count(files: tuple[str, ...]) -> int | None:
+    """Total parquet row groups across ``files`` (None for non-parquet
+    sources, whose byte-range splits are genuinely row-bearing)."""
+    key = ("rg", files)
+    if key in _FAN_OUT_CACHE:
+        return _FAN_OUT_CACHE[key]
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        return None
+    total = 0
+    for uri in files:
+        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        if not path.endswith(".parquet"):
+            return None
+        try:
+            total += pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:
+            return None
+    _FAN_OUT_CACHE[key] = total
+    return total
 
 
 def fan_out(df: DataFrame, min_factor: int = 2) -> DataFrame:

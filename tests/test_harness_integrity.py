@@ -82,6 +82,10 @@ CHANGED_THIS_ROUND: frozenset[str] = frozenset(
         "corpus_source_jsd",
         "emb_hard_negative_mining",
         "text_winnowing_fingerprints",
+        # NEW in r10 (late): the dedup CONSUMER of the winnowing
+        # fingerprints — overlap-pair detection with a boilerplate
+        # document-frequency prune.
+        "dedup_winnowing_overlap",
     }
 )
 
