@@ -46,16 +46,19 @@ INTENTIONAL_PLAN_CHANGES: dict[tuple[str, str], str] = {}
 # it tracks the current round's heaviest new/rewritten operators and is
 # EXPECTED to change between rounds, so it gets numbers in the round
 # artifact but no regression guard (guarding a moving set would compare
-# different plans).  r10 review: membership UNCHANGED from r9 (the
-# spill-lean intersect triangle count, the windowed simhash near-dup,
-# and both multitable kNN paths) — the maintenance round added no
-# heavier operator; the one materially-changed entry
-# (agg_countmin_heavy_hitters, derived W) is already headline-guarded.
+# different plans).  r10 late review: the continued session added five
+# operators; the two heaviest new paths join the tier (winnowing
+# fingerprint selection + its overlap-pair consumer — 53s/64s
+# Spark-side at sf10, the largest of the additions), alongside the r9
+# carry-overs (spill-lean intersect triangle count, windowed simhash
+# near-dup, both multitable kNN paths).
 FRONTIER: tuple[str, ...] = (
     "graph_triangle_count",
     "dedup_simhash_near",
     "ann_knn_graph_multitable",
     "ann_knn_graph_mutual_multitable",
+    "text_winnowing_fingerprints",
+    "dedup_winnowing_overlap",
 )
 
 

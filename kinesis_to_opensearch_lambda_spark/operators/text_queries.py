@@ -605,6 +605,8 @@ _WIN_MIN_SHARED = 2
 def dedup_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from .lineage import truncate_lineage
+
     docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     doc_fps = (
         TX.winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W)
@@ -616,6 +618,14 @@ def dedup_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= _WIN_DF_CAP)
         .drop("df")
     )
+    # The plan references `kept` four times (pair join left/right +
+    # both size lookups); Spark does not dedupe common subplans, so
+    # without a lineage cut the WHOLE winnowing subtree (scan ->
+    # shingle -> hash -> window-argmin -> distinct -> df-window) runs
+    # 4x — .explain showed four copies.  One materialization of the
+    # narrow (doc_id, fp) table (16 bytes/row) feeds all four
+    # consumers; the simhash rank-join lineage-cut precedent.
+    kept = truncate_lineage(kept, checkpoint_dir=None)
     sizes = kept.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_fps"))
     a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
     b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
