@@ -741,14 +741,30 @@ def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     "drives the quadratic term, and that is dimension-sized.",
 )
 def corpus_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .lineage import truncate_lineage
+
     docs = _docs(spark, sf_dir)
     tok = docs.select("source", F.explode(words("text")).alias("word"))
     cw = tok.groupBy("source", "word").agg(F.count("*").cast("long").alias("c"))
     tot = cw.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
-    d = cw.join(tot, "source").select(
-        "source",
-        "word",
-        (F.col("c").cast("double") / F.col("t").cast("double")).alias("p"),
+    # The distribution table is referenced SIX times downstream (d1/d2
+    # in the inner-coverage join, d2/d1 in the right-only anti branch,
+    # and the source list twice for the pair table); the static plan
+    # shows the tokenize+count subtree — the only corpus-sized work in
+    # the query — 16 times.  Measured at sf10 the cut is RUNTIME-NEUTRAL
+    # on this box (AQE ReusedExchange dedupes the identical shuffle
+    # subtrees: 6.3s vs 6.4s warm, interleaved runs); it is kept anyway
+    # because broadcast-side references are not guaranteed reusable
+    # across planner versions, and materializing the vocab-bounded
+    # (source, word, p) table makes the tokenize-once guarantee
+    # structural rather than an AQE artifact.
+    d = truncate_lineage(
+        cw.join(tot, "source").select(
+            "source",
+            "word",
+            (F.col("c").cast("double") / F.col("t").cast("double")).alias("p"),
+        ),
+        None,
     )
     srcs = d.select("source").distinct()
     pairs = (
