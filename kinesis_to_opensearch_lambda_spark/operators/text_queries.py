@@ -652,3 +652,112 @@ def dedup_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH bg AS (
+      SELECT doc_id,
+             unnest({sql_word_shingles(_W, 2)}) AS bigram,
+             len({_W}) AS n_tokens
+      FROM documents WHERE len({_W}) >= 2
+    ), db AS (
+      SELECT doc_id, bigram, any_value(n_tokens) AS n_tokens,
+             count(*)::BIGINT AS cnt
+      FROM bg GROUP BY doc_id, bigram
+    ), c12 AS (
+      SELECT bigram, CAST(sum(cnt) AS BIGINT) AS c12 FROM db GROUP BY bigram
+    ), c1 AS (
+      SELECT word, count(*)::BIGINT AS c1 FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      ) GROUP BY word
+    ), v AS (
+      SELECT count(DISTINCT word)::BIGINT AS vocab FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      )
+    ), lp AS (
+      SELECT c12.bigram,
+             CAST(round(-log2((c12.c12 + 1)::DOUBLE
+                              / (c1.c1 + v.vocab)::DOUBLE) * 1000000)
+                  AS BIGINT) AS lp_i
+      FROM c12
+      JOIN c1 ON c1.word = string_split(c12.bigram, ' ')[1]
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(any_value(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(cnt * lp_i) AS BIGINT) AS total_microbits,
+           sum(cnt * lp_i)::DOUBLE
+             / (any_value(n_tokens) - 1)::DOUBLE / 1000000.0
+             AS bits_per_bigram
+    FROM db JOIN lp USING (bigram)
+    GROUP BY doc_id
+    """,
+    doc="Bigram language-model scoring with add-one smoothing — the "
+    "context-aware upgrade of text_unigram_logprob's perplexity-filter "
+    "proxy: p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V), per-doc mean surprisal "
+    "over the n-1 bigram positions.  Word-salad that unigram scoring "
+    "cannot flag (right words, wrong order) scores high here.  Bigram "
+    "extraction REUSES word_shingles(n=2) (one bound tokenize pass, "
+    "the r10 bind fix), counts group on the bigram string, and the "
+    "per-bigram surprisal table joins back on the bigram key — the "
+    "TF-IDF shuffle shape, dictionary-sized after aggregation.  "
+    "Surprisal is scaled to exact integer micro-bits per bigram TYPE "
+    "before the per-doc weighted sum; the per-doc mean ships as the "
+    "unrounded quotient of integer sums (the corpus_source_jsd "
+    "half-boundary lesson).  100 TB: corpus tokenized twice (bigram + "
+    "unigram passes), all shuffles on hashed token keys; the bigram "
+    "dictionary is vocab-squared-bounded, far below corpus scale.",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import word_shingles, words
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    n_tok = F.size(F.split("text", " "))
+    bg = docs.filter(n_tok >= 2).select(
+        "doc_id",
+        F.explode(word_shingles(words("text"), 2)).alias("bigram"),
+        n_tok.alias("n_tokens"),
+    )
+    db = bg.groupBy("doc_id", "bigram").agg(
+        F.any_value("n_tokens").alias("n_tokens"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    c12 = db.groupBy("bigram").agg(F.sum("cnt").cast("long").alias("c12"))
+    tok = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    c1 = tok.groupBy("word").agg(F.count("*").cast("long").alias("c1"))
+    v = tok.agg(F.count_distinct("word").cast("long").alias("vocab"))
+    lp = (
+        c12.join(
+            c1, F.split(F.col("bigram"), " ").getItem(0) == F.col("word")
+        )
+        .crossJoin(F.broadcast(v))
+        .select(
+            "bigram",
+            F.round(
+                -F.log2(
+                    (F.col("c12") + 1).cast("double")
+                    / (F.col("c1") + F.col("vocab")).cast("double")
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lp_i"),
+        )
+    )
+    return (
+        db.join(lp, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("lp_i")).cast("long").alias(
+                "total_microbits"
+            ),
+            (
+                F.sum(F.col("cnt") * F.col("lp_i")).cast("double")
+                / (F.any_value("n_tokens") - 1).cast("double")
+                / 1_000_000.0
+            ).alias("bits_per_bigram"),
+        )
+    )

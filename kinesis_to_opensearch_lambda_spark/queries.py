@@ -96,10 +96,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #     CHANGED_THIS_ROUND in tests/test_harness_integrity.py) ---
     "agg_countmin_heavy_hitters",  # W derived from error contract (1024)
     "streaming_stream_stream_join",  # data-derived key_mod + loud drain
+    "ann_eval_mrr_ndcg",  # NEW r10: ranking-aware retrieval eval
     "ann_matryoshka_recall",  # NEW r10: truncated-dim retrieval recall
     "corpus_source_jsd",  # NEW r10: source-pair Jensen-Shannon divergence
     "dedup_winnowing_overlap",  # NEW r10: winnowing near-dup pairs
     "emb_hard_negative_mining",  # NEW r10: contrastive hard negatives
+    "text_bigram_logprob",  # NEW r10: add-one bigram LM scoring
     "text_winnowing_fingerprints",  # NEW r10: MOSS winnowing fingerprints
     # --- oldest-row rotation: ALL 42 remaining r5 rows (the oldest
     #     tier as of rounds < 10) + the 6 alphabetically-next r6 rows
@@ -148,12 +150,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_gap_islands",
     "window_rank_distribution",
     "window_session_builtin",
-    "window_value_functions",
-    # --- r6 rows (alphabetically first of the next-oldest tier; five
-    #     of the original six seats were displaced by the five NEW r10
-    #     entries above — ties allowed by the invariant: rotation max ==
-    #     left-out min == 6) ---
-    "agg_histogram",
+    # window_value_functions (r5) and the six r6 seats were displaced
+    # by the seven NEW r10 entries above — ties allowed by the
+    # invariant: rotation max == left-out min == 5.
 )
 
 

@@ -86,6 +86,12 @@ CHANGED_THIS_ROUND: frozenset[str] = frozenset(
         # fingerprints — overlap-pair detection with a boilerplate
         # document-frequency prune.
         "dedup_winnowing_overlap",
+        # NEW in r10 (late, second batch): ranking-aware retrieval
+        # eval (MRR/NDCG@5 of IVF vs exact graded truth) and add-one
+        # bigram LM scoring (the context-aware perplexity-filter
+        # upgrade of text_unigram_logprob).
+        "ann_eval_mrr_ndcg",
+        "text_bigram_logprob",
     }
 )
 
