@@ -89,70 +89,67 @@ from .operators import (  # noqa: E402,F401
 # Every entry keeps full local parity coverage via
 # tests/test_oracle_parity.py regardless of window membership.
 # ---------------------------------------------------------------------------
-DRIVER_WINDOW_ROUND = 10
+DRIVER_WINDOW_ROUND = 11
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- added or materially rewritten in r10 (kept in sync with
+    # --- added or materially rewritten in r11 (kept in sync with
     #     CHANGED_THIS_ROUND in tests/test_harness_integrity.py) ---
-    "agg_countmin_heavy_hitters",  # W derived from error contract (1024)
-    "streaming_stream_stream_join",  # data-derived key_mod + loud drain
-    "ann_eval_mrr_ndcg",  # NEW r10: ranking-aware retrieval eval
-    "ann_matryoshka_recall",  # NEW r10: truncated-dim retrieval recall
-    "corpus_source_jsd",  # NEW r10: source-pair Jensen-Shannon divergence
-    "dedup_winnowing_overlap",  # NEW r10: winnowing near-dup pairs
-    "emb_hard_negative_mining",  # NEW r10: contrastive hard negatives
-    "text_bigram_logprob",  # NEW r10: add-one bigram LM scoring
-    "text_winnowing_fingerprints",  # NEW r10: MOSS winnowing fingerprints
-    # --- oldest-row rotation: ALL 42 remaining r5 rows (the oldest
-    #     tier as of rounds < 10) + the 6 alphabetically-next r6 rows
-    #     (the two changed seats displaced countmin's alphabetical
-    #     peers; ties allowed by the invariant: rotation max ==
-    #     left-out min == 6; the r6 rows remaining outside stay the
-    #     oldest tier for the r11 rotation) ---
-    "ann_topk_rerank",
-    "anomaly_hourly_zscore",
-    "cohort_retention",
-    "corpus_dup_rate_by_source",
-    "corpus_mixture_weights",
-    "corpus_quality_vs_dup",
-    "corpus_zipf_fit",
-    "curation_source_cap",
-    "diag_key_skew",
-    "emb_pq_assign",
-    "funnel_stages",
-    "graph_lpa_communities",
-    "graph_pagerank_items",
-    "join_asof_tolerance",
-    "lateral_posexplode",
-    "lateral_topk_per_nation",
-    "scd2_customer_history",
-    "source_csv_scan",
-    "source_jsonl_scan",
-    "streaming_dlq_split",
-    "streaming_sliding_counts",
-    "text_gopher_filter",
-    "text_regex_stats",
-    "text_unigram_entropy",
-    "text_unigram_logprob",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_value",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_quantity",
-    "tpch_q19_disjunctive",
-    "tpch_q20_excess_supply",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_idle_customers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "window_gap_islands",
-    "window_rank_distribution",
-    "window_session_builtin",
-    # window_value_functions (r5) and the six r6 seats were displaced
-    # by the seven NEW r10 entries above — ties allowed by the
-    # invariant: rotation max == left-out min == 5.
+    # (none yet — new/changed entries seat here as they land, each
+    #  displacing the youngest rotation row below)
+    # --- oldest-row rotation as of rounds < 11: the single remaining
+    #     r5 row (window_value_functions) + ALL 47 remaining r6 rows
+    #     + the 2 alphabetically-first r7 rows (ties allowed by the
+    #     invariant: rotation max == left-out min == 7) ---
+    "agg_boolean_conditional",
+    "agg_corr_exact_moments",
+    "agg_histogram",
+    "agg_hll_partial_merge",
+    "agg_quantile_sketch_tolerance",
+    "ann_topk_ivf_multiprobe",
+    "anomaly_cusum_drift",
+    "anomaly_iqr_outliers",
+    "cdc_merge_upsert",
+    "dedup_chunk_exact",
+    "emb_gram_matrix",
+    "emb_intra_inter_cosine",
+    "emb_normalize",
+    "emb_quantize_int8",
+    "graph_bfs_reachability",
+    "graph_common_neighbors",
+    "graph_degree_distribution",
+    "graph_kcore_peel",
+    "graph_random_walk_deterministic",
+    "ivf_kmeans_lloyd_step",
+    "join_asof_nearest",
+    "join_dynamic_partition_pruning",
+    "join_salted_skew",
+    "join_scd2_point_in_time",
+    "join_shuffled_hash_hint",
+    "maintenance_compact_small_files",
+    "maintenance_targeted_delete",
+    "maintenance_zorder_skipping",
+    "quality_ks_two_sample",
+    "quality_psi_drift",
+    "rollup_time_hierarchy",
+    "scalar_sql_udf_inlined",
+    "source_corrupt_file_skip",
+    "source_partitioned_pruning",
+    "source_python_datasource",
+    "source_schema_evolution",
+    "sql_recursive_cte_reachability",
+    "streaming_incremental_mv",
+    "streaming_python_datasource",
+    "streaming_session_windows",
+    "streaming_sketch_distinct",
+    "streaming_static_enrich",
+    "variant_typed_extract",
+    "window_event_transitions",
+    "window_ewma_finite",
+    "window_ntile_quartiles",
+    "window_sliding_distinct_users",
+    "window_sliding_distinct_users_hll",
+    "window_time_weighted_avg",
+    "window_value_functions",
 )
 
 

@@ -64,34 +64,8 @@ def test_comparator_detects_negative_zero():
 # round; reset it at the next round's rotation.
 CHANGED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # r10 verdict task 8: count-min width derived from the error
-        # contract (W = next_pow2(e/(eps_rel*phi)) = 1024) instead of
-        # the audited demo constant 512 — builder AND oracle changed.
-        "agg_countmin_heavy_hitters",
-        # r10 sf10 streaming sweep finding: data-derived key modulus
-        # (matched-pair mass linear, not quadratic, in sf) + _drain
-        # raises on an un-drained availableNow query instead of
-        # silently reading a truncated spool.  Builder AND oracle
-        # changed (values identical at sf<=0.1).
-        "streaming_stream_stream_join",
-        # NEW in r10 (late): four LLM-pipeline operators added beyond
-        # the r9 queue — truncated-dim (Matryoshka) retrieval recall,
-        # pairwise source Jensen-Shannon divergence, contrastive
-        # hard-negative mining, and MOSS winnowing fingerprints.
-        "ann_matryoshka_recall",
-        "corpus_source_jsd",
-        "emb_hard_negative_mining",
-        "text_winnowing_fingerprints",
-        # NEW in r10 (late): the dedup CONSUMER of the winnowing
-        # fingerprints — overlap-pair detection with a boilerplate
-        # document-frequency prune.
-        "dedup_winnowing_overlap",
-        # NEW in r10 (late, second batch): ranking-aware retrieval
-        # eval (MRR/NDCG@5 of IVF vs exact graded truth) and add-one
-        # bigram LM scoring (the context-aware perplexity-filter
-        # upgrade of text_unigram_logprob).
-        "ann_eval_mrr_ndcg",
-        "text_bigram_logprob",
+        # r11: nothing yet — new/changed entries are added here (and
+        # seated in DRIVER_WINDOW) as they land during the round.
     }
 )
 
