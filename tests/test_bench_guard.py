@@ -133,3 +133,31 @@ def test_frontier_disjoint_semantics():
     be the round's newest heavy path), but the tier itself must be
     non-empty and duplicate-free so totals are meaningful."""
     assert len(bench.FRONTIER) == len(set(bench.FRONTIER)) > 0
+
+
+def test_frontier_advisory_parity_under_drift():
+    """r10 verdict task 3: a frontier query 1.3x slower while the
+    headline fleet also drifted 1.3x is NOT advisory-regressed."""
+    out = bench._frontier_vs_drift_pure(
+        {"f0": 1.3, "f1": 2.6}, {"f0": 1.0, "f1": 2.0}, 1.3, "BENCH_rX.json"
+    )
+    assert out["advisory_regressed"] == {}
+    assert out["drift_normalized"] == {"f0": 1.0, "f1": 1.0}
+    assert out["baseline"] == "BENCH_rX.json"
+
+
+def test_frontier_advisory_flags_residual_beyond_drift():
+    """The r10 blind spot: mutual_multitable at 2.2x raw / 1.82x
+    drift-normalized must surface in the artifact."""
+    out = bench._frontier_vs_drift_pure(
+        {"f0": 13.55, "f1": 2.0}, {"f0": 6.17, "f1": 1.9}, 1.209, "BENCH_r10.json"
+    )
+    assert set(out["advisory_regressed"]) == {"f0"}
+    assert out["advisory_regressed"]["f0"] == [6.17, 13.55]
+    assert abs(out["drift_normalized"]["f0"] - 1.816) < 0.01
+
+
+def test_frontier_advisory_none_without_overlap():
+    assert (
+        bench._frontier_vs_drift_pure({"new": 1.0}, {"old": 1.0}, 1.0, "b") is None
+    )
