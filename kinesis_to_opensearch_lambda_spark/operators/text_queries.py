@@ -498,7 +498,15 @@ _SQL_WINNOW = f"""
       FROM documents
     ), sized AS (
       SELECT doc_id, hashed,
-             len(hashed) AS m,
+             -- mirror of the Spark side's assert_true gram-count cap
+             -- (text.py winnow_fingerprints, POS_MOD = 2^20): the
+             -- encoded-key argmin only fits ~1M gram positions, so the
+             -- engine RAISES on a longer doc — the oracle must fail
+             -- identically instead of silently computing (r10 ADVICE:
+             -- a one-sided mismatch would misread as an engine bug).
+             CASE WHEN len(hashed) > {1 << 20}
+                  THEN error('winnow: doc exceeds ' || {1 << 20} || ' grams')
+                  ELSE len(hashed) END AS m,
              LEAST({_WIN_W}, len(hashed)) AS eff_w
       FROM grams WHERE len(hashed) >= 1
     ), sel AS (

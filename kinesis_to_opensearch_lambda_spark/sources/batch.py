@@ -139,9 +139,16 @@ def _scan_task_estimate(
     # cosine ran single-threaded, 75s instead of 8s.  Cap the estimate
     # by the actual row-group count (footer-only metadata read, cached
     # like the sizes).
-    rg_total = _row_group_count(files)
-    if rg_total is not None:
-        packed = min(packed, max(1, rg_total))
+    # Every parquet file holds >=1 row group, so rg_total >= len(files):
+    # on a listing wider than the cluster the cap cannot pull the
+    # estimate below any fan-out threshold (<= target), and reading
+    # thousands of footers driver-side would be pure cost — exactly the
+    # 100 TB layout.  Footer reads are therefore bounded to listings of
+    # at most `target` files (the only case the cap can matter).
+    if len(files) <= target:
+        rg_total = _row_group_count(files)
+        if rg_total is not None:
+            packed = min(packed, max(1, rg_total))
     _FAN_OUT_CACHE[key] = packed
     return packed
 
@@ -152,19 +159,27 @@ def _row_group_count(files: tuple[str, ...]) -> int | None:
     key = ("rg", files)
     if key in _FAN_OUT_CACHE:
         return _FAN_OUT_CACHE[key]
+    total: int | None = 0
     try:
         import pyarrow.parquet as pq
-    except Exception:
-        return None
-    total = 0
-    for uri in files:
-        path = uri[len("file:"):] if uri.startswith("file:") else uri
-        if not path.endswith(".parquet"):
-            return None
-        try:
+
+        for uri in files:
+            path = uri[len("file:"):] if uri.startswith("file:") else uri
+            if not path.endswith(".parquet"):
+                total = None
+                break
             total += pq.ParquetFile(path).metadata.num_row_groups
-        except Exception:
-            return None
+    except Exception as exc:
+        # A transient footer-read failure disables the row-group cap
+        # for this listing (the estimate falls back to byte-range
+        # splits, which can only OVER-estimate width and suppress the
+        # fan-out).  Cache the None so the footers are not re-opened
+        # per query, and say so — a silent fallback here is how a
+        # single-row-group file regresses to a single-task scan.
+        import sys
+
+        print(f"# fan_out: row-group cap skipped ({exc!r})", file=sys.stderr)
+        total = None
     _FAN_OUT_CACHE[key] = total
     return total
 

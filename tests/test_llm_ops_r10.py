@@ -44,6 +44,13 @@ def test_hard_negative_margin_consistency(spark):
     rows = _run(spark, "emb_hard_negative_mining")
     assert rows and len(rows) == len({r.q_id for r in rows})
     for r in rows:
+        # A singleton-label anchor would yield NULL pos_id/pos_cos/
+        # margin, passing `pos_id != q_id` vacuously and crashing the
+        # margin arithmetic with TypeError instead of a legible
+        # assertion (r10 ADVICE) — require completeness explicitly.
+        assert None not in (r.pos_id, r.neg_id, r.pos_cos, r.neg_cos, r.margin), (
+            f"anchor {r.q_id}: incomplete pos/neg row {r}"
+        )
         assert r.pos_id != r.q_id and r.neg_id != r.q_id
         assert r.pos_id != r.neg_id
         assert -1.000001 <= r.neg_cos <= 1.000001

@@ -133,3 +133,35 @@ def test_winnowing_density_bound(spark):
     for r in counts:
         n_windows = max(r.m - W + 1, 1)
         assert 1 <= r["count"] <= n_windows
+
+
+def test_oracle_gram_cap_mirrors_engine_guard():
+    """The engine raises on docs over 2^20 grams (the encoded-key argmin
+    only fits POS_BITS positions; assert_true in text.py).  The DuckDB
+    twin must fail IDENTICALLY rather than silently computing (r10
+    ADVICE: a one-sided mismatch would misread as an engine bug).  The
+    full-CTE path is md5-bound (~minutes for a 1M-gram doc), so pin it
+    in two cheap halves: (1) the guard text is present in _SQL_WINNOW,
+    (2) the exact CASE/error() form raises in DuckDB on an over-cap
+    list and stays lazy on an in-cap one."""
+    import duckdb
+    import pytest
+
+    import kinesis_to_opensearch_lambda_spark.queries  # noqa: F401 - registration order
+    from kinesis_to_opensearch_lambda_spark.operators.text_queries import (
+        _SQL_WINNOW,
+    )
+
+    cap = 1 << 20
+    assert f"len(hashed) > {cap}" in _SQL_WINNOW
+    assert "error(" in _SQL_WINNOW
+
+    con = duckdb.connect()
+    guard = (
+        f"CASE WHEN len(l) > {cap} THEN error('winnow: doc exceeds ' "
+        f"|| {cap} || ' grams') ELSE len(l) END"
+    )
+    with pytest.raises(Exception, match="exceeds 1048576 grams"):
+        con.execute(f"SELECT {guard} FROM (SELECT range(1, {cap + 2}) AS l)")
+    ok = con.execute(f"SELECT {guard} FROM (SELECT [1, 2, 3] AS l)").fetchone()
+    assert ok == (3,)
