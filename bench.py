@@ -59,6 +59,9 @@ FRONTIER: tuple[str, ...] = (
     "ann_knn_graph_mutual_multitable",
     "text_winnowing_fingerprints",
     "dedup_winnowing_overlap",
+    # r11: the round's one new heavy path — SemDeDup semantic cluster
+    # dedup (23-29s Spark-side at sf10 post lineage-cut).
+    "dedup_semdedup_prune",
 )
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions import (
     HASH_PRIME,
+    SQL_DOT,
     SQL_MD5_LONG,
     cosine,
     md5_long,
@@ -1318,3 +1319,369 @@ register(
     oracle=_planner_oracle(),
     doc=REGISTRY["dedup_lsh_planner"].doc,
 )(dedup_lsh_planner)
+
+
+
+# ---- SemDeDup: semantic (embedding-space) cluster dedup --------------
+#
+# Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication" — the one major published
+# LLM-curation dedup mode not covered by the lexical family above
+# (exact/MinHash/SimHash/winnowing all key on surface text; SemDeDup
+# keys on the embedding, catching paraphrases and re-encodings).
+# Algorithm: cluster the embedding corpus, then WITHIN each cluster
+# mark an item a semantic duplicate when its cosine to a higher-keep-
+# priority member reaches tau; the paper's best setting ("keep hard")
+# gives keep priority to items FAR from their centroid.
+#
+# Scale shape (the 100 TB contract):
+#  - vectors are UNIT-NORMALIZED once up front, so every pairwise
+#    cosine downstream is a single 64-fold dot (not dot + two norm
+#    re-folds per pair — 3x less work on the dominant stage);
+#  - coarse clusters = nearest label-centroid (the IVF coarse
+#    quantizer ivf_kmeans_lloyd_step trains; tiny broadcast, one
+#    map-side argmax — the corpus is never shuffled by vector);
+#  - candidate pairing is NEVER quadratic, not even per bucket:
+#    members are sub-bucketed into L=2 independent SRP-LSH tables
+#    (disjoint plane sets, the minhash-band OR-amplification pattern)
+#    masked to B bits — B derived IN-PLAN from the corpus count
+#    (clamp(ceil(log2(n/1280)), 0, 8), the data-derived-parameter
+#    discipline from stream_stream_join) — and WITHIN each bucket,
+#    members sorted by keep-priority rank are paired only against the
+#    previous _SEM_WINDOW chunk (the simhash windowed-chunk join /
+#    SortingLSH pattern).  Pair mass <= L * n * 2W by construction —
+#    bucket size and duplicate-group multiplicity CANNOT blow it up
+#    (a first draft that paired whole buckets hit 68.7M pairs at sf10
+#    because the tiled corpus holds ~100 exact copies per vector:
+#    per-bucket pairing is quadratic in copy multiplicity, the same
+#    trap the winnowing overlap's document-frequency prune closes).
+#  - recall: the keep-priority sort IS a centroid-similarity sort, so
+#    near-dups — whose centroid cosines are nearly equal — sit nearly
+#    adjacent within a bucket; exact copies share SRP bits and are
+#    exactly adjacent.  A tau-pair is missed only if >W-1 same-bucket
+#    members separate the two in BOTH tables (intervening vectors
+#    rarely share both bit-patterns).  Candidates are SLIM id pairs,
+#    UNION + DISTINCT across tables before ONE dot-scoring pass (the
+#    knn_graph_mutual_multitable shape) — embeddings never ride the
+#    pair shuffle.  The oracle mirrors the identical bucketing +
+#    window, so engine/oracle parity is exact regardless of recall.
+# Like the rest of this module the near-dups are PLANTED (perturbed
+# copies of every 20th vector, reserved id namespace): the organic
+# corpus has max intra-label cosine ~0.5, so tau=0.95 isolates
+# exactly the planted pairs (plus the exact copies a tiled corpus
+# contains) and the detection path is genuinely exercised.
+
+_SEM_TAU_I = 950_000  # cosine >= 0.95 marks a semantic duplicate
+_SEM_WINDOW = 8  # chunk width of the within-bucket rank-window join
+# B targets ~128 members per bucket given the corpus's K=10 coarse
+# cells: n / (10 * 128) = n / 1280.  K is a data property (labels),
+# not a tuning knob; if the corpus's cell count changes, bucket sizes
+# shift but the windowed pair mass stays L*n*2W regardless.
+_SEM_BITS_DENOM = 1280.0
+
+# Unit-normalize a list-of-float column (DuckDB side); nrm must be a
+# column computed in a prior CTE so the fold is not re-run per element.
+_SQL_SEM_UNIT = "list_transform({e}, x -> x::DOUBLE / {nrm})"
+_SQL_SEM_NRM = "greatest(sqrt({dot}), 1e-30)"
+
+
+def _sql_sem_srp(t: int) -> str:
+    """Masked SRP bits for table ``t`` over the unit vector column u."""
+    return (
+        f"{S.sql_srp_bits('u', n_planes=8, plane_offset=t * 8)}"
+        " & ((1 << (SELECT B FROM nbits)) - 1)"
+    )
+
+
+@register(
+    "dedup_semdedup_prune",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000000000 AS vec_id, {_SQL_PERTURB} AS embedding
+      FROM embeddings WHERE vec_id % 20 = 0
+    ), corpus AS (
+      SELECT vec_id, {_SQL_SEM_UNIT.format(e='embedding', nrm='nrm')} AS u
+      FROM (
+        SELECT vec_id, embedding,
+               {_SQL_SEM_NRM.format(dot=SQL_DOT.format(a='embedding', b='embedding'))} AS nrm
+        FROM base
+      )
+    ), cent AS (
+      SELECT label AS c_label, pos,
+             round(avg(embedding[pos + 1]::DOUBLE), 6) AS cv
+      FROM embeddings, range(64) t(pos)
+      GROUP BY label, pos
+    ), cvec AS (
+      SELECT c_label, list(cv ORDER BY pos) AS cvec
+      FROM cent GROUP BY c_label
+    ), cunit AS (
+      SELECT c_label, {_SQL_SEM_UNIT.format(e='cvec', nrm='nrm')} AS cu
+      FROM (
+        SELECT c_label, cvec,
+               {_SQL_SEM_NRM.format(dot=SQL_DOT.format(a='cvec', b='cvec'))} AS nrm
+        FROM cvec
+      )
+    ), scored AS (
+      SELECT c.vec_id, c.u, v.c_label,
+             CAST(round({SQL_DOT.format(a='c.u', b='v.cu')} * 1000000)
+                  AS BIGINT) AS cos_i
+      FROM corpus c CROSS JOIN cunit v
+    ), assigned AS (
+      SELECT vec_id, u, c_label AS cluster, cos_i AS cent_cos_i
+      FROM (
+        SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY cos_i DESC, c_label
+                  ) AS a_rn
+        FROM scored
+      ) WHERE a_rn = 1
+    ), nbits AS (
+      SELECT LEAST(8, GREATEST(0,
+               CAST(ceil(log2(count(*) / {_SEM_BITS_DENOM})) AS INT))) AS B
+      FROM base
+    ), ranked AS (
+      SELECT vec_id, u, cluster, cent_cos_i,
+             row_number() OVER (
+               PARTITION BY cluster ORDER BY cent_cos_i, vec_id
+             ) AS rn
+      FROM assigned
+    ), slim AS (
+      SELECT cluster, t, bits,
+             vec_id, rn,
+             (row_number() OVER (
+                PARTITION BY cluster, t, bits ORDER BY rn
+              ) - 1) // {_SEM_WINDOW} AS chunk
+      FROM (
+        SELECT cluster, 0 AS t, {_sql_sem_srp(0)} AS bits, vec_id, rn
+        FROM ranked
+        UNION ALL
+        SELECT cluster, 1 AS t, {_sql_sem_srp(1)} AS bits, vec_id, rn
+        FROM ranked
+      )
+    ), pairs AS (
+      SELECT DISTINCT a.cluster, a.vec_id AS prior_id, b.vec_id AS later_id
+      FROM slim b
+      JOIN (SELECT * FROM range(0, 2) t(f)) probe ON true
+      JOIN slim a
+        ON a.cluster = b.cluster AND a.t = b.t AND a.bits = b.bits
+       AND a.chunk = b.chunk - probe.f
+       AND a.rn < b.rn
+    ), scored_pairs AS (
+      SELECT p.cluster, p.later_id, p.prior_id,
+             CAST(round({SQL_DOT.format(a='ra.u', b='rb.u')} * 1000000)
+                  AS BIGINT) AS cos_i
+      FROM pairs p
+      JOIN ranked ra ON ra.vec_id = p.prior_id
+      JOIN ranked rb ON rb.vec_id = p.later_id
+    ), sel AS (
+      SELECT later_id AS vec_id, cluster, prior_id, cos_i,
+             row_number() OVER (
+               PARTITION BY later_id ORDER BY cos_i DESC, prior_id
+             ) AS b_rn,
+             count(*) OVER (PARTITION BY later_id) AS n_dup_candidates
+      FROM scored_pairs WHERE cos_i >= {_SEM_TAU_I}
+    )
+    SELECT vec_id, cluster, n_dup_candidates,
+           prior_id AS best_prior_id,
+           round(cos_i / 1000000.0, 6) AS best_prior_cos
+    FROM sel WHERE b_rn = 1
+    """,
+    doc="SemDeDup semantic cluster dedup (Abbas et al. 2023): corpus + "
+    "perturbed copies of every 20th vector, unit-normalized once, "
+    "coarse-clustered to the nearest label centroid (broadcast argmax "
+    "over the IVF coarse quantizer ivf_kmeans_lloyd_step trains), "
+    "keep-priority ranked FAR-from-centroid-first (the paper's 'keep "
+    "hard'), and an item is pruned when its cosine to a higher-"
+    "priority candidate reaches 0.95.  Candidates: L=2 independent "
+    "masked-SRP tables (mask width derived in-plan from the corpus "
+    "count), each bucket sorted by keep-priority rank and paired only "
+    f"within a previous-{_SEM_WINDOW}-chunk window (simhash windowed-"
+    "chunk join / SortingLSH — near-dups have near-equal centroid "
+    "cosine, so they sit adjacent in the sort; exact copies share "
+    "SRP bits and are exactly adjacent), slim id pairs, union + "
+    "DISTINCT, ONE dot-scoring pass over unit vectors.  Output: the "
+    "pruned items with their strongest higher-priority duplicate "
+    "found in the window (n_dup_candidates counts window candidates, "
+    "not all corpus dups).  100 TB: one broadcast argmax scan, one "
+    "rank shuffle by cluster, slim integer pair shuffles, pair mass "
+    "<= L*n*2W by construction — bucket skew and duplicate-group "
+    "multiplicity cannot make it quadratic; the embedding-space "
+    "analogue of the minhash/winnowing lexical family.",
+)
+def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import dot as _dot
+    from ..functions import l2_norm as _l2
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    base = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + SYNTH_ID_OFFSET).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double")
+                + 0.01 * (x.cast("double") * x.cast("double") - 1.0),
+            ).alias("embedding"),
+        )
+    )
+    # nrm bound as a column FIRST so the transform's per-element lambda
+    # closes over a plain attribute, not the 64-fold (the word_shingles
+    # hidden-quadratic lesson: HOF lambdas re-evaluate closed-over
+    # EXPRESSIONS per element).
+    corpus = base.withColumn(
+        "nrm", F.greatest(_l2(F.col("embedding")), F.lit(1e-30))
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias(
+            "u"
+        ),
+    )
+
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cv"))
+    )
+    cvec = cent.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+        ).alias("cvec")
+    )
+    cunit = cvec.withColumn(
+        "nrm", F.greatest(_l2(F.col("cvec")), F.lit(1e-30))
+    ).select(
+        "c_label",
+        F.transform("cvec", lambda x: x.cast("double") / F.col("nrm")).alias("cu"),
+    )
+
+    cos_i = (
+        F.round(_dot(F.col("u"), F.col("cu")) * 1_000_000).cast("bigint").alias("cos_i")
+    )
+    # argmax cosine with ties to the smaller cell id: (cos_i, -c_label)
+    # is unique per (vec_id, centroid), so the trailing payload fields
+    # never participate in the max comparison.
+    scored = corpus.crossJoin(F.broadcast(cunit)).select(
+        "vec_id",
+        F.struct(
+            cos_i,
+            (-F.col("c_label")).alias("neg_label"),
+            F.col("c_label").alias("c_label"),
+            F.col("u").alias("u"),
+        ).alias("m"),
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(F.max("m").alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.u").alias("u"),
+            F.col("m.c_label").alias("cluster"),
+            F.col("m.cos_i").alias("cent_cos_i"),
+        )
+    )
+
+    nbits = base.agg(
+        F.least(
+            F.lit(8),
+            F.greatest(
+                F.lit(0),
+                F.ceil(F.log2(F.count("*") / F.lit(_SEM_BITS_DENOM))).cast("int"),
+            ),
+        ).alias("B")
+    )
+    wr = Window.partitionBy("cluster").orderBy(
+        F.col("cent_cos_i").asc(), F.col("vec_id").asc()
+    )
+    ranked = assigned.withColumn("rn", F.row_number().over(wr))
+    # Lineage cut: ranked feeds FOUR consumers (two SRP bucket tables
+    # and both sides of the scoring join), each statically re-deriving
+    # the centroid BROADCAST build + argmax + rank window — broadcast
+    # builds are not exchange-reusable (the r10 winnowing lesson), so
+    # this is the cut-justified case of the plan-audit rule.  Measured
+    # interleaved A/B at sf1/sf10 in SWEEP_SEMDEDUP_r11.json.
+    from .lineage import truncate_lineage
+
+    ranked = truncate_lineage(ranked, None, eager=False)
+
+    masked = F.expr("shiftleft(1, B) - 1")
+    withB = ranked.crossJoin(F.broadcast(nbits))
+    raw_slim = withB.select(
+        "cluster",
+        F.lit(0).alias("t"),
+        S.srp_bucket(F.col("u"), plane_offset=0).bitwiseAND(masked).alias("bits"),
+        "vec_id",
+        "rn",
+    ).unionByName(
+        withB.select(
+            "cluster",
+            F.lit(1).alias("t"),
+            S.srp_bucket(F.col("u"), plane_offset=8).bitwiseAND(masked).alias("bits"),
+            "vec_id",
+            "rn",
+        )
+    )
+    bw = Window.partitionBy("cluster", "t", "bits").orderBy("rn")
+    slim = raw_slim.withColumn(
+        "chunk", ((F.row_number().over(bw) - 1) / F.lit(_SEM_WINDOW)).cast("long")
+    )
+    a = slim.select(
+        F.col("cluster").alias("cluster_a"),
+        F.col("t").alias("t_a"),
+        F.col("bits").alias("bits_a"),
+        F.col("vec_id").alias("prior_id"),
+        F.col("rn").alias("rn_a"),
+        F.col("chunk").alias("chunk_a"),
+    )
+    b = slim.select(
+        "cluster",
+        "t",
+        "bits",
+        F.col("vec_id").alias("later_id"),
+        F.col("rn").alias("rn_b"),
+        F.explode(F.array(F.col("chunk"), F.col("chunk") - 1)).alias("probe_chunk"),
+    )
+    pairs = (
+        b.join(
+            a,
+            (F.col("cluster_a") == F.col("cluster"))
+            & (F.col("t_a") == F.col("t"))
+            & (F.col("bits_a") == F.col("bits"))
+            & (F.col("chunk_a") == F.col("probe_chunk"))
+            & (F.col("rn_a") < F.col("rn_b")),
+        )
+        .select("cluster", "prior_id", "later_id")
+        .distinct()
+    )
+
+    ra = ranked.select(
+        F.col("vec_id").alias("prior_id"), F.col("u").alias("u_a")
+    )
+    rb = ranked.select(
+        F.col("vec_id").alias("later_id"), F.col("u").alias("u_b")
+    )
+    pcos_i = (
+        F.round(_dot(F.col("u_a"), F.col("u_b")) * 1_000_000)
+        .cast("bigint")
+        .alias("cos_i")
+    )
+    scored_pairs = (
+        pairs.join(ra, "prior_id")
+        .join(rb, "later_id")
+        .select("cluster", "later_id", "prior_id", pcos_i)
+        .filter(F.col("cos_i") >= _SEM_TAU_I)
+    )
+    best = scored_pairs.groupBy("later_id", "cluster").agg(
+        F.count("*").cast("bigint").alias("n_dup_candidates"),
+        F.max(
+            F.struct(F.col("cos_i"), (-F.col("prior_id")).alias("neg_prior"))
+        ).alias("m"),
+    )
+    return best.select(
+        F.col("later_id").alias("vec_id"),
+        "cluster",
+        "n_dup_candidates",
+        (-F.col("m.neg_prior")).alias("best_prior_id"),
+        F.round(F.col("m.cos_i") / 1_000_000.0, 6).alias("best_prior_cos"),
+    )

@@ -64,8 +64,12 @@ def test_comparator_detects_negative_zero():
 # round; reset it at the next round's rotation.
 CHANGED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # r11: nothing yet — new/changed entries are added here (and
-        # seated in DRIVER_WINDOW) as they land during the round.
+        # NEW in r11 (verdict task 7): SemDeDup semantic cluster dedup
+        # (Abbas et al. 2023) — unit-normalized corpus, centroid-argmax
+        # coarse clusters, L=2 masked-SRP tables with a keep-priority
+        # windowed chunk join, slim distinct pairs, one dot-scoring
+        # pass.
+        "dedup_semdedup_prune",
     }
 )
 
