@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import sql_word_shingles, word_shingles, words
+from ..functions import (
+    SQL_MD5_LONG,
+    md5_long,
+    sql_word_shingles,
+    word_shingles,
+    words,
+)
 from ..queries import register
 from ..sources.batch import load_table
 
@@ -822,4 +828,151 @@ def corpus_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             # double on both engines, so it hashes identically.
             (F.sum("mb").cast("double") / 2_000_000.0).alias("jsd_bits"),
         )
+    )
+
+
+# ---- DSIR: data selection via importance resampling -------------------
+
+_DSIR_B = 256  # hashed feature buckets (the DSIR bag-of-hashed-ngrams)
+_DSIR_TARGET = "src0"  # the target-distribution source
+_DSIR_TOPK = 5  # selected docs per raw source (deterministic variant)
+
+
+@register(
+    "corpus_dsir_selection",
+    oracle=f"""
+    WITH tokw AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), vocab AS (
+      SELECT w, {SQL_MD5_LONG.format(x='w')} % {_DSIR_B} AS b
+      FROM (SELECT DISTINCT w FROM tokw)
+    ), tok AS (
+      SELECT t.doc_id, t.source, v.b FROM tokw t JOIN vocab v USING (w)
+    ), counts AS (
+      SELECT b,
+             sum(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS ct,
+             sum(CASE WHEN source != '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS cr
+      FROM tok GROUP BY b
+    ), spine AS (
+      SELECT t.b, coalesce(c.ct, 0) AS ct, coalesce(c.cr, 0) AS cr
+      FROM range(0, {_DSIR_B}) t(b) LEFT JOIN counts c ON c.b = t.b
+    ), tot AS (
+      SELECT sum(ct) AS tt, sum(cr) AS tr FROM spine
+    ), weights AS (
+      SELECT b,
+             CAST(round(ln(((ct + 1) * (tr + {_DSIR_B}))::DOUBLE
+                           / ((cr + 1) * (tt + {_DSIR_B}))::DOUBLE)
+                        * 1000000) AS BIGINT) AS w
+      FROM spine CROSS JOIN tot
+    ), perdoc AS (
+      SELECT t.doc_id, t.source, CAST(sum(w.w) AS BIGINT) AS imp_micro
+      FROM tok t JOIN weights w ON w.b = t.b
+      WHERE t.source != '{_DSIR_TARGET}'
+      GROUP BY t.doc_id, t.source
+    )
+    SELECT source, doc_id, imp_micro, sel_rank FROM (
+      SELECT source, doc_id, imp_micro,
+             row_number() OVER (
+               PARTITION BY source ORDER BY imp_micro DESC, doc_id
+             ) AS sel_rank
+      FROM perdoc
+    ) WHERE sel_rank <= {_DSIR_TOPK}
+    """,
+    doc="DSIR data selection (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling'): hashed-unigram bag "
+    f"models (md5 % {_DSIR_B} feature buckets) fitted to the target "
+    f"source '{_DSIR_TARGET}' and to the raw pool, add-one smoothed; "
+    "each raw document's importance = sum over its tokens of "
+    "log(p_target(bucket)/p_raw(bucket)), carried as exact integer "
+    "micro-nats per BUCKET weight so the per-doc sum is independent "
+    "of summation order.  Selection is the deterministic variant: top-"
+    f"{_DSIR_TOPK} docs per raw source by (importance, doc_id) — a "
+    "LITERAL k, so Catalyst pushes WindowGroupLimit below the shuffle "
+    "and no task forwards more than k rows per source.  The single "
+    "log per bucket takes a ratio of exact integer products (avoids "
+    "two libm calls and their boundary drift).  100 TB: the model is "
+    f"{_DSIR_B} rows (broadcast); tokens explode inside the scan "
+    "stage; the only shuffles are the bucket-count agg, the per-doc "
+    "agg, and the group-limited rank — the canonical DSIR pass.",
+)
+def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .lineage import truncate_lineage
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    tokw = docs.select(
+        "doc_id",
+        "source",
+        F.explode(words(F.col("text"))).alias("w"),
+    )
+    # Hash the VOCABULARY, not the token stream: the corpus has ~10k
+    # distinct words against 27M tokens at sf10 (Heaps' law — vocab is
+    # always orders of magnitude below token count), and the md5 fold
+    # is the dominant per-token cost (measured: two md5-token passes =
+    # 77-100s at sf10; vocab hashing + broadcast join = ~30s).  The
+    # vocab is lineage-cut (1 tiny materialization) so the two
+    # broadcast builds don't each re-run the distinct.  At an extreme
+    # vocab (>~100M words) the broadcast stops fitting and per-token
+    # hashing becomes the right plan again — that threshold is a
+    # deployment knob, not a correctness issue (values are identical).
+    vocab = truncate_lineage(
+        tokw.select("w")
+        .distinct()
+        .select("w", (md5_long(F.col("w")) % _DSIR_B).alias("b")),
+        None,
+        eager=False,
+    )
+    tok = tokw.join(F.broadcast(vocab), "w").select("doc_id", "source", "b")
+    is_t = F.col("source") == _DSIR_TARGET
+    counts = tok.groupBy("b").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("cr"),
+    )
+    # Lineage cut on the 256-row model: `weights` references the spine
+    # under BOTH its own projection and the totals cross-join, and each
+    # static re-derivation re-runs a full token pass (measured: THREE
+    # tok passes before the cut).  Cutting costs a 256-row
+    # materialization and leaves exactly the two inherent corpus
+    # passes (model fit + per-doc scoring).
+    counts = truncate_lineage(counts, None, eager=False)
+    spine = (
+        spark.range(_DSIR_B)
+        .select(F.col("id").alias("b"))
+        .join(counts, "b", "left")
+        .select(
+            "b",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+    )
+    tot = spine.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    weights = spine.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1) * (F.col("tr") + _DSIR_B)).cast("double")
+                / ((F.col("cr") + 1) * (F.col("tt") + _DSIR_B)).cast("double")
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+    perdoc = (
+        tok.filter(~is_t)
+        .join(F.broadcast(weights), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("w").cast("bigint").alias("imp_micro"))
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.col("imp_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        perdoc.withColumn("sel_rank", F.row_number().over(wr))
+        .filter(F.col("sel_rank") <= _DSIR_TOPK)
+        .select("source", "doc_id", "imp_micro", "sel_rank")
     )

@@ -94,13 +94,14 @@ DRIVER_WINDOW_ROUND = 11
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- added or materially rewritten in r11 (kept in sync with
     #     CHANGED_THIS_ROUND in tests/test_harness_integrity.py) ---
+    "corpus_dsir_selection",  # NEW r11: DSIR importance selection
     "dedup_semdedup_prune",  # NEW r11: SemDeDup semantic cluster dedup
     # --- oldest-row rotation as of rounds < 11: the single remaining
     #     r5 row (window_value_functions) + ALL 47 remaining r6 rows
-    #     + the alphabetically-first r7 row (the new entry displaced
-    #     agg_corr_exact_moments, the second r7 seat; ties allowed by
-    #     the invariant: rotation max == left-out min == 7) ---
-    "agg_boolean_conditional",
+    #     (the two new entries displaced both r7 seats,
+    #     agg_boolean_conditional and agg_corr_exact_moments; the
+    #     rotation is now exactly the r5/r6 tier, max 6 < left-out
+    #     min 7) ---
     "agg_histogram",
     "agg_hll_partial_merge",
     "agg_quantile_sketch_tolerance",

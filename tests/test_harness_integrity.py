@@ -70,6 +70,10 @@ CHANGED_THIS_ROUND: frozenset[str] = frozenset(
         # windowed chunk join, slim distinct pairs, one dot-scoring
         # pass.
         "dedup_semdedup_prune",
+        # NEW in r11: DSIR importance selection (Xie et al. 2023) —
+        # hashed-vocab bag models, integer micro-nat bucket weights,
+        # WindowGroupLimit top-k per raw source.
+        "corpus_dsir_selection",
     }
 )
 
