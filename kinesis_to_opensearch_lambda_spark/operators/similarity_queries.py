@@ -1340,11 +1340,12 @@ def ann_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph_mutual(spark, sf_dir, n_tables=1)
 
 
-def knn_graph_mutual(
+def directed_knn_topk(
     spark: SparkSession, sf_dir: str, n_tables: int = 1
 ) -> DataFrame:
-    """Mutual kNN graph builder, parameterized by the number of
-    independent SRP hash tables (r8 verdict task 4: the measured
+    """Directed approximate kNN edges (src, dst, cos, rnk <= k),
+    parameterized by the number of independent SRP hash tables
+    (r8 verdict task 4: the measured
     multitable recall lift — 0.80 -> 0.93 at sf1, worst probe
     0.0 -> 0.33, sweeps/KNN_RECALL_r08.json — promoted from the
     probe-side recall entry into the production graph).
@@ -1449,9 +1450,20 @@ def knn_graph_mutual(
             .select("src", "dst", cosine(F.col("va"), F.col("vb")).alias("cos"))
         )
     w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
-    knn = scored.withColumn("rnk", F.row_number().over(w)).filter(
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= _KNN_K
     )
+
+
+def knn_graph_mutual(
+    spark: SparkSession, sf_dir: str, n_tables: int = 1
+) -> DataFrame:
+    """Mutual kNN graph: the directed top-k edges from
+    :func:`directed_knn_topk` symmetrized onto canonical (min,max)
+    keys — a pair seen from both endpoints is mutual.  See
+    directed_knn_topk for the candidate/scoring machinery and its
+    measured recall/precision lifts."""
+    knn = directed_knn_topk(spark, sf_dir, n_tables)
     # Mutuality WITHOUT a self-join: a knn-join-knn plan recomputes the
     # candidate join + top-k window for BOTH sides (no common-subplan
     # reuse in Catalyst).  Instead symmetrize each directed edge onto
@@ -2084,4 +2096,97 @@ def ann_eval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dcg_microbits").cast("double") / F.lit(float(idcg))).alias(
             "ndcg_at_5"
         ),
+    )
+
+
+@register(
+    "emb_knn_loo_label_eval",
+    oracle=f"""
+    WITH nbits AS MATERIALIZED (
+      SELECT LEAST({_KNN_MAX_PLANES}, MIN(t.nb)) AS nb
+      FROM (SELECT count(*) AS n FROM embeddings) c, range(8, {_KNN_MAX_PLANES + 1}) t(nb)
+      WHERE c.n <= {_KNN_BUCKET_TARGET} * (1 << t.nb) OR t.nb = {_KNN_MAX_PLANES}
+    ), {", ".join(_sql_knn_table_pairs(t, probe_only=False) for t in range(_KNN_TABLES))},
+    cand AS (
+      SELECT DISTINCT src, dst FROM (
+        {" UNION ALL ".join(f"SELECT src, dst FROM pairs{t}" for t in range(_KNN_TABLES))}
+      )
+    ), scored AS (
+      SELECT c.src, c.dst,
+             {sql_cosine('qa.embedding', 'qb.embedding')} AS cos
+      FROM cand c
+      JOIN embeddings qa ON qa.vec_id = c.src
+      JOIN embeddings qb ON qb.vec_id = c.dst
+    ), knn AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cos DESC, dst) AS rnk
+        FROM scored
+      ) WHERE rnk <= {_KNN_K}
+    ), votes AS (
+      SELECT k.src, e.label AS nbr_label, count(*) AS n_votes
+      FROM knn k JOIN embeddings e ON e.vec_id = k.dst
+      GROUP BY k.src, e.label
+    ), pred AS (
+      SELECT src, nbr_label AS pred_label FROM (
+        SELECT src, nbr_label,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY n_votes DESC, nbr_label) AS r
+        FROM votes
+      ) WHERE r = 1
+    )
+    SELECT e.label,
+           count(*) AS n_eval,
+           CAST(sum(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END)
+                 / count(*), 6) AS acc
+    FROM pred p JOIN embeddings e ON e.vec_id = p.src
+    GROUP BY e.label
+    """,
+    doc="Leave-one-out kNN label classification — the standard "
+    "embedding-quality probe (does the embedding space encode the "
+    "labels?): every vector is classified by the majority label of "
+    f"its approximate top-{_KNN_K} neighbors (itself excluded by the "
+    "candidate join's vec_id inequality), reported as per-label "
+    "accuracy.  The neighbor machinery IS directed_knn_topk with "
+    f"L={_KNN_TABLES} OR-amplified SRP tables — the production graph "
+    "path, so this entry also eval-exercises that machinery end to "
+    "end.  Majority ties break to the smaller label; vectors whose "
+    "candidate set is empty are excluded from n_eval on both sides.  "
+    f"100 TB: candidate pairs <= {_KNN_TABLES}*{_KNN_BUCKET_TARGET}*n "
+    "under any skew, votes aggregate map-side on (src, label), and "
+    "the output is one row per label.",
+)
+def emb_knn_loo_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    knn = directed_knn_topk(spark, sf_dir, n_tables=_KNN_TABLES)
+    lbl = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    votes = (
+        knn.join(
+            lbl.select(
+                F.col("vec_id").alias("dst"), F.col("label").alias("nbr_label")
+            ),
+            "dst",
+        )
+        .groupBy("src", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wv = Window.partitionBy("src").orderBy(
+        F.col("n_votes").desc(), F.col("nbr_label").asc()
+    )
+    pred = (
+        votes.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("src", F.col("nbr_label").alias("pred_label"))
+    )
+    own = lbl.select(F.col("vec_id").alias("src"), "label")
+    joined = pred.join(own, "src")
+    correct = F.sum(
+        F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0)
+    )
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        correct.cast("bigint").alias("n_correct"),
+        F.round(correct / F.count(F.lit(1)), 6).alias("acc"),
     )

@@ -68,7 +68,7 @@ from .operators import (  # noqa: E402,F401
 )
 
 # ---------------------------------------------------------------------------
-# Driver verification window — round 10 rotation.
+# Driver verification window — round 11 rotation.
 #
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries in
 # iteration order.  Coverage is COMPLETE as of r7 (the union of passing
@@ -96,12 +96,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #     CHANGED_THIS_ROUND in tests/test_harness_integrity.py) ---
     "corpus_dsir_selection",  # NEW r11: DSIR importance selection
     "dedup_semdedup_prune",  # NEW r11: SemDeDup semantic cluster dedup
+    "emb_knn_loo_label_eval",  # NEW r11: kNN leave-one-out label eval
     # --- oldest-row rotation as of rounds < 11: the single remaining
-    #     r5 row (window_value_functions) + ALL 47 remaining r6 rows
-    #     (the two new entries displaced both r7 seats,
-    #     agg_boolean_conditional and agg_corr_exact_moments; the
-    #     rotation is now exactly the r5/r6 tier, max 6 < left-out
-    #     min 7) ---
+    #     r5 row (window_value_functions) + 47 remaining r6 rows minus
+    #     the alphabetically-last (window_time_weighted_avg, displaced
+    #     by the third new entry; both r7 seats went to the first two
+    #     — ties allowed: rotation max == left-out min == 6) ---
     "agg_histogram",
     "agg_hll_partial_merge",
     "agg_quantile_sketch_tolerance",
@@ -148,7 +148,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_ntile_quartiles",
     "window_sliding_distinct_users",
     "window_sliding_distinct_users_hll",
-    "window_time_weighted_avg",
     "window_value_functions",
 )
 

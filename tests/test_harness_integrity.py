@@ -74,6 +74,11 @@ CHANGED_THIS_ROUND: frozenset[str] = frozenset(
         # hashed-vocab bag models, integer micro-nat bucket weights,
         # WindowGroupLimit top-k per raw source.
         "corpus_dsir_selection",
+        # NEW in r11: leave-one-out kNN label classification over the
+        # L=4 OR-amplified directed kNN machinery (extracted as
+        # directed_knn_topk; knn_graph_mutual now builds on it —
+        # pure code motion, parity re-verified).
+        "emb_knn_loo_label_eval",
     }
 )
 
