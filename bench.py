@@ -59,9 +59,11 @@ FRONTIER: tuple[str, ...] = (
     "ann_knn_graph_mutual_multitable",
     "text_winnowing_fingerprints",
     "dedup_winnowing_overlap",
-    # r11: the round's one new heavy path — SemDeDup semantic cluster
-    # dedup (23-29s Spark-side at sf10 post lineage-cut).
+    # r11: the round's two heaviest new paths — SemDeDup semantic
+    # cluster dedup (23-29s Spark-side at sf10 post lineage-cut) and
+    # the LOO kNN label eval (the L=4 multitable machinery end-to-end).
     "dedup_semdedup_prune",
+    "emb_knn_loo_label_eval",
 )
 
 

@@ -976,3 +976,60 @@ def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sel_rank") <= _DSIR_TOPK)
         .select("source", "doc_id", "imp_micro", "sel_rank")
     )
+
+
+@register(
+    "corpus_distinct_ngrams",
+    oracle=f"""
+    WITH grams AS (
+      SELECT source, 1 AS n, unnest(string_split(text, ' ')) AS g
+      FROM documents
+      UNION ALL
+      SELECT source, 2 AS n,
+             unnest({sql_word_shingles("string_split(text, ' ')", 2)}) AS g
+      FROM documents
+      UNION ALL
+      SELECT source, 3 AS n,
+             unnest({sql_word_shingles("string_split(text, ' ')", 3)}) AS g
+      FROM documents
+    )
+    SELECT source, n,
+           count(*) AS n_grams,
+           count(DISTINCT g) AS n_distinct,
+           round(count(DISTINCT g) / count(*), 6) AS distinct_ratio
+    FROM grams GROUP BY source, n
+    """,
+    doc="Distinct-n corpus diversity (the distinct-1/2/3 metrics of Li "
+    "et al. 2016 / Zhu et al. 2018, standard for detecting low-"
+    "diversity or templated generations in a training corpus): per "
+    "source and n-gram order 1..3, the ratio of distinct n-grams to "
+    "total n-grams.  Exact distinct (not a sketch) so the metric is "
+    "reproducible; the three explode passes pipeline inside the scan "
+    "stage and the count-distinct aggregates partially map-side on "
+    "(source, n, gram) before the final (source, n) rollup.  100 TB: "
+    "the shuffle carries one row per DISTINCT (source, n, gram) after "
+    "partial aggregation — vocabulary-bounded by Heaps' law, never "
+    "token-count-bounded; the output is 3 rows per source.",
+)
+def corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("source", "text")
+    parts = []
+    for n in (1, 2, 3):
+        grams = (
+            words(F.col("text"))
+            if n == 1
+            else word_shingles(words(F.col("text")), n)
+        )
+        parts.append(
+            docs.select(
+                "source", F.lit(n).alias("n"), F.explode(grams).alias("g")
+            )
+        )
+    all_grams = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return all_grams.groupBy("source", "n").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count_distinct(F.col("g")).alias("n_distinct"),
+        F.round(F.count_distinct(F.col("g")) / F.count(F.lit(1)), 6).alias(
+            "distinct_ratio"
+        ),
+    )
