@@ -1377,7 +1377,12 @@ _SEM_WINDOW = 8  # chunk width of the within-bucket rank-window join
 # cells: n / (10 * 128) = n / 1280.  K is a data property (labels),
 # not a tuning knob; if the corpus's cell count changes, bucket sizes
 # shift but the windowed pair mass stays L*n*2W regardless.
-_SEM_BITS_DENOM = 1280.0
+# B is the SMALLEST value in [0, 8] with n <= 1280 * 2^B — a pure
+# integer comparison on BOTH sides (r11 advisor): the earlier float
+# ceil(log2(n/1280)) form could straddle the ceil boundary between
+# engines by 1 ulp at n = 1280 * 2^k, the exact trap _knn_planes'
+# count-comparison CTE was built to avoid (similarity_queries.py).
+_SEM_BITS_DENOM = 1280
 
 # Unit-normalize a list-of-float column (DuckDB side); nrm must be a
 # column computed in a prior CTE so the fold is not re-run per element.
@@ -1437,9 +1442,9 @@ def _sql_sem_srp(t: int) -> str:
         FROM scored
       ) WHERE a_rn = 1
     ), nbits AS (
-      SELECT LEAST(8, GREATEST(0,
-               CAST(ceil(log2(count(*) / {_SEM_BITS_DENOM})) AS INT))) AS B
-      FROM base
+      SELECT LEAST(8, MIN(t.B)) AS B
+      FROM (SELECT count(*) AS n FROM base) c, range(0, 9) t(B)
+      WHERE c.n <= {_SEM_BITS_DENOM} * (1 << t.B) OR t.B = 8
     ), ranked AS (
       SELECT vec_id, u, cluster, cent_cos_i,
              row_number() OVER (
@@ -1582,13 +1587,12 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    nbits = base.agg(
-        F.least(
-            F.lit(8),
-            F.greatest(
-                F.lit(0),
-                F.ceil(F.log2(F.count("*") / F.lit(_SEM_BITS_DENOM))).cast("int"),
-            ),
+    # smallest B in [0, 8] with n <= 1280 * 2^B == the count of integer
+    # thresholds 1280 * 2^b (b in [0, 8)) that n strictly exceeds.
+    nbits = base.agg(F.count("*").alias("n")).select(
+        sum(
+            ((F.col("n") > F.lit(_SEM_BITS_DENOM * (1 << b))).cast("int") for b in range(8)),
+            F.lit(0),
         ).alias("B")
     )
     wr = Window.partitionBy("cluster").orderBy(

@@ -68,7 +68,7 @@ from .operators import (  # noqa: E402,F401
 )
 
 # ---------------------------------------------------------------------------
-# Driver verification window — round 11 rotation.
+# Driver verification window — round 12 rotation.
 #
 # The driver's CORRECTNESS gate checks the FIRST 50 registry entries in
 # iteration order.  Coverage is COMPLETE as of r7 (the union of passing
@@ -89,66 +89,65 @@ from .operators import (  # noqa: E402,F401
 # Every entry keeps full local parity coverage via
 # tests/test_oracle_parity.py regardless of window membership.
 # ---------------------------------------------------------------------------
-DRIVER_WINDOW_ROUND = 11
+DRIVER_WINDOW_ROUND = 12
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- added or materially rewritten in r11 (kept in sync with
+    # --- added or materially rewritten in r12 (kept in sync with
     #     CHANGED_THIS_ROUND in tests/test_harness_integrity.py) ---
-    "corpus_dsir_selection",  # NEW r11: DSIR importance selection
-    "dedup_semdedup_prune",  # NEW r11: SemDeDup semantic cluster dedup
-    "emb_knn_loo_label_eval",  # NEW r11: kNN leave-one-out label eval
-    # --- oldest-row rotation as of rounds < 11: the single remaining
-    #     r5 row (window_value_functions) + 47 remaining r6 rows minus
-    #     the alphabetically-last (window_time_weighted_avg, displaced
-    #     by the third new entry; both r7 seats went to the first two
-    #     — ties allowed: rotation max == left-out min == 6) ---
-    "agg_histogram",
-    "agg_hll_partial_merge",
-    "agg_quantile_sketch_tolerance",
-    "ann_topk_ivf_multiprobe",
-    "anomaly_cusum_drift",
-    "anomaly_iqr_outliers",
-    "cdc_merge_upsert",
-    "dedup_chunk_exact",
-    "emb_gram_matrix",
-    "emb_intra_inter_cosine",
-    "emb_normalize",
-    "emb_quantize_int8",
-    "graph_bfs_reachability",
-    "graph_common_neighbors",
-    "graph_degree_distribution",
-    "graph_kcore_peel",
-    "graph_random_walk_deterministic",
-    "ivf_kmeans_lloyd_step",
-    "join_asof_nearest",
-    "join_dynamic_partition_pruning",
-    "join_salted_skew",
-    "join_scd2_point_in_time",
-    "join_shuffled_hash_hint",
-    "maintenance_compact_small_files",
-    "maintenance_targeted_delete",
-    "maintenance_zorder_skipping",
-    "quality_ks_two_sample",
-    "quality_psi_drift",
-    "rollup_time_hierarchy",
-    "scalar_sql_udf_inlined",
-    "source_corrupt_file_skip",
-    "source_partitioned_pruning",
-    "source_python_datasource",
-    "source_schema_evolution",
-    "sql_recursive_cte_reachability",
-    "streaming_incremental_mv",
-    "streaming_python_datasource",
-    "streaming_session_windows",
-    "streaming_sketch_distinct",
-    "streaming_static_enrich",
-    "variant_typed_extract",
-    "window_event_transitions",
-    "window_ewma_finite",
-    "window_ntile_quartiles",
-    "window_sliding_distinct_users",
-    "window_sliding_distinct_users_hll",
-    "window_value_functions",
+    "corpus_distinct_ngrams",  # r11 late registration, never driver-run
+    "dedup_semdedup_prune",  # r12: integer B rule replaces float ceil(log2)
+    # --- oldest-row rotation as of rounds < 12: the single r6 row
+    #     (window_time_weighted_avg) + all 43 r7 rows + the 5
+    #     alphabetically-first r8 rows to fill (ties allowed: rotation
+    #     max == left-out min == 8) ---
+    "window_time_weighted_avg",
+    "agg_boolean_conditional",
+    "agg_corr_exact_moments",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_mutual_information",
+    "agg_salted_skew",
+    "ann_topk_ivf_pq",
+    "anomaly_cusum_drift_blocked",
+    "corpus_ngram_lm_counts",
+    "curation_ablation_curve",
+    "curation_dataset_card",
+    "curation_rejection_funnel",
+    "dedup_lsh_planner",
+    "dedup_lsh_recall",
+    "dedup_prefix_cluster",
+    "dedup_simhash",
+    "diag_column_profile",
+    "diag_observe_metrics",
+    "gap_fill_daily",
+    "incremental_agg_merge",
+    "join_asof_last_order",
+    "join_range_interval",
+    "json_extraction",
+    "mm_av_sync_join",
+    "mm_scene_change",
+    "quality_percentile_filter",
+    "sample_bottom_k_per_key",
+    "sample_poisson_bootstrap",
+    "sample_weighted_bernoulli",
+    "scalar_null_semantics",
+    "setop_except_all",
+    "snapshot_diff",
+    "split_leakage_safe_groups",
+    "text_bpe_token_estimate",
+    "text_cooccurrence_pmi",
+    "text_mojibake_stats",
+    "tpch_q18_large_volume",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "window_sessionization",
+    "window_topk_per_group",
+    "agg_advanced",
+    "agg_approx_distinct",
+    "agg_decimal_money",
+    "agg_distinct",
+    "agg_rollup",
 )
 
 

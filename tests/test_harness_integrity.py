@@ -64,21 +64,17 @@ def test_comparator_detects_negative_zero():
 # round; reset it at the next round's rotation.
 CHANGED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        # NEW in r11 (verdict task 7): SemDeDup semantic cluster dedup
-        # (Abbas et al. 2023) — unit-normalized corpus, centroid-argmax
-        # coarse clusters, L=2 masked-SRP tables with a keep-priority
-        # windowed chunk join, slim distinct pairs, one dot-scoring
-        # pass.
+        # r11 late registration (r11 verdict task 1): diversity metrics
+        # (distinct-1/2/3 ratios) over documents.text — registered in
+        # the r11 end-of-round snapshot with no driver row; seated here
+        # so the r12 driver run closes its evidence debt.
+        "corpus_distinct_ngrams",
+        # r12 (r11 advisor, low): SemDeDup's SRP mask width B is now
+        # derived by the same pure-integer comparison on BOTH sides
+        # (smallest B in [0, 8] with n <= 1280 * 2^B) instead of a
+        # float ceil(log2(n/1280)) whose 1-ulp engine differences
+        # could straddle the ceil boundary at n = 1280 * 2^k.
         "dedup_semdedup_prune",
-        # NEW in r11: DSIR importance selection (Xie et al. 2023) —
-        # hashed-vocab bag models, integer micro-nat bucket weights,
-        # WindowGroupLimit top-k per raw source.
-        "corpus_dsir_selection",
-        # NEW in r11: leave-one-out kNN label classification over the
-        # L=4 OR-amplified directed kNN machinery (extracted as
-        # directed_knn_topk; knn_graph_mutual now builds on it —
-        # pure code motion, parity re-verified).
-        "emb_knn_loo_label_eval",
     }
 )
 
