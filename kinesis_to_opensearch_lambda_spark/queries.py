@@ -96,10 +96,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     #     CHANGED_THIS_ROUND in tests/test_harness_integrity.py) ---
     "corpus_distinct_ngrams",  # r11 late registration, never driver-run
     "dedup_semdedup_prune",  # r12: integer B rule replaces float ceil(log2)
+    # r12: session-scoped persisted capped-SRP index shared across the
+    # kNN family (_capped_srp_table)
+    "ann_knn_graph_mutual",
+    "ann_knn_graph_multitable",
+    "ann_knn_graph_mutual_multitable",
+    "ann_knn_graph_recall",
+    "emb_knn_loo_label_eval",
     # --- oldest-row rotation as of rounds < 12: the single r6 row
-    #     (window_time_weighted_avg) + all 43 r7 rows + the 5
-    #     alphabetically-first r8 rows to fill (ties allowed: rotation
-    #     max == left-out min == 8) ---
+    #     (window_time_weighted_avg) + all 42 r7 rows
+    #     (rotation max 7 < left-out min 8) ---
     "window_time_weighted_avg",
     "agg_boolean_conditional",
     "agg_corr_exact_moments",
@@ -143,11 +149,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q6_forecast_revenue",
     "window_sessionization",
     "window_topk_per_group",
-    "agg_advanced",
-    "agg_approx_distinct",
-    "agg_decimal_money",
-    "agg_distinct",
-    "agg_rollup",
 )
 
 

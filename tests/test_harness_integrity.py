@@ -75,6 +75,15 @@ CHANGED_THIS_ROUND: frozenset[str] = frozenset(
         # float ceil(log2(n/1280)) whose 1-ulp engine differences
         # could straddle the ceil boundary at n = 1280 * 2^k.
         "dedup_semdedup_prune",
+        # r12 (r11 verdict task 6): the capped SRP bucket index is now
+        # a session-scoped persisted frame (_capped_srp_table) shared
+        # by every kNN-family query instead of being rebuilt per query
+        # and per self-join side.
+        "ann_knn_graph_mutual",
+        "ann_knn_graph_multitable",
+        "ann_knn_graph_mutual_multitable",
+        "ann_knn_graph_recall",
+        "emb_knn_loo_label_eval",
     }
 )
 

@@ -963,14 +963,23 @@ def test_blocked_cusum_windows_are_block_partitioned(spark):
     assert len(key_only) <= 2, specs
 
 
-def test_knn_graph_sizes_broadcast_reused_at_runtime(spark):
-    """The bucket-cap's size table feeds BOTH sides of the candidate
-    self-join; statically the plan carries two copies of the sizes
-    aggregate, and it is AQE's runtime exchange reuse that collapses
-    them to one (ReusedExchange in the final adaptive plan).  Pin
-    that: if exchange reuse is ever disabled (conf change, AQE off for
-    this query), the sizes scan+SRP+aggregate silently runs twice."""
+def test_knn_graph_capped_index_cached_and_shared(spark):
+    """r12: the capped SRP bucket index is a session-scoped persisted
+    frame (_capped_srp_table) shared by every kNN-family query, so the
+    candidate self-join's BOTH sides read the in-memory index instead
+    of re-running scan+SRP+sizes-aggregate per side (the pre-r12 plan
+    relied on AQE ReusedExchange to collapse the duplicate).  Pin the
+    new shape: the executed plan scans the cache on both sides, and
+    two queries in one session hand back the SAME persisted frame."""
+    from kinesis_to_opensearch_lambda_spark.operators.similarity_queries import (
+        _capped_srp_table,
+    )
+
     df = q(spark, "ann_knn_graph_mutual")
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in final or "reused" in final.lower(), final[:2000]
+    assert final.count("InMemoryTableScan") >= 2 or "TableCacheQueryStage" in final, (
+        final[:2000]
+    )
+    assert _capped_srp_table(spark, SF_DIR, 0) is _capped_srp_table(spark, SF_DIR, 0)
+    assert _capped_srp_table(spark, SF_DIR, 0).storageLevel.useMemory
