@@ -1116,3 +1116,114 @@ def streaming_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _streaming_minhash_oracle() -> str:
+    """DuckDB twin of the streaming near-dup drain: identical corpus,
+    signatures, and bands as dedup_minhash_lsh_pairs; 'earlier arrival'
+    is the lexicographic (doc_id % 3, doc_id) order the micro-batch
+    files pin."""
+    from .dedup_queries import _SQL_MUTATED, _sql_minhash_cols, _sql_shingle_hashes
+
+    bucket_rows = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band_idx, "
+        f"md5(mh_{2 * b}::VARCHAR || mh_{2 * b + 1}::VARCHAR) AS band_val FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      {_SQL_MUTATED}
+    ), sigs AS (
+      SELECT doc_id,
+       {_sql_minhash_cols(8)}
+      FROM (
+        SELECT doc_id, {_sql_shingle_hashes()} AS hashed FROM corpus
+      )
+    ), buckets AS (
+{bucket_rows}
+    )
+    SELECT b.doc_id, count(*)::BIGINT AS n_band_hits
+    FROM buckets b
+    WHERE EXISTS (
+      SELECT 1 FROM buckets a
+      WHERE a.band_idx = b.band_idx AND a.band_val = b.band_val
+        AND (a.doc_id % 3 < b.doc_id % 3
+             OR (a.doc_id % 3 = b.doc_id % 3 AND a.doc_id < b.doc_id))
+    )
+    GROUP BY b.doc_id
+    """
+
+
+@register(
+    "streaming_dedup_minhash",
+    oracle=_streaming_minhash_oracle(),
+    doc="Streaming MinHash-LSH near-dup suppression through a real "
+    "StreamingQuery (r11 verdict task 7): originals + drop-first-word "
+    "mutations become 3 mtime-ordered micro-batches (batch = doc_id % 3, "
+    "maxFilesPerTrigger=1, availableNow); signatures (8 hashes) and band "
+    "buckets (4 bands of 2) are computed in-stream with the SAME column "
+    "expressions as the batch dedup_minhash_lsh_pairs, then "
+    "applyInPandasWithState keeps one first-seen marker per band value "
+    "(streaming.stateful.band_first_seen) and flags every later arrival. "
+    "Output: (doc_id, n_band_hits) for suppressed docs — a doc is a dup "
+    "iff ANY of its 4 bands was seen earlier (prior batch, or smaller "
+    "doc_id within the batch).  The oracle encodes the identical "
+    "arrival order ((doc_id%3, doc_id) lexicographic) in SQL, so parity "
+    "is exact.  At scale: state is one int per DISTINCT band value "
+    "(vocabulary-bounded, not corpus-bounded), hash-partitioned by the "
+    "state store and evictable by timeout/watermark TTL; the per-doc "
+    "verdict aggregation shuffles slim (doc_id, hit) rows only.",
+)
+def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.stateful import band_first_seen
+    from . import dedup as D
+    from .dedup_queries import _corpus
+
+    d = tempfile.mkdtemp(prefix="stream_mh_")
+    try:
+        corpus = _corpus(spark, sf_dir)  # doc_id, text (+ mutated twins)
+        os.makedirs(f"{d}/src", exist_ok=True)
+        for b in (0, 1, 2):
+            tmp = f"{d}/tmp{b}"
+            corpus.filter(F.col("doc_id") % 3 == b).coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+            dst = f"{d}/src/b{b}.parquet"
+            shutil.move(f"{tmp}/{part}", dst)
+            # the file source drains oldest-mtime-first: pin the order
+            os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/src")
+        )
+        sigs = D.minhash_signatures(stream, num_hashes=8)
+        bands = D.lsh_band_buckets(sigs, "doc_id", num_hashes=8, rows_per_band=2)
+        name = f"mh_{uuid.uuid4().hex[:12]}"
+        q = (
+            band_first_seen(bands.select("doc_id", "band_idx", "band_val"))
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        # one emitted row per (doc, band); the doc's verdict is the sum
+        # of its band hits.  Materialize before the tempdir teardown.
+        return (
+            spark.table(name)
+            .groupBy("doc_id")
+            .agg(F.sum("hit").cast("bigint").alias("n_band_hits"))
+            .filter(F.col("n_band_hits") > 0)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -103,9 +103,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_knn_graph_mutual_multitable",
     "ann_knn_graph_recall",
     "emb_knn_loo_label_eval",
+    # r12 NEW: streaming MinHash-LSH near-dup suppression
+    "streaming_dedup_minhash",
     # --- oldest-row rotation as of rounds < 12: the single r6 row
-    #     (window_time_weighted_avg) + all 42 r7 rows
-    #     (rotation max 7 < left-out min 8) ---
+    #     (window_time_weighted_avg) + the 42 r7 rows minus the
+    #     alphabetically-last (window_topk_per_group, displaced by the
+    #     streaming near-dup seat; ties allowed: rotation max ==
+    #     left-out min == 7) ---
     "window_time_weighted_avg",
     "agg_boolean_conditional",
     "agg_corr_exact_moments",
@@ -148,7 +152,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue",
     "window_sessionization",
-    "window_topk_per_group",
 )
 
 

@@ -135,3 +135,50 @@ def running_user_highwater(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+BAND_OUTPUT_SCHEMA = "doc_id bigint, hit int"
+BAND_STATE_SCHEMA = "seen int"
+
+
+def _band_first_seen(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming MinHash-LSH near-dup suppression, per band bucket.
+
+    State per (band_idx, band_val) key is a single marker: "some doc
+    carrying this band arrived in a PRIOR micro-batch".  Within one
+    micro-batch the arrival order is doc_id ascending (the caller pins
+    batch = doc_id % 3 via mtime-ordered files, so every row in this
+    group belongs to the same batch and smaller doc_id == earlier).
+    A row scores hit=1 iff ANY earlier arrival — prior batch (state
+    exists) or smaller doc_id in this batch — shares the band; the
+    per-doc dup verdict is then max/sum of its band hits downstream.
+
+    State is one int per DISTINCT band value — bounded by corpus
+    vocabulary, not corpus size, and evictable by GroupStateTimeout /
+    watermark TTL in a continuous deployment (an availableNow drain
+    keeps NoTimeout: dedup must see the whole replay)."""
+    pdf = pd.concat(list(pdfs)).sort_values("doc_id")
+    prior = state.exists
+    hits = []
+    for _ in range(len(pdf)):
+        hits.append(1 if prior else 0)
+        prior = True
+    state.update((1,))
+    yield pd.DataFrame(
+        {"doc_id": pdf["doc_id"].to_numpy(), "hit": hits}
+    )
+
+
+def band_first_seen(bands: DataFrame) -> DataFrame:
+    """Streaming first-seen marker over LSH band buckets: input columns
+    (doc_id, band_idx, band_val); one (doc_id, hit) row out per input
+    row, hit=1 iff an earlier-arrival doc shares the band."""
+    return bands.groupBy("band_idx", "band_val").applyInPandasWithState(
+        _band_first_seen,
+        outputStructType=BAND_OUTPUT_SCHEMA,
+        stateStructType=BAND_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -84,6 +84,11 @@ CHANGED_THIS_ROUND: frozenset[str] = frozenset(
         "ann_knn_graph_mutual_multitable",
         "ann_knn_graph_recall",
         "emb_knn_loo_label_eval",
+        # NEW in r12 (r11 verdict task 7): streaming MinHash-LSH
+        # near-dup suppression — in-stream signatures/bands (same
+        # expressions as dedup_minhash_lsh_pairs) + a first-seen
+        # marker per band value in the state store.
+        "streaming_dedup_minhash",
     }
 )
 
