@@ -64,6 +64,10 @@ FRONTIER: tuple[str, ...] = (
     # the LOO kNN label eval (the L=4 multitable machinery end-to-end).
     "dedup_semdedup_prune",
     "emb_knn_loo_label_eval",
+    # r12: the round's new operator — streaming MinHash-LSH near-dup
+    # suppression (100s Spark-side at sf10: 3 micro-batches through a
+    # real StreamingQuery + state store; the heaviest r12 addition).
+    "streaming_dedup_minhash",
 )
 
 
