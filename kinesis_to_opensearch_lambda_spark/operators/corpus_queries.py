@@ -1033,3 +1033,157 @@ def corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter corpus membership (incremental-ingest dedup gate)
+# ---------------------------------------------------------------------------
+# k salted 60-bit md5 hashes per document, modulo an ADAPTIVE power-of-two
+# bit width m: the smallest p in [13, 30] with 32*n_existing <= 2^p, derived
+# by the same pure-integer comparison on both engines (the float-free rule
+# _knn_planes / SemDeDup's B use — a ceil(log2) could straddle the boundary
+# between engines by 1 ulp at n = 2^j / 32).  32 bits/doc at k=4 gives a
+# false-positive rate of ~(1 - e^-(4/32))^4 ~ 0.02% and stays there at any
+# corpus size because m scales with n.
+_BLOOM_K = 4
+_BLOOM_BITS_PER_DOC = 32
+_BLOOM_P_LO, _BLOOM_P_HI = 13, 30
+
+
+def _sql_bloom_pos(src: str, id_expr: str, id_alias: str) -> str:
+    """4-way UNION of salted-hash bit positions for one side."""
+    rows = "\n      UNION ALL\n".join(
+        f"      SELECT {id_expr} AS {id_alias}, "
+        f"({SQL_MD5_LONG.format(x=f'''text || ':{i}' ''')}"
+        f" % (SELECT m FROM mp)) AS pos FROM {src}"
+        for i in range(_BLOOM_K)
+    )
+    return rows
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle=f"""
+    WITH existing AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0
+    ), probes AS (
+      SELECT doc_id AS probe_id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 1000000000 AS probe_id, text FROM documents
+      WHERE doc_id % 5 != 0 AND doc_id % 7 = 0
+    ), mp AS (
+      SELECT (1::BIGINT << LEAST({_BLOOM_P_HI}, MIN(t.p))) AS m
+      FROM (SELECT count(*) AS n FROM existing) c,
+           range({_BLOOM_P_LO}, {_BLOOM_P_HI + 1}) t(p)
+      WHERE c.n * {_BLOOM_BITS_PER_DOC} <= (1::BIGINT << t.p)
+         OR t.p = {_BLOOM_P_HI}
+    ), ebits AS (
+      SELECT DISTINCT pos FROM (
+{_sql_bloom_pos("existing", "doc_id", "doc_id")}
+      )
+    ), ppos AS (
+      SELECT DISTINCT probe_id, pos FROM (
+{_sql_bloom_pos("probes", "probe_id", "probe_id")}
+      )
+    ), verdicts AS (
+      SELECT pp.probe_id, (count(*) = count(eb.pos)) AS bloom_hit
+      FROM ppos pp LEFT JOIN ebits eb ON pp.pos = eb.pos
+      GROUP BY pp.probe_id
+    ), ekeys AS (
+      SELECT DISTINCT {SQL_MD5_LONG.format(x="text")} AS tkey FROM existing
+    ), member AS (
+      SELECT p.probe_id, (e.tkey IS NOT NULL) AS true_member
+      FROM (SELECT probe_id, {SQL_MD5_LONG.format(x="text")} AS tkey
+            FROM probes) p
+      LEFT JOIN ekeys e ON p.tkey = e.tkey
+    )
+    SELECT v.bloom_hit::VARCHAR AS bloom_hit,
+           m.true_member::VARCHAR AS true_member,
+           count(*)::BIGINT AS n_docs
+    FROM verdicts v JOIN member m USING (probe_id)
+    GROUP BY 1, 2
+    """,
+    doc="Bloom-filter corpus membership — the incremental-ingest gate "
+    "(Broder & Mitzenmacher 2004): an arriving batch is tested against "
+    "a Bloom sketch of the EXISTING corpus before any expensive dedup "
+    "runs.  Existing = doc_id%5!=0; probes = the held-out docs plus "
+    "re-keyed copies of existing docs (planted TRUE members, so both "
+    "verdict classes are exercised at every scale).  k=4 salted 60-bit "
+    "md5 hashes mod an adaptive power-of-two width m (smallest 2^p >= "
+    "32*n, pure-integer rule in both engines), so the false-positive "
+    "rate stays ~0.02% at any corpus size.  Output: docs grouped by "
+    "(bloom_hit, true_member) — the (false, true) cell is structurally "
+    "IMPOSSIBLE (a Bloom filter has no false negatives), and its "
+    "absence is asserted by tests/test_bloom.py.  Plan: the filter is "
+    "a DISTINCT over k*n slim longs (partial agg map-side), the probe "
+    "a slim equi-join on bit position, and the exact-membership "
+    "baseline joins 8-byte content hashes — full text never rides a "
+    "shuffle.  At 100 TB the bit set is a shared sketch built once "
+    "(here: an aggregate the size of <= k*n distinct longs; in a "
+    "deployment: OR-merged fixed-size bitmaps per partition), and the "
+    "probe side streams against it — the same one-build/many-probe "
+    "shape as the session-scoped SRP index.",
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    existing = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    probes = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").alias("probe_id"), "text")
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 0)
+            ).select((F.col("doc_id") + 1_000_000_000).alias("probe_id"), "text")
+        )
+    )
+    # smallest p in [13, 30] with 32*n <= 2^p == 13 + the count of integer
+    # thresholds 2^j (j in [13, 30)) that 32*n strictly exceeds.
+    mdf = existing.agg(F.count(F.lit(1)).alias("n")).select(
+        sum(
+            (
+                (F.col("n") * _BLOOM_BITS_PER_DOC > F.lit(1 << j)).cast("int")
+                for j in range(_BLOOM_P_LO, _BLOOM_P_HI)
+            ),
+            F.lit(_BLOOM_P_LO),
+        ).alias("p")
+    ).select(F.expr("shiftleft(CAST(1 AS BIGINT), p)").alias("m"))
+
+    def _pos(df: DataFrame, id_col: str) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(mdf))
+            .select(
+                id_col,
+                F.explode(
+                    F.array(
+                        *[
+                            md5_long(F.concat(F.col("text"), F.lit(f":{i}")))
+                            % F.col("m")
+                            for i in range(_BLOOM_K)
+                        ]
+                    )
+                ).alias("pos"),
+            )
+            .distinct()
+        )
+
+    ebits = _pos(existing, "doc_id").select("pos").distinct()
+    ppos = _pos(probes, "probe_id")
+    verdicts = (
+        ppos.join(ebits.withColumn("hit", F.lit(1)), "pos", "left")
+        .groupBy("probe_id")
+        .agg((F.count(F.lit(1)) == F.count("hit")).alias("bloom_hit"))
+    )
+    ekeys = existing.select(md5_long(F.col("text")).alias("tkey")).distinct()
+    member = (
+        probes.select("probe_id", md5_long(F.col("text")).alias("tkey"))
+        .join(ekeys.withColumn("mem", F.lit(1)), "tkey", "left")
+        .select("probe_id", F.col("mem").isNotNull().alias("true_member"))
+    )
+    return (
+        verdicts.join(member, "probe_id")
+        .groupBy(
+            F.col("bloom_hit").cast("string").alias("bloom_hit"),
+            F.col("true_member").cast("string").alias("true_member"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

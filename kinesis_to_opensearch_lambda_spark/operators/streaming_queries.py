@@ -1227,3 +1227,122 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _streaming_funnel_oracle() -> str:
+    """DuckDB twin of the streaming rejection funnel: the exact batch
+    cascade expression of curation_rejection_funnel, grouped by the
+    micro-batch key the stream pins (doc_id % 3)."""
+    from .training_queries import _SQL_SCORE_I, _SQL_WORDS
+
+    return f"""
+    WITH tagged AS (
+      SELECT doc_id % 3 AS batch,
+             CASE
+               WHEN lang NOT IN ('en', 'zh') THEN '1_lang_other'
+               WHEN len({_SQL_WORDS}) < 50 THEN '2_too_short'
+               WHEN {_SQL_SCORE_I} < 500000 THEN '3_low_quality'
+               ELSE '4_kept'
+             END AS reason,
+             n_chars
+      FROM documents
+    )
+    SELECT batch, reason,
+           count(*)::BIGINT AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM tagged GROUP BY batch, reason
+    """
+
+
+@register(
+    "streaming_quality_funnel",
+    oracle=_streaming_funnel_oracle(),
+    doc="Streaming face of the curation rejection funnel: documents "
+    "arrive as 3 mtime-ordered micro-batches (batch = doc_id % 3, "
+    "maxFilesPerTrigger=1, availableNow) and every doc is charged "
+    "in-stream to the FIRST rejecting filter using the IDENTICAL "
+    "cascade expression as the batch curation_rejection_funnel "
+    "(language allowlist -> length floor -> integer-millionth quality "
+    "floor), then a streaming groupBy((batch, reason)) aggregates "
+    "counts and char mass through a real StreamingQuery in update "
+    "mode.  Each (batch, reason) key receives rows in exactly ONE "
+    "micro-batch, so the update-mode memory sink holds exactly one "
+    "final row per key (a defensive max() collapse guards the read "
+    "anyway).  At scale: state is one counter pair per (batch, "
+    "reason) — reason-vocabulary-bounded, not corpus-bounded — and "
+    "the per-doc cascade is a single scan-stage CASE expression, the "
+    "same cost as the batch pass; this is the shape of a live "
+    "ingest-quality dashboard over a firehose.",
+)
+def streaming_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..sources.batch import load_table
+    from .training_queries import _score_i
+    from ..functions import words
+
+    d = tempfile.mkdtemp(prefix="stream_qf_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "n_chars"
+        )
+        os.makedirs(f"{d}/src", exist_ok=True)
+        for b in (0, 1, 2):
+            tmp = f"{d}/tmp{b}"
+            docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+            dst = f"{d}/src/b{b}.parquet"
+            shutil.move(f"{tmp}/{part}", dst)
+            os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
+        stream = (
+            spark.readStream.schema(
+                "doc_id bigint, text string, lang string, n_chars bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/src")
+        )
+        reason = (
+            F.when(~F.col("lang").isin("en", "zh"), "1_lang_other")
+            .when(F.size(words(F.col("text"))) < 50, "2_too_short")
+            .when(_score_i() < 500_000, "3_low_quality")
+            .otherwise("4_kept")
+        )
+        agg = (
+            stream.select(
+                (F.col("doc_id") % 3).alias("batch"),
+                reason.alias("reason"),
+                "n_chars",
+            )
+            .groupBy("batch", "reason")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("total_chars"),
+            )
+        )
+        name = f"qf_{uuid.uuid4().hex[:12]}"
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        # one emitted row per (batch, reason) since a key's rows all
+        # arrive in its one micro-batch; max() collapses defensively if
+        # a retry ever re-emits.  Materialize before tempdir teardown.
+        return (
+            spark.table(name)
+            .groupBy("batch", "reason")
+            .agg(
+                F.max("n_docs").alias("n_docs"),
+                F.max("total_chars").alias("total_chars"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -769,3 +769,132 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bits_per_bigram"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval top-k
+# ---------------------------------------------------------------------------
+# Fixed literal query — terms chosen from the corpus vocabulary with a
+# deliberate document-frequency spread ('dup' is ~20x rarer than the
+# others, so the IDF weighting is actually exercised).
+_BM25_TERMS = ("dup", "merge", "query")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 15
+
+
+def _sql_bm25_term(i: int, t: str) -> str:
+    """One BM25 summand; float math in ONE fixed-order expression over
+    exact-integer inputs (tf/dl/df/n/total_dl), so Spark and DuckDB
+    evaluate bit-identically up to the final round."""
+    tf = f"tf{i}"
+    return (
+        f"CASE WHEN {tf} > 0 THEN "
+        f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) "
+        f"* ({tf} * {1.0 + _BM25_K1}) "
+        f"/ ({tf} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * "
+        f"(dl * n_docs)::DOUBLE / total_dl::DOUBLE)) "
+        f"ELSE 0.0 END"
+    )
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH perdoc AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS dl,
+             {", ".join(
+                 f"len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
+                 f" AS tf{i}" for i, t in enumerate(_BM25_TERMS))}
+      FROM documents
+    ), corpus AS (
+      SELECT count(*) AS n_docs, sum(dl) AS total_dl,
+             {", ".join(
+                 f"sum((tf{i} > 0)::INT) AS df{i}"
+                 for i in range(len(_BM25_TERMS)))}
+      FROM perdoc
+    )
+    SELECT doc_id,
+           CAST(dl AS BIGINT) AS dl,
+           round({" + ".join(
+               _sql_bm25_term(i, t) for i, t in enumerate(_BM25_TERMS))},
+             4) AS bm25,
+           CAST(row_number() OVER (
+             ORDER BY round({" + ".join(
+                 _sql_bm25_term(i, t) for i, t in enumerate(_BM25_TERMS))},
+               4) DESC, doc_id) AS BIGINT) AS rnk
+    FROM perdoc, corpus
+    WHERE {" + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))} > 0
+    QUALIFY rnk <= {_BM25_TOPK}
+    """,
+    doc="BM25 top-k retrieval (Robertson & Zaragoza 2009, k1=1.2 "
+    "b=0.75) for a fixed query over `documents` — the lexical "
+    "retrieval primitive behind dataset search and hard-negative "
+    "mining for embedding training.  Per-doc term frequencies and "
+    "document length are exact integers computed in the scan stage "
+    "(size(filter(words))); corpus stats (N, total length, per-term "
+    "document frequencies) are ONE tiny aggregate broadcast back, so "
+    "the scoring pass is scan -> map with no join of corpus-sized "
+    "sides.  All float math lives in one fixed-order expression over "
+    "those integers (dl/avgdl written as (dl*N)/total_dl: integer "
+    "product first, ONE division) and both engines order by the "
+    "ROUNDED score + doc_id, so ranking can never flip on a 1-ulp "
+    "ln() difference.  Non-matching docs are filtered BEFORE the "
+    "sort; the global top-k is ORDER BY + LIMIT in Spark "
+    "(TakeOrderedAndProject: per-partition partial top-k, never a "
+    "single-partition window).  At 100 TB: the query fans out as a "
+    "3-term literal filter inside the scan, the shuffle carries only "
+    "the <= k survivors per partition.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+
+    # factory, NOT a default-arg closure: a two-parameter HOF lambda
+    # binds (element, index) and the term literal would silently become
+    # the array index (the functions.minhash_values lesson).
+    def _tf(term: str) -> F.Column:
+        return F.size(F.filter(w, lambda x: x == F.lit(term)))
+
+    perdoc = docs.select(
+        "doc_id",
+        F.size(w).alias("dl"),
+        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    corpus = perdoc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    matched = perdoc.filter(
+        sum((F.col(f"tf{i}") for i in range(len(_BM25_TERMS))), F.lit(0)) > 0
+    ).crossJoin(F.broadcast(corpus))
+    term_sql = " + ".join(
+        _sql_bm25_term(i, t).replace("::DOUBLE", "")
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    scored = matched.select(
+        "doc_id",
+        F.col("dl").cast("bigint").alias("dl"),
+        F.round(
+            F.expr(
+                term_sql.replace(
+                    "(dl * n_docs)", "CAST(dl * n_docs AS DOUBLE)"
+                ).replace("/ total_dl", "/ CAST(total_dl AS DOUBLE)")
+            ),
+            4,
+        ).alias("bm25"),
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(_BM25_TOPK)
+    return top.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .cast("bigint"),
+    )

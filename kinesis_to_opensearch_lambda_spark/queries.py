@@ -105,11 +105,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "emb_knn_loo_label_eval",
     # r12 NEW: streaming MinHash-LSH near-dup suppression
     "streaming_dedup_minhash",
+    # r12 NEW: Bloom-filter corpus membership (adaptive width, planted
+    # true members, measured FP rate)
+    "sketch_bloom_membership",
+    # r12 NEW: BM25 top-k retrieval (integer tf/df/dl, one fixed-order
+    # float expression, rounded-score ordering)
+    "text_bm25_topk",
+    # r12 NEW: streaming face of the curation rejection funnel
+    "streaming_quality_funnel",
     # --- oldest-row rotation as of rounds < 12: the single r6 row
     #     (window_time_weighted_avg) + the 42 r7 rows minus the
-    #     alphabetically-last (window_topk_per_group, displaced by the
-    #     streaming near-dup seat; ties allowed: rotation max ==
-    #     left-out min == 7) ---
+    #     alphabetically-last four (window_topk_per_group,
+    #     window_sessionization, tpch_q6_forecast_revenue,
+    #     tpch_q3_shipping_priority — displaced by the four new-entry
+    #     seats; ties allowed: rotation max == left-out min == 7) ---
     "window_time_weighted_avg",
     "agg_boolean_conditional",
     "agg_corr_exact_moments",
@@ -149,9 +158,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_mojibake_stats",
     "tpch_q18_large_volume",
     "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "window_sessionization",
 )
 
 

@@ -89,6 +89,16 @@ CHANGED_THIS_ROUND: frozenset[str] = frozenset(
         # expressions as dedup_minhash_lsh_pairs) + a first-seen
         # marker per band value in the state store.
         "streaming_dedup_minhash",
+        # NEW in r12: Bloom-filter corpus membership — adaptive
+        # power-of-two width (pure-integer rule both engines), planted
+        # true members, no-false-negative cell asserted.
+        "sketch_bloom_membership",
+        # NEW in r12: BM25 top-k retrieval — integer tf/df/dl inputs,
+        # one fixed-order float expression, rounded-score ordering.
+        "text_bm25_topk",
+        # NEW in r12: streaming face of curation_rejection_funnel —
+        # identical cascade expression, (batch, reason) streaming agg.
+        "streaming_quality_funnel",
     }
 )
 
