@@ -138,3 +138,152 @@ def bucketed_join_plan(spark: SparkSession, sf_dir: str) -> str:
         spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
         spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _ann_index_oracle() -> str:
+    """DuckDB twin of the persisted ANN index cells: the EXACT capped
+    CTE chain of the kNN-family oracles (adaptive nb, 16-plane mask,
+    windowed per-bucket sub-split)."""
+    from . import similarity as S
+    from .similarity_queries import _KNN_BUCKET_TARGET, _KNN_MAX_PLANES
+
+    return f"""
+    WITH nbits AS MATERIALIZED (
+      SELECT LEAST({_KNN_MAX_PLANES}, MIN(t.nb)) AS nb
+      FROM (SELECT count(*) AS n FROM embeddings) c,
+           range(8, {_KNN_MAX_PLANES + 1}) t(nb)
+      WHERE c.n <= {_KNN_BUCKET_TARGET} * (1 << t.nb)
+         OR t.nb = {_KNN_MAX_PLANES}
+    ), bucketed AS MATERIALIZED (
+      SELECT vec_id,
+             ({S.sql_srp_bits('embedding', _KNN_MAX_PLANES)})
+               % (1 << (SELECT nb FROM nbits)) AS bucket
+      FROM embeddings
+    ), capped AS (
+      SELECT vec_id, bucket,
+             vec_id % ((count(*) OVER (PARTITION BY bucket)
+                        + {_KNN_BUCKET_TARGET - 1}) // {_KNN_BUCKET_TARGET})
+               AS sub
+      FROM bucketed
+    ), cells AS (
+      SELECT bucket, sub, count(*) AS n_members,
+             (count(*) * (count(*) - 1)) // 2 AS n_pairs
+      FROM capped GROUP BY bucket, sub
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, CAST(sub AS BIGINT) AS sub,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_pairs AS BIGINT) AS n_pairs
+    FROM cells
+    QUALIFY row_number() OVER (ORDER BY n_pairs DESC, bucket, sub) <= 10
+    """
+
+
+@register(
+    "ann_index_bucketed_build",
+    oracle=_ann_index_oracle(),
+    doc="The session-scoped capped-SRP index made DURABLE: the exact "
+    "index frame every kNN-family query shares in-session "
+    "(_capped_srp_table — AB_KNN_MEMO_r12 measured the in-memory form "
+    "at 0.73x family cost) is written ONCE as a bucketed table on "
+    "BOTH join keys (bucket, sub) — Spark's co-partition rule "
+    "(requireAllClusterKeysForCoPartition) demands the bucket spec "
+    "cover the full key set — and the candidate self-join then reads "
+    "co-located buckets with ZERO exchange (plan asserted "
+    "exchange-free in tests/test_plans.py).  This is "
+    "the claim the kNN docstrings make about 100 TB — 'in one "
+    "session the cache IS that index; in production it is a bucketed "
+    "table written once and served to every query' — executed: "
+    "build -> persist layout -> shuffle-free candidate generation "
+    "across restarts.  Output: the 10 heaviest (bucket, sub) cells "
+    "with member and directed-pair counts — the quantity the bucket "
+    "cap bounds (<= C(64,2) pairs per cell under ANY skew), so the "
+    "top cell doubles as a live assertion of the cap.",
+)
+def ann_index_bucketed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity_queries import _capped_srp_table
+
+    d = tempfile.mkdtemp(prefix="ann_idx_")
+    tag = uuid.uuid4().hex[:12]
+    t_idx = f"ann_idx_{tag}"
+    try:
+        (
+            _capped_srp_table(spark, sf_dir, 0)
+            .select(
+                "vec_id",
+                F.col("bucket").cast("bigint").alias("bucket"),
+                F.col("sub").cast("bigint").alias("sub"),
+            )
+            # one writer task -> one file per bucket, so the bucketed
+            # scan's per-bucket sort survives into the SMJ
+            .repartition(1)
+            .write.bucketBy(N_BUCKETS, "bucket", "sub")
+            .sortBy("bucket", "sub", "vec_id")
+            .option("path", f"{d}/idx")
+            .saveAsTable(t_idx)
+        )
+        idx = spark.table(t_idx)
+        a, b = idx.alias("a"), idx.alias("b")
+        pairs = a.join(
+            b.hint("merge"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).groupBy(F.col("a.bucket").alias("bucket"), F.col("a.sub").alias("sub"))
+        members = idx.groupBy("bucket", "sub").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members")
+        )
+        cells = (
+            members.join(
+                pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs")),
+                ["bucket", "sub"],
+                "left",
+            )
+            .select(
+                "bucket",
+                "sub",
+                "n_members",
+                F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            )
+            .orderBy(F.col("n_pairs").desc(), "bucket", "sub")
+            .limit(10)
+        )
+        # rebuild from local rows: the returned frame must survive
+        # recompute after the scratch table is dropped
+        return spark.createDataFrame(cells.collect(), schema=cells.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_idx}")
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def ann_index_join_plan(spark: SparkSession, sf_dir: str) -> str:
+    """Physical plan of the bucketed-index candidate self-join BEFORE
+    materialization — the plan test asserts the join side reads
+    co-located buckets with no exchange."""
+    from ..plans import plan_string
+    from .similarity_queries import _capped_srp_table
+
+    d = tempfile.mkdtemp(prefix="ann_idx_plan_")
+    tag = uuid.uuid4().hex[:12]
+    t_idx = f"ann_idx_{tag}"
+    try:
+        (
+            _capped_srp_table(spark, sf_dir, 0)
+            .select("vec_id", "bucket", "sub")
+            .repartition(1)
+            .write.bucketBy(N_BUCKETS, "bucket", "sub")
+            .sortBy("bucket", "sub", "vec_id")
+            .option("path", f"{d}/idx")
+            .saveAsTable(t_idx)
+        )
+        idx = spark.table(t_idx)
+        a, b = idx.alias("a"), idx.alias("b")
+        joined = a.join(
+            b.hint("merge"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        return plan_string(joined)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_idx}")
+        shutil.rmtree(d, ignore_errors=True)

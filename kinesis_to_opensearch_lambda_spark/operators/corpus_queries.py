@@ -1187,3 +1187,118 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG-style chunking: overlapping word windows
+# ---------------------------------------------------------------------------
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+
+@register(
+    "corpus_chunk_windows",
+    oracle=f"""
+    WITH perdoc AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS dl
+      FROM documents
+    ), chunked AS (
+      SELECT doc_id, dl,
+             CASE WHEN dl <= {_CHUNK_SIZE} THEN 1
+                  ELSE (dl - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1)
+                       // {_CHUNK_STRIDE} + 1 END AS n_chunks,
+             w
+      FROM perdoc
+    )
+    SELECT doc_id,
+           CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(list_sum(list_transform(range(0, n_chunks::INT),
+             i -> least(dl - i * {_CHUNK_STRIDE}, {_CHUNK_SIZE})))
+             AS BIGINT) AS chunk_words,
+           CAST(list_sum(list_transform(range(0, n_chunks::INT),
+             i -> ('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR
+                     || ':' || array_to_string(
+                          w[i * {_CHUNK_STRIDE} + 1 :
+                            i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' ')),
+                   1, 10))::BIGINT))
+             AS BIGINT) AS chunks_sig
+    FROM chunked
+    """,
+    doc="RAG-style overlapping chunking: every document split into "
+    f"word windows of {_CHUNK_SIZE} with stride {_CHUNK_STRIDE} "
+    "(8-word overlap) — the retrieval-granularity transform between a "
+    "raw corpus and an embedding/BM25 index.  Chunk COUNT is pure "
+    "integer ceil arithmetic, chunk boundaries are list slices (both "
+    "engines clamp past-end slices), and the per-doc summary carries "
+    "an order-independent signature: the SUM of 40-bit md5 hashes of "
+    "(doc_id:chunk_idx:chunk_text), so any boundary, ordering, or "
+    "content drift between engines breaks the hash while the sum "
+    "itself never depends on evaluation order (500k docs x 2^40 stays "
+    "far under int64).  Everything is scan-stage higher-order "
+    "functions over the split array — the text is tokenized ONCE, no "
+    "explode, no shuffle of chunk bodies; the output is one slim row "
+    "per document.  At 100 TB the chunk table this summarizes is "
+    "written partition-parallel from the same expressions with the "
+    "signature as the integrity check.",
+)
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    dl = F.size(w)
+    n_chunks = F.when(dl <= _CHUNK_SIZE, F.lit(1)).otherwise(
+        F.expr(
+            f"(size(split(text, ' ')) - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1) "
+            f"div {_CHUNK_STRIDE} + 1"
+        )
+    )
+    base = docs.select(
+        "doc_id", w.alias("w"), dl.alias("dl"), n_chunks.alias("n_chunks")
+    )
+    idxs = F.sequence(F.lit(0), F.col("n_chunks") - 1)
+    chunk_words = F.aggregate(
+        F.transform(
+            idxs,
+            lambda i: F.least(
+                F.col("dl") - i * _CHUNK_STRIDE, F.lit(_CHUNK_SIZE)
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    chunk_sig = F.aggregate(
+        F.transform(
+            idxs,
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            i.cast("string"),
+                            F.lit(":"),
+                            F.array_join(
+                                F.slice(
+                                    F.col("w"), i * _CHUNK_STRIDE + 1, _CHUNK_SIZE
+                                ),
+                                " ",
+                            ),
+                        )
+                    ),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return base.select(
+        "doc_id",
+        F.col("n_chunks").cast("bigint").alias("n_chunks"),
+        chunk_words.alias("chunk_words"),
+        chunk_sig.alias("chunks_sig"),
+    )

@@ -113,11 +113,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_bm25_topk",
     # r12 NEW: streaming face of the curation rejection funnel
     "streaming_quality_funnel",
+    # r12 NEW: the shared kNN index persisted as a bucketed table;
+    # zero-exchange candidate self-join plan-asserted
+    "ann_index_bucketed_build",
+    # r12 NEW: RAG-style overlapping word-window chunking with an
+    # order-independent per-doc signature
+    "corpus_chunk_windows",
     # --- oldest-row rotation as of rounds < 12: the single r6 row
     #     (window_time_weighted_avg) + the 42 r7 rows minus the
-    #     alphabetically-last four (window_topk_per_group,
+    #     alphabetically-last six (window_topk_per_group,
     #     window_sessionization, tpch_q6_forecast_revenue,
-    #     tpch_q3_shipping_priority — displaced by the four new-entry
+    #     tpch_q3_shipping_priority, tpch_q1_pricing_summary,
+    #     tpch_q18_large_volume — displaced by the six new-entry
     #     seats; ties allowed: rotation max == left-out min == 7) ---
     "window_time_weighted_avg",
     "agg_boolean_conditional",
@@ -156,8 +163,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_bpe_token_estimate",
     "text_cooccurrence_pmi",
     "text_mojibake_stats",
-    "tpch_q18_large_volume",
-    "tpch_q1_pricing_summary",
 )
 
 

@@ -99,6 +99,13 @@ CHANGED_THIS_ROUND: frozenset[str] = frozenset(
         # NEW in r12: streaming face of curation_rejection_funnel —
         # identical cascade expression, (batch, reason) streaming agg.
         "streaming_quality_funnel",
+        # NEW in r12: the shared capped-SRP kNN index written as a
+        # bucketed table on both join keys; candidate self-join reads
+        # co-located buckets exchange-free (plan-asserted).
+        "ann_index_bucketed_build",
+        # NEW in r12: RAG-style overlapping chunk windows — integer
+        # boundary arithmetic + order-independent 40-bit hash sums.
+        "corpus_chunk_windows",
     }
 )
 

@@ -983,3 +983,18 @@ def test_knn_graph_capped_index_cached_and_shared(spark):
     )
     assert _capped_srp_table(spark, SF_DIR, 0) is _capped_srp_table(spark, SF_DIR, 0)
     assert _capped_srp_table(spark, SF_DIR, 0).storageLevel.useMemory
+
+
+def test_ann_index_bucketed_join_is_exchange_free(spark):
+    # the persisted capped-SRP index read back as a bucketed table:
+    # the candidate self-join on (bucket, sub) must read co-located
+    # buckets with NO exchange on either side — hash(bucket) satisfies
+    # the (bucket, sub) clustering since equal pairs imply equal buckets
+    from kinesis_to_opensearch_lambda_spark.operators.bucketed_queries import (
+        ann_index_join_plan,
+    )
+
+    plan = ann_index_join_plan(spark, SF_DIR)
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "Exchange" not in plan, plan
