@@ -1346,3 +1346,155 @@ def streaming_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _streaming_ann_oracle() -> str:
+    """DuckDB twin of the streaming ANN probe: identical perturbation,
+    8-bit SRP buckets, hamming-1 multi-probe, tau=0.9 scoring, and the
+    per-probe best-match selection on the ROUNDED cosine."""
+    from ..functions import sql_cosine
+    from . import similarity as S
+    from .dedup_queries import _SQL_PERTURB, SYNTH_ID_OFFSET
+
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {S.sql_srp_bits('embedding')} AS bucket
+      FROM embeddings
+    ), perturbed AS (
+      SELECT vec_id + {SYNTH_ID_OFFSET} AS dup_id,
+             {_SQL_PERTURB} AS p_embedding
+      FROM embeddings WHERE vec_id < 60
+    ), pbuck AS (
+      SELECT dup_id, p_embedding, {S.sql_srp_bits('p_embedding')} AS p_bucket
+      FROM perturbed
+    ), probes AS (
+      SELECT dup_id, p_embedding,
+             CASE WHEN f = 0 THEN p_bucket
+                  ELSE xor(p_bucket, (1 << (f - 1))) END AS probe
+      FROM pbuck, range(9) t(f)
+    ), matches AS (
+      SELECT p.dup_id, b.vec_id AS orig_id,
+             round({sql_cosine('p.p_embedding', 'b.embedding')}, 6) AS cos
+      FROM probes p JOIN bucketed b ON b.bucket = p.probe
+      WHERE {sql_cosine('p.p_embedding', 'b.embedding')} >= 0.9
+    )
+    SELECT dup_id, orig_id AS best_match, cos AS best_cos,
+           CAST(count(*) OVER (PARTITION BY dup_id) AS BIGINT) AS n_matches
+    FROM matches
+    QUALIFY row_number() OVER (PARTITION BY dup_id
+                               ORDER BY cos DESC, orig_id) = 1
+    """
+
+
+@register(
+    "streaming_ann_probe",
+    oracle=_streaming_ann_oracle(),
+    doc="Streaming similarity search: probe vectors arrive as 3 "
+    "mtime-ordered micro-batches (perturbed copies of the first 60 "
+    "corpus vectors, batch = vec_id % 3) and are answered in-stream "
+    "by a STREAM-STATIC equi-join against the SRP-bucketed corpus — "
+    "the same 8-bit buckets + hamming-1 multi-probe expressions as "
+    "the batch dedup_embedding_near, then exact cosine >= 0.9, "
+    "emitted append-mode through a real StreamingQuery.  The drained "
+    "match set is ranked per probe on the ROUNDED cosine (+ orig_id "
+    "tie-break, so a 1-ulp engine difference can never flip the "
+    "winner).  At scale: the static side is the session's shared SRP "
+    "index (in production the bucketed index table of "
+    "ann_index_bucketed_build); each probe touches ~9 buckets of "
+    "n/256 vectors in expectation, the join is a slim integer "
+    "equi-join per micro-batch, and no state store is needed — "
+    "stream-static joins are stateless, so a firehose of queries "
+    "runs at candidate-scoring cost with the index amortized across "
+    "every batch.",
+)
+def streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions import cosine
+    from ..sources.batch import load_table
+    from . import similarity as S
+    from .dedup_queries import SYNTH_ID_OFFSET
+
+    d = tempfile.mkdtemp(prefix="stream_ann_")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        bucketed = emb.select(
+            "vec_id", "embedding", S.srp_bucket(F.col("embedding")).alias("bucket")
+        )
+        probes_src = emb.filter(F.col("vec_id") < 60).select(
+            "vec_id",
+            (F.col("vec_id") + SYNTH_ID_OFFSET).alias("dup_id"),
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double")
+                + 0.01 * (x.cast("double") * x.cast("double") - 1.0),
+            ).alias("p_embedding"),
+        )
+        os.makedirs(f"{d}/src", exist_ok=True)
+        for b in (0, 1, 2):
+            tmp = f"{d}/tmp{b}"
+            probes_src.filter(F.col("vec_id") % 3 == b).drop("vec_id").coalesce(
+                1
+            ).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+            dst = f"{d}/src/b{b}.parquet"
+            shutil.move(f"{tmp}/{part}", dst)
+            os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
+        stream = (
+            spark.readStream.schema("dup_id bigint, p_embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/src")
+        )
+        multi = stream.withColumn(
+            "p_bucket", S.srp_bucket(F.col("p_embedding"))
+        ).select(
+            "dup_id",
+            "p_embedding",
+            F.explode(
+                F.array(
+                    F.col("p_bucket"),
+                    *[F.col("p_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(8)],
+                )
+            ).alias("probe"),
+        )
+        cos = cosine(F.col("p_embedding"), F.col("embedding"))
+        matches = (
+            multi.join(bucketed, F.col("bucket") == F.col("probe"))
+            .filter(cos >= 0.9)
+            .select(
+                "dup_id",
+                F.col("vec_id").alias("orig_id"),
+                F.round(cos, 6).alias("cos"),
+            )
+        )
+        name = f"ann_{uuid.uuid4().hex[:12]}"
+        q = (
+            matches.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        t = spark.table(name)
+        w = Window.partitionBy("dup_id").orderBy(F.col("cos").desc(), "orig_id")
+        wc = Window.partitionBy("dup_id")
+        return (
+            t.withColumn("rn", F.row_number().over(w))
+            .withColumn("n_matches", F.count(F.lit(1)).over(wc).cast("bigint"))
+            .filter(F.col("rn") == 1)
+            .select(
+                "dup_id",
+                F.col("orig_id").alias("best_match"),
+                F.col("cos").alias("best_cos"),
+                "n_matches",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

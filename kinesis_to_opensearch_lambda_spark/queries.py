@@ -119,13 +119,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r12 NEW: RAG-style overlapping word-window chunking with an
     # order-independent per-doc signature
     "corpus_chunk_windows",
+    # r12 NEW: streaming similarity search — stream-static multiprobe
+    # SRP join, stateless, rounded-cosine best-match ranking
+    "streaming_ann_probe",
     # --- oldest-row rotation as of rounds < 12: the single r6 row
     #     (window_time_weighted_avg) + the 42 r7 rows minus the
-    #     alphabetically-last six (window_topk_per_group,
+    #     alphabetically-last seven (window_topk_per_group,
     #     window_sessionization, tpch_q6_forecast_revenue,
     #     tpch_q3_shipping_priority, tpch_q1_pricing_summary,
-    #     tpch_q18_large_volume — displaced by the six new-entry
-    #     seats; ties allowed: rotation max == left-out min == 7) ---
+    #     tpch_q18_large_volume, text_mojibake_stats — displaced by
+    #     the seven new-entry seats; ties allowed: rotation max ==
+    #     left-out min == 7) ---
     "window_time_weighted_avg",
     "agg_boolean_conditional",
     "agg_corr_exact_moments",
@@ -162,7 +166,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "split_leakage_safe_groups",
     "text_bpe_token_estimate",
     "text_cooccurrence_pmi",
-    "text_mojibake_stats",
 )
 
 

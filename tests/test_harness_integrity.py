@@ -106,6 +106,10 @@ CHANGED_THIS_ROUND: frozenset[str] = frozenset(
         # NEW in r12: RAG-style overlapping chunk windows — integer
         # boundary arithmetic + order-independent 40-bit hash sums.
         "corpus_chunk_windows",
+        # NEW in r12: streaming similarity search — stateless
+        # stream-static multiprobe SRP join answering probe vectors
+        # in-stream; best match ranked on the rounded cosine.
+        "streaming_ann_probe",
     }
 )
 
