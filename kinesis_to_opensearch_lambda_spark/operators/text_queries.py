@@ -898,3 +898,74 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
         .cast("bigint"),
     )
+
+
+@register(
+    "text_inverted_postings",
+    oracle=f"""
+    WITH tf AS (
+      SELECT w AS term, doc_id, count(*) AS tf
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      )
+      GROUP BY w, doc_id
+    ), stats AS (
+      SELECT term,
+             count(*) AS df,
+             CAST(sum(tf) AS BIGINT) AS cf
+      FROM tf GROUP BY term
+    ), top_docs AS (
+      SELECT term, doc_id, tf,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY tf DESC, doc_id) AS rnk
+      FROM tf
+      QUALIFY rnk <= 3
+    )
+    SELECT s.term,
+           CAST(s.df AS BIGINT) AS df,
+           s.cf,
+           CAST(max(CASE WHEN t.rnk = 1 THEN t.doc_id END) AS BIGINT) AS top1_doc,
+           CAST(max(CASE WHEN t.rnk = 1 THEN t.tf END) AS BIGINT) AS top1_tf,
+           CAST(max(CASE WHEN t.rnk = 2 THEN t.doc_id END) AS BIGINT) AS top2_doc,
+           CAST(max(CASE WHEN t.rnk = 3 THEN t.doc_id END) AS BIGINT) AS top3_doc
+    FROM stats s JOIN top_docs t USING (term)
+    GROUP BY s.term, s.df, s.cf
+    """,
+    doc="Inverted-index posting summary — the index-build side of the "
+    "retrieval stack (text_bm25_topk scores, corpus_chunk_windows "
+    "chunks, this builds): per term, document frequency, collection "
+    "frequency, and the head of the tf-ordered posting list (top-3 "
+    "docs by tf, doc_id tie-break — a LITERAL k so the per-term "
+    "window is a pushed WindowGroupLimit, never a full posting sort). "
+    "The tf table is one explode + hash aggregate on (term, doc) — "
+    "map-side partial combine absorbs within-doc repeats before the "
+    "shuffle — and every downstream row is vocabulary-bounded "
+    "(Heaps' law), never token-bounded.  At 100 TB the posting lists "
+    "themselves are written partition-parallel sorted by (term, -tf) "
+    "from the same tf table; this summary is the integrity probe a "
+    "build would ship with.  All-integer output, no float anywhere.",
+)
+def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+    )
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col("doc_id"))
+    top = tf.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+    heads = top.groupBy("term").agg(
+        F.max(F.when(F.col("rnk") == 1, F.col("doc_id"))).cast("bigint").alias("top1_doc"),
+        F.max(F.when(F.col("rnk") == 1, F.col("tf"))).cast("bigint").alias("top1_tf"),
+        F.max(F.when(F.col("rnk") == 2, F.col("doc_id"))).cast("bigint").alias("top2_doc"),
+        F.max(F.when(F.col("rnk") == 3, F.col("doc_id"))).cast("bigint").alias("top3_doc"),
+    )
+    return stats.join(heads, "term").select(
+        "term", "df", "cf", "top1_doc", "top1_tf", "top2_doc", "top3_doc"
+    )

@@ -122,14 +122,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r12 NEW: streaming similarity search — stream-static multiprobe
     # SRP join, stateless, rounded-cosine best-match ranking
     "streaming_ann_probe",
+    # r12 NEW: inverted-index posting summary (df/cf + tf-ordered
+    # posting-list heads) — the build side of the retrieval stack
+    "text_inverted_postings",
     # --- oldest-row rotation as of rounds < 12: the single r6 row
     #     (window_time_weighted_avg) + the 42 r7 rows minus the
-    #     alphabetically-last seven (window_topk_per_group,
+    #     alphabetically-last eight (window_topk_per_group,
     #     window_sessionization, tpch_q6_forecast_revenue,
     #     tpch_q3_shipping_priority, tpch_q1_pricing_summary,
-    #     tpch_q18_large_volume, text_mojibake_stats — displaced by
-    #     the seven new-entry seats; ties allowed: rotation max ==
-    #     left-out min == 7) ---
+    #     tpch_q18_large_volume, text_mojibake_stats,
+    #     text_cooccurrence_pmi — displaced by the eight new-entry
+    #     seats; ties allowed: rotation max == left-out min == 7) ---
     "window_time_weighted_avg",
     "agg_boolean_conditional",
     "agg_corr_exact_moments",
@@ -165,7 +168,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "snapshot_diff",
     "split_leakage_safe_groups",
     "text_bpe_token_estimate",
-    "text_cooccurrence_pmi",
 )
 
 

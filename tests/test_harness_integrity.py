@@ -110,6 +110,9 @@ CHANGED_THIS_ROUND: frozenset[str] = frozenset(
         # stream-static multiprobe SRP join answering probe vectors
         # in-stream; best match ranked on the rounded cosine.
         "streaming_ann_probe",
+        # NEW in r12: inverted-index posting summary — df/cf +
+        # tf-ordered posting heads, vocabulary-bounded, all-integer.
+        "text_inverted_postings",
     }
 )
 
