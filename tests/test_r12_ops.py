@@ -89,3 +89,72 @@ def test_streaming_funnel_matches_batch_cascade(spark):
     # each (batch, reason) key appears exactly once in the drained sink
     keys = [(r.batch, r.reason) for r in stream_rows]
     assert len(keys) == len(set(keys))
+
+
+def test_streaming_ann_probe_finds_originals(spark):
+    """Each probe is a tiny polynomial perturbation of a corpus vector
+    (cos ~ 0.999), so its best match must be its own original for the
+    overwhelming share of probes — hamming-1 multiprobe bounds the LSH
+    miss rate to ~5% at this cosine (dedup_embedding_near's bound), so
+    pin 90%."""
+    from kinesis_to_opensearch_lambda_spark.operators.dedup_queries import (
+        SYNTH_ID_OFFSET,
+    )
+
+    rows = REGISTRY["streaming_ann_probe"].spark(spark, SF_DIR).collect()
+    assert rows
+    hits = [r for r in rows if r.best_match == r.dup_id - SYNTH_ID_OFFSET]
+    assert len(hits) >= 0.9 * len(rows), (len(hits), len(rows))
+    assert all(r.best_cos >= 0.99 for r in hits)
+    assert all(r.n_matches >= 1 for r in rows)
+
+
+def test_chunk_windows_arithmetic(spark):
+    """Chunk count and word coverage recomputed in plain Python from
+    the raw text must match the operator's integer arithmetic — the
+    boundary-off-by-one class the hash signature alone would conflate
+    with content drift."""
+    import duckdb as _d
+
+    rows = {
+        r.doc_id: r
+        for r in REGISTRY["corpus_chunk_windows"].spark(spark, SF_DIR).collect()
+    }
+    texts = _d.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet') "
+        "ORDER BY doc_id LIMIT 50"
+    ).fetchall()
+    size, stride = 32, 24
+    for doc_id, text in texts:
+        dl = len(text.split(" "))
+        n_chunks = 1 if dl <= size else -(-(dl - size) // stride) + 1
+        chunk_words = sum(min(dl - i * stride, size) for i in range(n_chunks))
+        r = rows[doc_id]
+        assert r.n_chunks == n_chunks, (doc_id, dl)
+        assert r.chunk_words == chunk_words, (doc_id, dl)
+        # the final chunk must reach the end of the document
+        assert (n_chunks - 1) * stride + size >= dl
+
+
+def test_inverted_postings_invariants(spark):
+    """Structural pins: df <= cf, the head docs are distinct, and the
+    most frequent corpus word's df matches an independent DuckDB
+    count."""
+    import duckdb as _d
+
+    rows = REGISTRY["text_inverted_postings"].spark(spark, SF_DIR).collect()
+    assert rows
+    by_term = {r.term: r for r in rows}
+    for r in rows:
+        assert 1 <= r.df <= r.cf
+        assert r.top1_tf >= 1
+        heads = [d for d in (r.top1_doc, r.top2_doc, r.top3_doc) if d is not None]
+        assert len(heads) == len(set(heads))
+        assert len(heads) == min(r.df, 3)
+    term, df = _d.sql(
+        "SELECT w, count(DISTINCT doc_id) AS df FROM ("
+        f"  SELECT doc_id, unnest(string_split(text, ' ')) AS w"
+        f"  FROM read_parquet('{SF_DIR}/documents.parquet')"
+        ") GROUP BY w ORDER BY df DESC, w LIMIT 1"
+    ).fetchone()
+    assert by_term[term].df == df
