@@ -969,3 +969,150 @@ def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(heads, "term").select(
         "term", "df", "cf", "top1_doc", "top1_tf", "top2_doc", "top3_doc"
     )
+
+
+def _bm25_chunk_oracle() -> str:
+    """DuckDB twin of BM25-over-chunks: the corpus_chunk_windows
+    boundary arithmetic produces the retrieval units, the
+    text_bm25_topk formula scores them — pure composition."""
+    from .corpus_queries import _CHUNK_SIZE, _CHUNK_STRIDE
+
+    terms = ", ".join(
+        f"len(list_filter(cw, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    score = " + ".join(
+        _sql_bm25_term(i, t) for i, t in enumerate(_BM25_TERMS)
+    )
+    return f"""
+    WITH perdoc AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS dl
+      FROM documents
+    ), counted AS (
+      SELECT doc_id, w,
+             CASE WHEN dl <= {_CHUNK_SIZE} THEN 1
+                  ELSE (dl - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1)
+                       // {_CHUNK_STRIDE} + 1 END AS n_chunks
+      FROM perdoc
+    ), chunks AS (
+      SELECT doc_id, unnest(range(0, n_chunks::INT)) AS chunk_idx, w
+      FROM counted
+    ), units AS (
+      SELECT doc_id, chunk_idx,
+             w[chunk_idx * {_CHUNK_STRIDE} + 1 :
+               chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}] AS cw
+      FROM chunks
+    ), scored_units AS (
+      SELECT doc_id, chunk_idx, len(cw) AS dl, {terms}
+      FROM units
+    ), corpus AS (
+      SELECT count(*) AS n_docs, sum(dl) AS total_dl,
+             {", ".join(
+                 f"sum((tf{i} > 0)::INT) AS df{i}"
+                 for i in range(len(_BM25_TERMS)))}
+      FROM scored_units
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(dl AS BIGINT) AS chunk_len,
+           round({score}, 4) AS bm25,
+           CAST(row_number() OVER (
+             ORDER BY round({score}, 4) DESC, doc_id, chunk_idx)
+             AS BIGINT) AS rnk
+    FROM scored_units, corpus
+    WHERE {" + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))} > 0
+    QUALIFY rnk <= {_BM25_TOPK}
+    """
+
+
+@register(
+    "text_bm25_chunk_topk",
+    oracle=_bm25_chunk_oracle(),
+    doc="BM25 retrieval at CHUNK granularity — the composition the "
+    "retrieval stack exists for: corpus_chunk_windows' integer "
+    "boundary arithmetic produces the overlapping retrieval units, "
+    "text_bm25_topk's scoring discipline ranks them (chunk-level "
+    "tf/df/length as exact integers, one tiny broadcast corpus "
+    "aggregate, one fixed-order float expression, rounded-score "
+    "ordering).  Passage retrieval ranks the chunk where the query "
+    "terms CONCENTRATE above a long document that merely mentions "
+    "them — the reason RAG systems index chunks, not documents.  "
+    "Plan: chunks explode inside the scan stage (sequence + slice, "
+    "the text tokenized once), non-matching chunks are filtered "
+    "before the global ORDER BY + LIMIT top-k.  At 100 TB the unit "
+    "count is ~4x the doc count and every downstream row is slim "
+    "integers — same shuffle discipline as the document-level entry.",
+)
+def text_bm25_chunk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .corpus_queries import _CHUNK_SIZE, _CHUNK_STRIDE
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    dl_doc = F.size(w)
+    n_chunks = F.when(dl_doc <= _CHUNK_SIZE, F.lit(1)).otherwise(
+        F.expr(
+            f"(size(split(text, ' ')) - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1) "
+            f"div {_CHUNK_STRIDE} + 1"
+        )
+    )
+    units = docs.select(
+        "doc_id",
+        w.alias("w"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.slice(
+            F.col("w"), F.col("chunk_idx") * _CHUNK_STRIDE + 1, _CHUNK_SIZE
+        ).alias("cw"),
+    )
+
+    def _tf(term: str) -> F.Column:
+        return F.size(F.filter(F.col("cw"), lambda x: x == F.lit(term)))
+
+    scored_units = units.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(F.col("cw")).alias("dl"),
+        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    corpus = scored_units.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    matched = scored_units.filter(
+        sum((F.col(f"tf{i}") for i in range(len(_BM25_TERMS))), F.lit(0)) > 0
+    ).crossJoin(F.broadcast(corpus))
+    term_sql = " + ".join(
+        _sql_bm25_term(i, t).replace("::DOUBLE", "")
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    scored = matched.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("dl").cast("bigint").alias("chunk_len"),
+        F.round(
+            F.expr(
+                term_sql.replace(
+                    "(dl * n_docs)", "CAST(dl * n_docs AS DOUBLE)"
+                ).replace("/ total_dl", "/ CAST(total_dl AS DOUBLE)")
+            ),
+            4,
+        ).alias("bm25"),
+    )
+    top = scored.orderBy(
+        F.col("bm25").desc(), F.col("doc_id"), F.col("chunk_idx")
+    ).limit(_BM25_TOPK)
+    return top.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id"), F.col("chunk_idx")))
+        .cast("bigint"),
+    )

@@ -125,14 +125,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r12 NEW: inverted-index posting summary (df/cf + tf-ordered
     # posting-list heads) — the build side of the retrieval stack
     "text_inverted_postings",
+    # r12 NEW: BM25 at chunk granularity — the chunk-windows ×
+    # BM25 composition (passage retrieval)
+    "text_bm25_chunk_topk",
     # --- oldest-row rotation as of rounds < 12: the single r6 row
     #     (window_time_weighted_avg) + the 42 r7 rows minus the
-    #     alphabetically-last eight (window_topk_per_group,
+    #     alphabetically-last nine (window_topk_per_group,
     #     window_sessionization, tpch_q6_forecast_revenue,
     #     tpch_q3_shipping_priority, tpch_q1_pricing_summary,
     #     tpch_q18_large_volume, text_mojibake_stats,
-    #     text_cooccurrence_pmi — displaced by the eight new-entry
-    #     seats; ties allowed: rotation max == left-out min == 7) ---
+    #     text_cooccurrence_pmi, text_bpe_token_estimate — displaced
+    #     by the nine new-entry seats; ties allowed: rotation max ==
+    #     left-out min == 7) ---
     "window_time_weighted_avg",
     "agg_boolean_conditional",
     "agg_corr_exact_moments",
@@ -167,7 +171,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "setop_except_all",
     "snapshot_diff",
     "split_leakage_safe_groups",
-    "text_bpe_token_estimate",
 )
 
 

@@ -113,6 +113,9 @@ CHANGED_THIS_ROUND: frozenset[str] = frozenset(
         # NEW in r12: inverted-index posting summary — df/cf +
         # tf-ordered posting heads, vocabulary-bounded, all-integer.
         "text_inverted_postings",
+        # NEW in r12: BM25 at chunk granularity — passage retrieval
+        # composing the chunk-window arithmetic with the BM25 formula.
+        "text_bm25_chunk_topk",
     }
 )
 
