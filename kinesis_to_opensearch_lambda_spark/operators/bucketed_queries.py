@@ -202,57 +202,42 @@ def _ann_index_oracle() -> str:
 def ann_index_bucketed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity_queries import _capped_srp_table
 
-    d = tempfile.mkdtemp(prefix="ann_idx_")
-    tag = uuid.uuid4().hex[:12]
-    t_idx = f"ann_idx_{tag}"
-    try:
-        (
-            _capped_srp_table(spark, sf_dir, 0)
-            .select(
-                "vec_id",
-                F.col("bucket").cast("bigint").alias("bucket"),
-                F.col("sub").cast("bigint").alias("sub"),
-            )
-            # one writer task -> one file per bucket, so the bucketed
-            # scan's per-bucket sort survives into the SMJ
-            .repartition(1)
-            .write.bucketBy(N_BUCKETS, "bucket", "sub")
-            .sortBy("bucket", "sub", "vec_id")
-            .option("path", f"{d}/idx")
-            .saveAsTable(t_idx)
+    # r13: this entry no longer writes its own copy — it reads the SAME
+    # session-scoped bucketed table every production kNN-family query
+    # consumes (_capped_srp_table writes through bucketBy(8, bucket,
+    # sub) since r13), so the "written once, served to every query"
+    # claim is now literally the production path, and this entry is its
+    # live audit.  The embedding column is pruned at the parquet scan
+    # (this consumer reads only ids/buckets).
+    # join on the RAW bucket/sub columns (a cast on the join key would
+    # hide the bucketing spec from the planner and re-introduce the
+    # exchange); cast to bigint only in the output projection
+    idx = _capped_srp_table(spark, sf_dir, 0).select("vec_id", "bucket", "sub")
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = a.join(
+        b.hint("merge"),
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.sub") == F.col("b.sub"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).groupBy(F.col("a.bucket").alias("bucket"), F.col("a.sub").alias("sub"))
+    members = idx.groupBy("bucket", "sub").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return (
+        members.join(
+            pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs")),
+            ["bucket", "sub"],
+            "left",
         )
-        idx = spark.table(t_idx)
-        a, b = idx.alias("a"), idx.alias("b")
-        pairs = a.join(
-            b.hint("merge"),
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.sub") == F.col("b.sub"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        ).groupBy(F.col("a.bucket").alias("bucket"), F.col("a.sub").alias("sub"))
-        members = idx.groupBy("bucket", "sub").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_members")
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("sub").cast("bigint").alias("sub"),
+            "n_members",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
         )
-        cells = (
-            members.join(
-                pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs")),
-                ["bucket", "sub"],
-                "left",
-            )
-            .select(
-                "bucket",
-                "sub",
-                "n_members",
-                F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
-            )
-            .orderBy(F.col("n_pairs").desc(), "bucket", "sub")
-            .limit(10)
-        )
-        # rebuild from local rows: the returned frame must survive
-        # recompute after the scratch table is dropped
-        return spark.createDataFrame(cells.collect(), schema=cells.schema)
-    finally:
-        spark.sql(f"DROP TABLE IF EXISTS {t_idx}")
-        shutil.rmtree(d, ignore_errors=True)
+        .orderBy(F.col("n_pairs").desc(), "bucket", "sub")
+        .limit(10)
+    )
 
 
 def ann_index_join_plan(spark: SparkSession, sf_dir: str) -> str:
@@ -262,28 +247,13 @@ def ann_index_join_plan(spark: SparkSession, sf_dir: str) -> str:
     from ..plans import plan_string
     from .similarity_queries import _capped_srp_table
 
-    d = tempfile.mkdtemp(prefix="ann_idx_plan_")
-    tag = uuid.uuid4().hex[:12]
-    t_idx = f"ann_idx_{tag}"
-    try:
-        (
-            _capped_srp_table(spark, sf_dir, 0)
-            .select("vec_id", "bucket", "sub")
-            .repartition(1)
-            .write.bucketBy(N_BUCKETS, "bucket", "sub")
-            .sortBy("bucket", "sub", "vec_id")
-            .option("path", f"{d}/idx")
-            .saveAsTable(t_idx)
-        )
-        idx = spark.table(t_idx)
-        a, b = idx.alias("a"), idx.alias("b")
-        joined = a.join(
-            b.hint("merge"),
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.sub") == F.col("b.sub"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        return plan_string(joined)
-    finally:
-        spark.sql(f"DROP TABLE IF EXISTS {t_idx}")
-        shutil.rmtree(d, ignore_errors=True)
+    # r13: the shared session index IS the bucketed table now
+    idx = _capped_srp_table(spark, sf_dir, 0).select("vec_id", "bucket", "sub")
+    a, b = idx.alias("a"), idx.alias("b")
+    joined = a.join(
+        b.hint("merge"),
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.sub") == F.col("b.sub"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    return plan_string(joined)

@@ -1266,29 +1266,47 @@ def _knn_planes_for(spark: SparkSession, sf_dir: str) -> int:
     return _KNN_PLANES_CACHE[sf_dir]
 
 
-# Session-scoped capped-bucket index memo (r11 verdict task 6): the
-# capped SRP table for hash table ``t`` — bucket assignment + the
-# deterministic round-robin sub-split — is IDENTICAL across every
-# kNN-family query (mutual L=1/L=4, directed multitable, the LOO label
-# eval, the recall probe) and across bench.py's repeated runs, yet each
-# build re-scans the corpus, re-aggregates bucket sizes, and re-runs
-# the broadcast size attach.  Persist it once per (application, corpus,
-# table): Spark's in-memory columnar cache prunes the embedding column
-# for consumers that only need ids, so the slim candidate stages stay
-# slim.  This is the shared-index pattern, not a benchmark trick — at
-# 100 TB the same structure is a bucketed table written once and served
-# to every query (bucketed_queries' zero-exchange joins); in one
-# session the cache IS that index.  MEMORY_AND_DISK so a huge corpus
-# degrades to spill, never OOM.  Keyed by applicationId: a restarted
-# session gets a fresh build, and entries from a stopped app are never
-# handed out again.
+# Session-scoped capped-bucket index (r11 verdict task 6; made DURABLE
+# in r13 per the r12 verdict): the capped SRP table for hash table
+# ``t`` — bucket assignment + the deterministic round-robin sub-split —
+# is IDENTICAL across every kNN-family query (mutual L=1/L=4, directed
+# multitable, the LOO label eval, the recall probe) and across
+# bench.py's repeated runs.  r12 persisted it as an in-memory cache
+# (AB_KNN_MEMO_r12: family 44.8s -> 32.7s); that amortized the BUILD
+# but every candidate self-join still paid an exchange on (bucket,
+# sub), and the sf10 scaling run (SCALING_r12) showed the cached form
+# superlinear in the 1->10 decade (single-JVM GC pressure from the
+# columnar cache).  r13 writes the index ONCE per (application, corpus,
+# table) as a bucketed table on BOTH join keys — exactly the
+# ann_index_bucketed_build shape — so every family self-join reads
+# co-located, pre-sorted buckets with ZERO exchange and ZERO sort
+# (plan-asserted), and consumers that only need ids prune the
+# embedding column at the parquet scan.  This is literally the 100 TB
+# deployment story ("a bucketed table written once and served to every
+# query") running in-session.  repartition(1) before the write gives
+# one file per bucket so the per-bucket sort survives into the SMJ; a
+# 100 TB build would use more writer tasks and keep bucketing (no
+# exchange) while giving up only the sort elision.  Keyed by
+# applicationId: a restarted session gets a fresh build, and entries
+# from a stopped app are never handed out again.  Table data lives in
+# a per-process tempdir removed at exit.
 _CAPPED_SRP_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+_SRP_INDEX_BUCKETS = 8
+_SRP_INDEX_DIRS: list[str] = []
+
+
+def _cleanup_srp_index_dirs() -> None:
+    import shutil
+
+    for d in _SRP_INDEX_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _capped_srp_table(spark: SparkSession, sf_dir: str, t: int) -> DataFrame:
     """The capped SRP bucket index for hash table ``t``: columns
     (vec_id, embedding, bucket, sub) with every (bucket, sub) cell
-    bounded by _KNN_BUCKET_TARGET rows under any skew."""
+    bounded by _KNN_BUCKET_TARGET rows under any skew, served from a
+    session-scoped bucketed table on (bucket, sub)."""
     import os
 
     key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), t)
@@ -1324,11 +1342,28 @@ def _capped_srp_table(spark: SparkSession, sf_dir: str, t: int) -> DataFrame:
         )
         .drop("bsize")
     )
-    from pyspark import StorageLevel
+    import atexit
+    import tempfile
+    import uuid
 
-    capped = capped.persist(StorageLevel.MEMORY_AND_DISK)
-    _CAPPED_SRP_CACHE[key] = capped
-    return capped
+    d = tempfile.mkdtemp(prefix=f"knn_srp_idx_t{t}_")
+    if not _SRP_INDEX_DIRS:
+        atexit.register(_cleanup_srp_index_dirs)
+    _SRP_INDEX_DIRS.append(d)
+    name = f"knn_srp_idx_{uuid.uuid4().hex[:12]}"
+    (
+        capped.select("vec_id", "embedding", "bucket", "sub")
+        # one writer task -> one file per bucket, so the per-bucket
+        # (bucket, sub, vec_id) sort survives into the SMJ sort-free
+        .repartition(1)
+        .write.bucketBy(_SRP_INDEX_BUCKETS, "bucket", "sub")
+        .sortBy("bucket", "sub", "vec_id")
+        .option("path", f"{d}/idx")
+        .saveAsTable(name)
+    )
+    idx = spark.table(name)
+    _CAPPED_SRP_CACHE[key] = idx
+    return idx
 
 
 @register(
@@ -1446,8 +1481,12 @@ def directed_knn_topk(
     if n_tables == 1:
         capped = _capped(0)
         a, b = capped.alias("a"), capped.alias("b")
+        # merge hint: the bucketed (bucket, sub) self-join must stay an
+        # exchange-free sort-free SMJ — without it, a small corpus
+        # would broadcast the whole index (BroadcastExchange + a second
+        # decode of the scan), the plan that dies at 100 TB
         scored = a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.sub") == F.col("b.sub"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),
@@ -1463,7 +1502,7 @@ def directed_knn_topk(
             a, b = capped.alias("a"), capped.alias("b")
             per_table.append(
                 a.join(
-                    b,
+                    b.hint("merge"),
                     (F.col("a.bucket") == F.col("b.bucket"))
                     & (F.col("a.sub") == F.col("b.sub"))
                     & (F.col("a.vec_id") != F.col("b.vec_id")),
@@ -1601,7 +1640,7 @@ def ann_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = capped.filter(F.col("vec_id") < _N_QUERIES).alias("a")
     b = capped.alias("b")
     scored = a.join(
-        b,
+        b.hint("merge"),
         (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.sub") == F.col("b.sub"))
         & (F.col("a.vec_id") != F.col("b.vec_id")),
@@ -1736,7 +1775,7 @@ def ann_knn_graph_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         b = capped.alias("b")
         per_table.append(
             a.join(
-                b,
+                b.hint("merge"),
                 (F.col("a.bucket") == F.col("b.bucket"))
                 & (F.col("a.sub") == F.col("b.sub"))
                 & (F.col("a.vec_id") != F.col("b.vec_id")),

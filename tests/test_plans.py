@@ -460,19 +460,19 @@ def test_common_neighbors_hash_joins_and_broadcast_degrees(spark):
 
 def test_knn_graph_no_allpairs(spark):
     """Mutual-kNN graph: candidate generation must be the LSH bucket
-    equi-join (hash join), never an all-pairs nested-loop/cartesian;
-    the mutuality check joins two k-bounded edge lists; the
-    bucket-size attach must be the broadcast of the tiny size table,
-    not a count() window re-sorting the corpus."""
+    equi-join, never an all-pairs nested-loop/cartesian; the mutuality
+    check joins two k-bounded edge lists.  Since r13 the bucket-size
+    attach (broadcast of the tiny size table) runs ONCE at index-build
+    time inside _capped_srp_table's bucketed write — the query plan's
+    discriminating artifact is now the exchange-free bucketed SMJ over
+    the shared index table."""
     df = q(spark, "ann_knn_graph_mutual")
     plan = plan_string(df)
     assert "NestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert not python_eval_nodes(df)
-    # the bucket-size attach is the broadcast join (the per-src top-k
-    # window remains — rank-limit-pushed — so we can't forbid Window
-    # nodes wholesale; the broadcast is the discriminating artifact)
-    assert has_broadcast_hash_join(df)
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
 
 
 def test_knn_graph_multitable_mutual_bounded(spark):
@@ -481,7 +481,9 @@ def test_knn_graph_multitable_mutual_bounded(spark):
     candidate BOUND (L*64*n), never the join type — and the one
     exact-cosine scoring pass joins the deduped pair list back to the
     corpus by vec_id equi-joins.  No nested-loop/cartesian anywhere,
-    no Python eval, L broadcast bucket-size attaches."""
+    no Python eval; since r13 the L per-table candidate joins are
+    exchange-free bucketed SMJs over the L shared index tables (the
+    size-attach broadcasts run once at build time)."""
     from kinesis_to_opensearch_lambda_spark.operators.similarity_queries import (
         _KNN_TABLES,
     )
@@ -491,7 +493,7 @@ def test_knn_graph_multitable_mutual_bounded(spark):
     assert "NestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert not python_eval_nodes(df)
-    assert broadcast_join_count(df) >= _KNN_TABLES
+    assert plan.count("Bucketed: true") == 2 * _KNN_TABLES, plan
 
 
 def test_knn_graph_multitable_no_allpairs_and_distinct_tables(spark):
@@ -963,26 +965,32 @@ def test_blocked_cusum_windows_are_block_partitioned(spark):
     assert len(key_only) <= 2, specs
 
 
-def test_knn_graph_capped_index_cached_and_shared(spark):
-    """r12: the capped SRP bucket index is a session-scoped persisted
-    frame (_capped_srp_table) shared by every kNN-family query, so the
-    candidate self-join's BOTH sides read the in-memory index instead
-    of re-running scan+SRP+sizes-aggregate per side (the pre-r12 plan
-    relied on AQE ReusedExchange to collapse the duplicate).  Pin the
-    new shape: the executed plan scans the cache on both sides, and
-    two queries in one session hand back the SAME persisted frame."""
+def test_knn_graph_capped_index_bucketed_and_shared(spark):
+    """r13 (r12 verdict task 1): the capped SRP bucket index is a
+    session-scoped BUCKETED TABLE (bucketBy(8, bucket, sub), one
+    sorted file per bucket) written once per (application, corpus,
+    table) and shared by every kNN-family query.  Pin the shape: the
+    production candidate self-join is a SortMergeJoin whose BOTH sides
+    are bucketed scans with NO exchange and NO sort below the join,
+    and two queries in one session hand back the SAME table frame."""
     from kinesis_to_opensearch_lambda_spark.operators.similarity_queries import (
         _capped_srp_table,
+        directed_knn_topk,
     )
 
-    df = q(spark, "ann_knn_graph_mutual")
-    df.collect()
-    final = df._jdf.queryExecution().executedPlan().toString()
-    assert final.count("InMemoryTableScan") >= 2 or "TableCacheQueryStage" in final, (
-        final[:2000]
-    )
+    import re
+
+    knn = directed_knn_topk(spark, SF_DIR, n_tables=1)
+    plan = plan_string(knn)
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    # the ONLY exchange in the whole directed plan belongs to the
+    # downstream top-k window (hashpartitioning on src) — the
+    # candidate join itself reads co-located pre-sorted buckets
+    exchanges = re.findall(r"Exchange (\w+)\(([^,)]+)", plan_string(knn, "simple"))
+    assert len(exchanges) == 1, exchanges
+    assert "src" in exchanges[0][1], exchanges
     assert _capped_srp_table(spark, SF_DIR, 0) is _capped_srp_table(spark, SF_DIR, 0)
-    assert _capped_srp_table(spark, SF_DIR, 0).storageLevel.useMemory
 
 
 def test_ann_index_bucketed_join_is_exchange_free(spark):
