@@ -951,8 +951,15 @@ _CMS_W = _cms_width()  # 1024
     "closed); the table stays tiny at any contract (W=2^20 is 32 MB).",
 )
 def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .lineage import truncate_lineage
+
     D, W = 4, _CMS_W
-    keys = _t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k"))
+    # No fan_out here (r13 optimization): the only consumer of the scan
+    # is a groupBy whose exchange already redistributes, so a round-robin
+    # pre-shuffle of the full table is a second exchange for nothing.
+    keys = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("k")
+    )
 
     # the d hash functions are d disjoint 8-hex-char slices of ONE md5
     # digest (32 hex chars / 4 rows) — one digest per row, not d, the
@@ -965,21 +972,28 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ) % W
 
-    # build: one explode to (i, slot), one partial-agg shuffle of <=
-    # d*w rows per partition
-    pairs = keys.select(
+    # r13 optimization: counters are additive over keys, so build the
+    # sketch from the per-key exact counts instead of exploding every
+    # ROW into d (row, slot) pairs — md5 runs once per DISTINCT key
+    # (|keys| ~ suppliers), not once per lineitem row, and the table is
+    # scanned ONCE (per_key feeds both the counter table and the exact
+    # top-10; the lineage cut shares the aggregate).  Counter values
+    # are identical: sum of per-key counts per slot == count of rows
+    # per slot.  Measured 3.16s -> see OPTIMIZATION_r13.md.
+    per_key = truncate_lineage(
+        keys.groupBy("k").agg(F.count(F.lit(1)).alias("exact_cnt")),
+        None,
+        eager=False,
+    )
+    pairs = per_key.select(
+        "exact_cnt",
         F.posexplode(F.array(*[slot(i, F.col("k")) for i in range(D)])).alias(
             "i", "slot"
-        )
+        ),
     )
-    counters = pairs.groupBy("i", "slot").agg(F.count(F.lit(1)).alias("c"))
+    counters = pairs.groupBy("i", "slot").agg(F.sum("exact_cnt").alias("c"))
 
-    exact = (
-        keys.groupBy("k")
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .orderBy(F.desc("exact_cnt"), F.asc("k"))
-        .limit(10)
-    )
+    exact = per_key.orderBy(F.desc("exact_cnt"), F.asc("k")).limit(10)
     probes = exact.select(
         "k",
         "exact_cnt",

@@ -274,7 +274,23 @@ _SQL_CO_ORDER_EDGES = """
     "iteration, no driver state.",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _co_order_edges(spark, sf_dir)
+    from .lineage import truncate_lineage
+
+    # Lineage cuts (r13 optimization): the logical graph references the
+    # edge set / oriented edge set / adjacency MULTIPLE times (e feeds
+    # deg + the orientation join; oriented feeds adj + the closure
+    # probe; adj feeds both sides of the closure), and Catalyst expands
+    # each reference into its own subtree — the initial physical plan
+    # held 18 copies of the lineitem edge build (36 parquet scans).
+    # Runtime exchange reuse recovers SOME of that, but the duplicated
+    # planning + the unshared broadcast/aggregate work above the last
+    # exchange does not.  Cutting after each shared intermediate makes
+    # every stage run exactly once: measured 6.94s -> 2.26s median at
+    # sf0.1/local[32] (interleaved A/B), with far lower variance.
+    # Results are identical (a cut only materializes; no expression
+    # changes) and the cut respects SPARK_GRAFT_CHECKPOINT_DIR for
+    # cluster-durable checkpoints, per the established semdedup pattern.
+    e = truncate_lineage(_co_order_edges(spark, sf_dir), None, eager=False)
     deg = (
         e.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
@@ -287,14 +303,22 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = ed.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    oriented = truncate_lineage(
+        ed.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        ),
+        None,
+        eager=False,
     )
     # Sorted out-adjacency per source; out_deg <= O(sqrt(E)) under the
     # degree orientation, so each list is small and bounded.
-    adj = oriented.groupBy("src").agg(
-        F.array_sort(F.collect_list("dst")).alias("nbrs")
+    adj = truncate_lineage(
+        oriented.groupBy("src").agg(
+            F.array_sort(F.collect_list("dst")).alias("nbrs")
+        ),
+        None,
+        eager=False,
     )
     tri = (
         oriented.join(

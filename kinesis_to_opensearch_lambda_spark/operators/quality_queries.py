@@ -88,10 +88,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "training-data pipeline runs before promoting a partition.",
 )
 def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    lineitem = _t(spark, sf_dir, "lineitem")
-    customer = _t(spark, sf_dir, "customer")
-    documents = _t(spark, sf_dir, "documents")
+    # Plain load_table, NO fan_out (r13 optimization): every branch of
+    # the audit is either a conditional aggregation (partial agg rides
+    # the scan; a round-robin pre-shuffle of the full table just to
+    # count it is a pure extra exchange) or a shuffled-hash anti-join
+    # (whose own exchange already redistributes both sides at full
+    # width).  Dropping fan_out removed 8 Exchange nodes from the plan
+    # and none of the branches lost parallelism where it matters — the
+    # joins still shuffle to spark.sql.shuffle.partitions.
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    documents = load_table(spark, sf_dir, "documents")
 
     def one_pass(df: DataFrame, tbl: str, checks: dict[str, F.Column]) -> DataFrame:
         """All conditional checks on one table in a single agg pass,

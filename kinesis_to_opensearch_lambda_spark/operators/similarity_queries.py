@@ -1291,8 +1291,25 @@ def _knn_planes_for(spark: SparkSession, sf_dir: str) -> int:
 # from a stopped app are never handed out again.  Table data lives in
 # a per-process tempdir removed at exit.
 _CAPPED_SRP_CACHE: dict[tuple[str, str, int], DataFrame] = {}
-_SRP_INDEX_BUCKETS = 8
 _SRP_INDEX_DIRS: list[str] = []
+
+
+def _srp_index_buckets(spark: SparkSession) -> int:
+    """Storage-bucket count for the persisted SRP index (r13: derived,
+    not the constant 8).  The bucketed candidate SMJ runs one task per
+    storage bucket, so the constant capped the whole kNN family at 8-way
+    parallelism on a 32-core session (and would do the same on a
+    1000-core cluster).  Default: the session's defaultParallelism,
+    floored at 8 — scale-adaptive in the guide §2 sense (the layout
+    tracks the compute width it feeds).  $SPARK_GRAFT_SRP_BUCKETS
+    overrides for deployments that pin a layout.  Storage bucketing is
+    pure layout: results are bucket-count-invariant (oracle-checked)."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_SRP_BUCKETS")
+    if env:
+        return max(1, int(env))
+    return max(8, spark.sparkContext.defaultParallelism)
 
 
 def _cleanup_srp_index_dirs() -> None:
@@ -1351,12 +1368,20 @@ def _capped_srp_table(spark: SparkSession, sf_dir: str, t: int) -> DataFrame:
         atexit.register(_cleanup_srp_index_dirs)
     _SRP_INDEX_DIRS.append(d)
     name = f"knn_srp_idx_{uuid.uuid4().hex[:12]}"
+    nb_store = _srp_index_buckets(spark)
     (
         capped.select("vec_id", "embedding", "bucket", "sub")
-        # one writer task -> one file per bucket, so the per-bucket
-        # (bucket, sub, vec_id) sort survives into the SMJ sort-free
-        .repartition(1)
-        .write.bucketBy(_SRP_INDEX_BUCKETS, "bucket", "sub")
+        # ONE file per storage bucket keeps the per-bucket (bucket,
+        # sub, vec_id) sort visible to the SMJ (sort-free reads).  r13:
+        # repartition on the BUCKETING KEYS instead of repartition(1) —
+        # repartition(n, cols) and bucketBy(n, cols) share the same
+        # pmod(murmur3) placement, so writer task i holds exactly
+        # storage bucket i: still one file per bucket, but the write
+        # runs n-wide instead of single-threaded (the old form
+        # serialized the whole index build through one task: ~22s of
+        # the family's first-query latency at sf0.1).
+        .repartition(nb_store, F.col("bucket"), F.col("sub"))
+        .write.bucketBy(nb_store, "bucket", "sub")
         .sortBy("bucket", "sub", "vec_id")
         .option("path", f"{d}/idx")
         .saveAsTable(name)
@@ -1364,6 +1389,26 @@ def _capped_srp_table(spark: SparkSession, sf_dir: str, t: int) -> DataFrame:
     idx = spark.table(name)
     _CAPPED_SRP_CACHE[key] = idx
     return idx
+
+
+def _ensure_srp_tables(spark: SparkSession, sf_dir: str, ts: range) -> None:
+    """Build any missing SRP index tables CONCURRENTLY (guide §2.6:
+    independent jobs overlap; the FIFO scheduler back-fills each write
+    job's straggler tail with the next table's tasks).  Each table is
+    an independent write to its own name/dir, so the only shared state
+    is the memo dict (per-t keys; GIL-atomic inserts)."""
+    import os
+
+    app = spark.sparkContext.applicationId
+    real = os.path.realpath(sf_dir)
+    missing = [t for t in ts if (app, real, t) not in _CAPPED_SRP_CACHE]
+    if len(missing) <= 1:
+        return
+    _knn_planes_for(spark, sf_dir)  # warm the shared count memo once
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(missing)) as pool:
+        list(pool.map(lambda t: _capped_srp_table(spark, sf_dir, t), missing))
 
 
 @register(
@@ -1452,12 +1497,16 @@ def directed_knn_topk(
 
     ``n_tables=1`` is the original single-table plan, bit-identical
     (candidates score inside the bucket join, no pair dedup).
-    ``n_tables=L>1`` unions candidate id-pairs from L independent
-    plane sets (disjoint via ``plane_offset``), dedups on the 16-byte
-    pair key, then runs ONE exact-cosine scoring pass (two vec_id
-    equi-joins back to the corpus) — candidate pairs are bounded at
-    L * _KNN_BUCKET_TARGET * n under any skew, and a true neighbor
-    pair is missed only if ALL L tables split it.  Measured effect at
+    ``n_tables=L>1`` (r13 shape) scores inside EACH of the L bucketed
+    self-joins (disjoint plane sets via ``plane_offset``; embeddings
+    ride the co-located bucket read, so cosine costs no movement),
+    unions the scored edges, and dedups cross-table duplicate pairs
+    INSIDE the top-k window's sort via a lag() guard (identical
+    (cos, dst) keys sort adjacent) — ONE pair-mass exchange total,
+    replacing the pre-r13 distinct + two corpus equi-join shuffles.
+    Candidate pairs are bounded at L * _KNN_BUCKET_TARGET * n under
+    any skew, and a true neighbor pair is missed only if ALL L tables
+    split it.  Measured effect at
     sf1 (sweeps/KNN_MUTUAL_L4_r09.json): L=4 returns exactly the
     jittered-twin graph (all edges cos 1.0) where L=1 admits ~6%
     spurious weak-mutual edges down to cos 0.17 — amplification
@@ -1469,8 +1518,6 @@ def directed_knn_topk(
 
     if n_tables < 1:
         raise ValueError(f"n_tables must be >= 1, got {n_tables}")
-
-    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
 
     # The capped SRP index per table comes from the session-scoped memo
     # (_capped_srp_table): bucket cap + size-attach rationale documented
@@ -1496,6 +1543,27 @@ def directed_knn_topk(
             cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
         )
     else:
+        # r13 optimization: score INSIDE each bucketed self-join — the
+        # embeddings already ride the co-located bucket read, so the
+        # exact cosine costs zero extra data movement there.  The old
+        # shape (slim id-pair union -> DISTINCT -> two vec_id equi-joins
+        # back to the corpus) shuffled+sorted the L*64*n pair mass
+        # THREE more times (distinct exchange + both scoring SMJs, the
+        # corpus side sorted twice) to avoid re-scoring cross-table
+        # duplicate pairs — but duplicates are a small fraction (two
+        # independent plane sets rarely co-bucket the same pair), so
+        # recomputing their cosine is far cheaper than three exchanges
+        # of everything.  Dedup instead happens inside the top-k
+        # window's OWN sort: a duplicated pair has an identical
+        # (cos, dst) key (same vectors -> bit-identical IEEE cosine),
+        # so its copies are ADJACENT under (cos DESC, dst) within src
+        # and a lag() guard drops them with no extra exchange and no
+        # extra sort (both window functions share one partitioning).
+        # At 100 TB this is strictly better: ONE pair-mass exchange
+        # total, and the corpus never shuffles at all.  Results are
+        # identical to dedup-then-score (oracle-checked): same pair
+        # set, same cosines, same ranks.
+        _ensure_srp_tables(spark, sf_dir, range(n_tables))
         per_table = []
         for t in range(n_tables):
             capped = _capped(t)
@@ -1507,21 +1575,27 @@ def directed_knn_topk(
                     & (F.col("a.sub") == F.col("b.sub"))
                     & (F.col("a.vec_id") != F.col("b.vec_id")),
                 ).select(
-                    F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+                    F.col("a.vec_id").alias("src"),
+                    F.col("b.vec_id").alias("dst"),
+                    cosine(F.col("a.embedding"), F.col("b.embedding")).alias(
+                        "cos"
+                    ),
                 )
             )
-        cand = per_table[0]
+        scored = per_table[0]
         for df in per_table[1:]:
-            cand = cand.unionAll(df)
-        # Dedup BEFORE scoring: a pair found by several tables must be
-        # scored (and counted by the mutuality groupBy) exactly once.
-        cand = cand.distinct()
-        qa = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
-        qb = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
+            scored = scored.unionAll(df)
+        w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+        # two rows with equal (src, dst) are the same pair (one cosine
+        # per vector pair), and duplicates sort adjacent — the lag
+        # guard is exactly DISTINCT, evaluated inside the window sort
         scored = (
-            cand.join(qa, "src")
-            .join(qb, "dst")
-            .select("src", "dst", cosine(F.col("va"), F.col("vb")).alias("cos"))
+            scored.withColumn("_prev_dst", F.lag("dst").over(w))
+            .filter(
+                F.col("_prev_dst").isNull()
+                | (F.col("_prev_dst") != F.col("dst"))
+            )
+            .drop("_prev_dst")
         )
     w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(

@@ -42,6 +42,111 @@ def _drain(q, timeout_s: int = 600) -> None:
         )
 
 
+def _write_mtime_batches(
+    df: DataFrame, batch_col, d: str, n_batches: int
+) -> str:
+    """Write ``df`` as ``n_batches`` mtime-ordered single-file parquet
+    micro-batch sources in ONE pass (r13 optimization).
+
+    The pre-r13 builders ran one ``filter(batch == b).coalesce(1)``
+    write job per batch — N full scans of the (possibly derived) input
+    plus N sequential single-task writes.  A ``partitionBy`` write of
+    the batch key does the same work in one job: ``repartition(n, key)``
+    puts every batch in exactly one task, so each ``_b=<b>/`` dir holds
+    exactly ONE part file, which is then moved to ``src/b<b>.parquet``
+    with a pinned mtime (the file source drains oldest-mtime-first).
+    Row order WITHIN a batch file becomes shuffle-dependent — callers
+    must be row-order-insensitive within a micro-batch (the stateful
+    consumers sort by key; the aggregating consumers group), which is
+    also the only honest assumption for a real distributed source.
+    """
+    import os
+
+    tmp = f"{d}/tmp_parts"
+    (
+        df.withColumn("_b", batch_col)
+        .repartition(n_batches, "_b")
+        .write.partitionBy("_b")
+        .parquet(tmp)
+    )
+    src = f"{d}/src"
+    os.makedirs(src, exist_ok=True)
+    payload = [c for c in df.columns]
+    for b in range(n_batches):
+        pdir = f"{tmp}/_b={b}"
+        dst = f"{src}/b{b}.parquet"
+        parts = (
+            [f for f in os.listdir(pdir) if f.startswith("part-")]
+            if os.path.isdir(pdir)
+            else []
+        )
+        if parts:
+            shutil.move(f"{pdir}/{parts[0]}", dst)
+        else:  # empty batch: preserve the pre-r13 empty-file behavior
+            df.select(*payload).limit(0).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/empty{b}")
+            part = next(
+                f
+                for f in os.listdir(f"{tmp}/empty{b}")
+                if f.startswith("part-")
+            )
+            shutil.move(f"{tmp}/empty{b}/{part}", dst)
+        os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
+    return src
+
+
+class _stream_shuffle_width:
+    """Scope the stateful-shuffle width of a streaming query to its
+    micro-batch byte mass (guide §2: derive partition counts from input
+    size, never from a constant tuned to one box).
+
+    ``spark.sql.shuffle.partitions`` at stream start fixes the state
+    store partition count for the life of the checkpoint.  The session
+    default (sized for the BATCH join fleet) hands a kilobyte-scale
+    micro-batch 32 state stores: 32 store commits + 32 Python workers
+    per trigger of pure overhead.  Width here = ceil(source bytes /
+    64 MB) clamped to [1, session default] — a 100 TB firehose keeps
+    the session width, the test corpus gets 1 — overridable via
+    $SPARK_GRAFT_STREAM_SHUFFLE for deployments that pin their own.
+    Restored after the drain; correctness is partition-count-invariant
+    (state logic is per-key; asserted by the oracle parity at any
+    width).
+
+    ONLY for JVM-stateful aggregations (streaming groupBy/agg), whose
+    per-partition cost is store-commit overhead.  Do NOT narrow a
+    ``applyInPandasWithState`` query: that operator pays a per-GROUP
+    Python invocation, so its stateful stage scales with group count
+    and wants the full session width (measured 4x slower at width 1
+    on streaming_dedup_minhash)."""
+
+    def __init__(self, spark: SparkSession, src_dir: str):
+        import os
+
+        self.spark = spark
+        env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+        self.prev = spark.conf.get("spark.sql.shuffle.partitions")
+        if env is not None:
+            self.width = max(1, int(env))
+            return
+        total = 0
+        for root, _dirs, files in os.walk(src_dir):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        self.width = max(1, min(int(self.prev), -(-total // (64 << 20))))
+
+    def __enter__(self):
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.width))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 @register(
     "streaming_fanout_counts",
     oracle="""
@@ -1189,23 +1294,26 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="stream_mh_")
     try:
         corpus = _corpus(spark, sf_dir)  # doc_id, text (+ mutated twins)
-        os.makedirs(f"{d}/src", exist_ok=True)
-        for b in (0, 1, 2):
-            tmp = f"{d}/tmp{b}"
-            corpus.filter(F.col("doc_id") % 3 == b).coalesce(1).write.parquet(tmp)
-            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
-            dst = f"{d}/src/b{b}.parquet"
-            shutil.move(f"{tmp}/{part}", dst)
-            # the file source drains oldest-mtime-first: pin the order
-            os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
+        # ONE partitioned write instead of 3 filtered scans+writes; the
+        # mtime order (b0 < b1 < b2) pins the drain order, and the
+        # stateful consumer sorts by doc_id within each band group, so
+        # in-file row order is immaterial (see _write_mtime_batches).
+        src = _write_mtime_batches(corpus, F.col("doc_id") % 3, d, 3)
         stream = (
             spark.readStream.schema("doc_id bigint, text string")
             .option("maxFilesPerTrigger", 1)
-            .parquet(f"{d}/src")
+            .parquet(src)
         )
         sigs = D.minhash_signatures(stream, num_hashes=8)
         bands = D.lsh_band_buckets(sigs, "doc_id", num_hashes=8, rows_per_band=2)
         name = f"mh_{uuid.uuid4().hex[:12]}"
+        # NOTE: deliberately NOT narrowed by _stream_shuffle_width —
+        # applyInPandasWithState pays a per-GROUP Python invocation
+        # (one pandas frame per distinct band value), so the stateful
+        # stage's cost scales with group COUNT, not bytes; measured at
+        # sf0.1/local[32]: width 1 = ~42s, width 32 = ~10s.  The
+        # session width (sized to the core fleet) is the right width
+        # for Python-stateful operators at any scale.
         q = (
             band_first_seen(bands.select("doc_id", "band_idx", "band_val"))
             .writeStream.outputMode("update")
@@ -1289,20 +1397,16 @@ def streaming_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text", "lang", "n_chars"
         )
-        os.makedirs(f"{d}/src", exist_ok=True)
-        for b in (0, 1, 2):
-            tmp = f"{d}/tmp{b}"
-            docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.parquet(tmp)
-            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
-            dst = f"{d}/src/b{b}.parquet"
-            shutil.move(f"{tmp}/{part}", dst)
-            os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
+        # ONE partitioned write instead of 3 filtered scans+writes; the
+        # funnel aggregates per (batch, reason), so in-file row order
+        # is immaterial (see _write_mtime_batches).
+        src = _write_mtime_batches(docs, F.col("doc_id") % 3, d, 3)
         stream = (
             spark.readStream.schema(
                 "doc_id bigint, text string, lang string, n_chars bigint"
             )
             .option("maxFilesPerTrigger", 1)
-            .parquet(f"{d}/src")
+            .parquet(src)
         )
         reason = (
             F.when(~F.col("lang").isin("en", "zh"), "1_lang_other")
@@ -1323,15 +1427,16 @@ def streaming_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         name = f"qf_{uuid.uuid4().hex[:12]}"
-        q = (
-            agg.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{d}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _drain(q)
+        with _stream_shuffle_width(spark, src):
+            q = (
+                agg.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{d}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain(q)
         # one emitted row per (batch, reason) since a key's rows all
         # arrive in its one micro-batch; max() collapses defensively if
         # a retry ever re-emits.  Materialize before tempdir teardown.

@@ -200,20 +200,36 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from .lineage import truncate_lineage
+
     docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    tokens = docs.select(
+    # split ONCE into an array column (r13 optimization: the old
+    # explode(split)/size(split) pair re-tokenized every row twice —
+    # Generate and Project evaluate their expressions independently,
+    # codegen CSE does not span them)
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    tokens = toks.select(
         "doc_id",
-        F.explode(F.split("text", " ")).alias("word"),
-        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.explode("toks").alias("word"),
+        F.size("toks").alias("n_tokens"),
     )
     tf = tokens.groupBy("doc_id", "word", "n_tokens").agg(
         (F.count("*").cast("double") / F.col("n_tokens").cast("double")).alias("tf")
     )
+    # Lineage cut (r13 optimization): tf feeds BOTH the broadcast df
+    # build and the scoring join, and a broadcast build is not
+    # exchange-reusable — without the cut the tokenize+groupBy subtree
+    # executed twice (the r10 winnowing lesson, same fix as semdedup).
+    tf = truncate_lineage(tf, None, eager=False)
     # tf already holds one row per (doc, word): document frequency is a
     # plain count over it — no second explode, no count_distinct shuffle.
     dfreq = tf.groupBy("word").agg(F.count("*").alias("dfreq"))
-    # N as a broadcast 1-row aggregate (not a driver-side .count() action)
-    n1 = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    # N as a broadcast 1-row aggregate (not a driver-side .count()
+    # action), computed from the RAW scan (no fan_out: a repartition of
+    # the full text column just to count rows is a wasted exchange)
+    n1 = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
     scored = (
         tf.join(F.broadcast(dfreq), "word")
         .join(F.broadcast(n1))

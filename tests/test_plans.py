@@ -759,12 +759,17 @@ def test_variant_extract_single_shuffle_no_python(spark):
 
 
 def test_countmin_sketch_bounded_shuffles_probe_broadcast(spark):
-    # counter build (partial-agg to <= d*w cells/partition), exact
-    # top-10 harness agg + its order/limit, probe join broadcast: 3
-    # exchanges, probes broadcast against the d*w-cell counter table
-    # (w derived from the error contract by _cms_width)
+    # r13 shape: the sketch is built from the per-DISTINCT-KEY exact
+    # counts (md5 once per key, lineage-cut and shared with the exact
+    # top-10 harness), so the visible plan is the checkpointed per-key
+    # frame -> slot explode -> counter agg (1 exchange) -> probe join
+    # broadcast -> final min-agg (1 exchange); the single lineitem scan
+    # + per-key groupBy live below the cut.  The top-10 is a
+    # TakeOrderedAndProject (no exchange).
     df = q(spark, "agg_countmin_heavy_hitters")
-    assert shuffle_exchange_count(df) == 3
+    assert shuffle_exchange_count(df) == 2
+    p = plan_string(df)
+    assert "TakeOrderedAndProject" in p, p
     assert has_broadcast_hash_join(df)
     assert not python_eval_nodes(df)
 
