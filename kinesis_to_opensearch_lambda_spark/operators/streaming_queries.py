@@ -43,7 +43,11 @@ def _drain(q, timeout_s: int = 600) -> None:
 
 
 def _write_mtime_batches(
-    df: DataFrame, batch_col, d: str, n_batches: int
+    df: DataFrame,
+    batch_col,
+    d: str,
+    n_batches: int,
+    payload: list[str] | None = None,
 ) -> str:
     """Write ``df`` as ``n_batches`` mtime-ordered single-file parquet
     micro-batch sources in ONE pass (r13 optimization).
@@ -59,19 +63,24 @@ def _write_mtime_batches(
     must be row-order-insensitive within a micro-batch (the stateful
     consumers sort by key; the aggregating consumers group), which is
     also the only honest assumption for a real distributed source.
+
+    ``payload`` selects the columns written to the source files
+    (default: all of ``df``'s columns) — for builders whose batch key
+    derives from a column the stream schema does not carry.
     """
     import os
 
+    payload = list(payload or df.columns)
     tmp = f"{d}/tmp_parts"
     (
         df.withColumn("_b", batch_col)
+        .select("_b", *payload)
         .repartition(n_batches, "_b")
         .write.partitionBy("_b")
         .parquet(tmp)
     )
     src = f"{d}/src"
     os.makedirs(src, exist_ok=True)
-    payload = [c for c in df.columns]
     for b in range(n_batches):
         pdir = f"{tmp}/_b={b}"
         dst = f"{src}/b{b}.parquet"
@@ -236,22 +245,17 @@ def streaming_watermark_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(1))
             .alias("batch"),
         )
-        os.makedirs(f"{d}/src", exist_ok=True)
-        for b in (1, 2, 3):
-            tmp = f"{d}/tmp{b}"
-            src.filter(F.col("batch") == b).select("event_id", "ts").coalesce(
-                1
-            ).write.parquet(tmp)
-            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
-            dst = f"{d}/src/b{b}.parquet"
-            shutil.move(f"{tmp}/{part}", dst)
-            # the file source drains oldest-mtime-first: pin the order
-            os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
+        # one partitioned write (see _write_mtime_batches); watermark
+        # advance and late-drop decisions depend only on each batch's
+        # max event time and membership, never on in-file row order
+        src_dir = _write_mtime_batches(
+            src, F.col("batch") - 1, d, 3, payload=["event_id", "ts"]
+        )
         name = f"wm_{uuid.uuid4().hex[:12]}"
         stream = (
             spark.readStream.schema("event_id bigint, ts timestamp")
             .option("maxFilesPerTrigger", 1)
-            .parquet(f"{d}/src")
+            .parquet(src_dir)
         )
         agg = (
             stream.withWatermark("ts", "210 minutes")
@@ -429,20 +433,15 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
             "user_id",
             F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
         )
-        os.makedirs(f"{d}/src", exist_ok=True)
-        for b in (0, 1, 2):
-            tmp = f"{d}/tmp{b}"
-            ev.filter(F.col("event_id") % 3 == b).select(
-                "user_id", "cents"
-            ).coalesce(1).write.parquet(tmp)
-            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
-            dst = f"{d}/src/b{b}.parquet"
-            shutil.move(f"{tmp}/{part}", dst)
-            os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
+        # one partitioned write (see _write_mtime_batches); per-user
+        # totals are commutative, so in-file row order is immaterial
+        src = _write_mtime_batches(
+            ev, F.col("event_id") % 3, d, 3, payload=["user_id", "cents"]
+        )
         stream = (
             spark.readStream.schema("user_id bigint, cents bigint")
             .option("maxFilesPerTrigger", 1)
-            .parquet(f"{d}/src")
+            .parquet(src)
         )
         name = f"state_{uuid.uuid4().hex[:12]}"
         q = (
@@ -687,20 +686,15 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="stream_slide_")
     try:
         ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
-        os.makedirs(f"{d}/src", exist_ok=True)
-        for b in (0, 1, 2):
-            tmp = f"{d}/tmp{b}"
-            ev.filter(F.col("event_id") % 3 == b).select("ts").coalesce(
-                1
-            ).write.parquet(tmp)
-            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
-            dst = f"{d}/src/b{b}.parquet"
-            shutil.move(f"{tmp}/{part}", dst)
-            os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
+        # one partitioned write (see _write_mtime_batches); windowed
+        # counts are row-order-insensitive within a micro-batch
+        src = _write_mtime_batches(
+            ev, F.col("event_id") % 3, d, 3, payload=["ts"]
+        )
         stream = (
             spark.readStream.schema("ts timestamp")
             .option("maxFilesPerTrigger", 1)
-            .parquet(f"{d}/src")
+            .parquet(src)
         )
         # watermark wider than the whole event-time span: batches split
         # by event_id are time-interleaved, so any tighter bound would
@@ -763,18 +757,13 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="stream_enrich_")
     try:
         ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
-        os.makedirs(f"{d}/src", exist_ok=True)
-        for b in (0, 1, 2):
-            tmp = f"{d}/tmp{b}"
-            ev.filter(F.col("event_id") % 3 == b).coalesce(1).write.parquet(tmp)
-            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
-            dst = f"{d}/src/b{b}.parquet"
-            shutil.move(f"{tmp}/{part}", dst)
-            os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
+        # one partitioned write (see _write_mtime_batches); the per-batch
+        # broadcast join + count aggregation are row-order-insensitive
+        src = _write_mtime_batches(ev, F.col("event_id") % 3, d, 3)
         stream = (
             spark.readStream.schema("event_id bigint, user_id bigint")
             .option("maxFilesPerTrigger", 1)
-            .parquet(f"{d}/src")
+            .parquet(src)
         )
         dim = (
             load_table(spark, sf_dir, "customer")
@@ -852,20 +841,15 @@ def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
         )
-        os.makedirs(f"{d}/src", exist_ok=True)
-        for b in (0, 1, 2):
-            tmp = f"{d}/tmp{b}"
-            ev.filter(F.col("event_id") % 3 == b).select(
-                "event_type", "cents"
-            ).coalesce(1).write.parquet(tmp)
-            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
-            dst = f"{d}/src/b{b}.parquet"
-            shutil.move(f"{tmp}/{part}", dst)
-            os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
+        # one partitioned write (see _write_mtime_batches); the MV merge
+        # aggregates commutative monoids, so in-file order is immaterial
+        src = _write_mtime_batches(
+            ev, F.col("event_id") % 3, d, 3, payload=["event_type", "cents"]
+        )
         stream = (
             spark.readStream.schema("event_type string, cents bigint")
             .option("maxFilesPerTrigger", 1)
-            .parquet(f"{d}/src")
+            .parquet(src)
         )
         state = {"current": None}
 
