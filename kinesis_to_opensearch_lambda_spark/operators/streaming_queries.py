@@ -1291,13 +1291,13 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs = D.minhash_signatures(stream, num_hashes=8)
         bands = D.lsh_band_buckets(sigs, "doc_id", num_hashes=8, rows_per_band=2)
         name = f"mh_{uuid.uuid4().hex[:12]}"
-        # NOTE: deliberately NOT narrowed by _stream_shuffle_width —
-        # applyInPandasWithState pays a per-GROUP Python invocation
-        # (one pandas frame per distinct band value), so the stateful
-        # stage's cost scales with group COUNT, not bytes; measured at
-        # sf0.1/local[32]: width 1 = ~42s, width 32 = ~10s.  The
-        # session width (sized to the core fleet) is the right width
-        # for Python-stateful operators at any scale.
+        # applyInPandasWithState pays a per-GROUP Python invocation and
+        # a per-key state-store commit, so band_first_seen groups by a
+        # deterministic hash BUCKET of the band value (~4x session
+        # width) instead of the band value itself — O(cores) pandas
+        # frames per trigger instead of O(band vocabulary); verdicts
+        # are computed per band value inside the bucket, so results
+        # are bucket-count-invariant (see streaming.stateful).
         q = (
             band_first_seen(bands.select("doc_id", "band_idx", "band_val"))
             .writeStream.outputMode("update")
