@@ -1630,6 +1630,11 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     slim = raw_slim.withColumn(
         "chunk", ((F.row_number().over(bw) - 1) / F.lit(_SEM_WINDOW)).cast("long")
     )
+    # r13: slim feeds BOTH sides of the windowed pair join; without a
+    # cut each side re-runs the bw window, the SRP bucket md5 math and
+    # the nbits broadcast build (duplicated Window/Generate subtrees in
+    # the before-plan).  The cut materializes 2n slim integer rows.
+    slim = truncate_lineage(slim, None, eager=False)
     a = slim.select(
         F.col("cluster").alias("cluster_a"),
         F.col("t").alias("t_a"),
