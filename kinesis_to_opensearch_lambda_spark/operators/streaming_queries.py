@@ -48,6 +48,8 @@ def _write_mtime_batches(
     d: str,
     n_batches: int,
     payload: list[str] | None = None,
+    sub_col=None,
+    files_per_batch: int = 1,
 ) -> str:
     """Write ``df`` as ``n_batches`` mtime-ordered single-file parquet
     micro-batch sources in ONE pass (r13 optimization).
@@ -67,41 +69,59 @@ def _write_mtime_batches(
     ``payload`` selects the columns written to the source files
     (default: all of ``df``'s columns) — for builders whose batch key
     derives from a column the stream schema does not carry.
+
+    ``files_per_batch`` > 1 splits every micro-batch into that many
+    source files (``sub_col`` must then supply a deterministic
+    in-batch split key, e.g. ``doc_id % files_per_batch``); mtimes
+    order every file of batch b before any file of batch b+1, so a
+    reader with ``maxFilesPerTrigger=files_per_batch`` consumes exactly
+    one batch per trigger while the scan stage parallelizes across the
+    batch's files — the honest shape of a real distributed stream
+    batch (a firehose shard group never lands as one file).
     """
     import os
 
     payload = list(payload or df.columns)
+    w = files_per_batch
     tmp = f"{d}/tmp_parts"
+    out = df.withColumn("_b", batch_col)
+    part_cols = ["_b"]
+    if w > 1:
+        if sub_col is None:
+            raise ValueError("files_per_batch > 1 requires sub_col")
+        out = out.withColumn("_s", sub_col)
+        part_cols.append("_s")
     (
-        df.withColumn("_b", batch_col)
-        .select("_b", *payload)
-        .repartition(n_batches, "_b")
-        .write.partitionBy("_b")
+        out.select(*part_cols, *payload)
+        .repartition(n_batches * w, *part_cols)
+        .write.partitionBy(*part_cols)
         .parquet(tmp)
     )
     src = f"{d}/src"
     os.makedirs(src, exist_ok=True)
     for b in range(n_batches):
-        pdir = f"{tmp}/_b={b}"
-        dst = f"{src}/b{b}.parquet"
-        parts = (
-            [f for f in os.listdir(pdir) if f.startswith("part-")]
-            if os.path.isdir(pdir)
-            else []
-        )
-        if parts:
-            shutil.move(f"{pdir}/{parts[0]}", dst)
-        else:  # empty batch: preserve the pre-r13 empty-file behavior
-            df.select(*payload).limit(0).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{tmp}/empty{b}")
-            part = next(
-                f
-                for f in os.listdir(f"{tmp}/empty{b}")
-                if f.startswith("part-")
+        for s in range(w):
+            pdir = f"{tmp}/_b={b}" + (f"/_s={s}" if w > 1 else "")
+            dst = f"{src}/b{b}s{s}.parquet"
+            parts = (
+                [f for f in os.listdir(pdir) if f.startswith("part-")]
+                if os.path.isdir(pdir)
+                else []
             )
-            shutil.move(f"{tmp}/empty{b}/{part}", dst)
-        os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
+            if parts:
+                shutil.move(f"{pdir}/{parts[0]}", dst)
+            else:  # empty batch: preserve the pre-r13 empty-file behavior
+                df.select(*payload).limit(0).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(f"{tmp}/empty{b}_{s}")
+                part = next(
+                    f
+                    for f in os.listdir(f"{tmp}/empty{b}_{s}")
+                    if f.startswith("part-")
+                )
+                shutil.move(f"{tmp}/empty{b}_{s}/{part}", dst)
+            t = 1_000_000_000 + b * 100 + s
+            os.utime(dst, (t, t))
     return src
 
 
@@ -122,12 +142,14 @@ class _stream_shuffle_width:
     (state logic is per-key; asserted by the oracle parity at any
     width).
 
-    ONLY for JVM-stateful aggregations (streaming groupBy/agg), whose
-    per-partition cost is store-commit overhead.  Do NOT narrow a
-    ``applyInPandasWithState`` query: that operator pays a per-GROUP
-    Python invocation, so its stateful stage scales with group count
-    and wants the full session width (measured 4x slower at width 1
-    on streaming_dedup_minhash)."""
+    Applies to JVM-stateful aggregations (streaming groupBy/agg), whose
+    per-partition cost is store-commit overhead, AND — since the r13
+    band-state bucketing — to ``applyInPandasWithState`` over hash
+    buckets: group count is O(buckets), so the per-group Python
+    invocation no longer forces the full session width (pre-bucketing,
+    per-band-value grouping measured 4x slower at width 1; post, the
+    r13 width sweep on streaming_dedup_minhash reads 32/16/8/4 ->
+    5.9/4.2/4.0/3.9 s at sf0.1 — store commits dominate)."""
 
     def __init__(self, spark: SparkSession, src_dir: str):
         import os
@@ -153,6 +175,49 @@ class _stream_shuffle_width:
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
+class _stream_scan_split:
+    """Scope ``spark.sql.files.maxPartitionBytes`` so ONE micro-batch's
+    source files spread across the session's cores (guide §6: input
+    split size is the scan-parallelism dial).
+
+    A micro-batch trigger reads only its own few files; with the batch
+    mass far below the session's (batch-fleet-sized) 128 MB split, the
+    whole trigger bin-packs into one task and the per-row scan-stage
+    work (minhash shingling here) runs single-core.  Split size here =
+    max(1 MB, per-batch bytes / defaultParallelism), never raised above
+    the session value — a 100 TB firehose batch keeps the session's
+    split size, the test corpus splits per-file.  Restored after the
+    drain; split size is pure scan layout (results invariant).
+    """
+
+    def __init__(self, spark: SparkSession, src_dir: str, n_batches: int):
+        import os
+
+        self.spark = spark
+        self.prev = spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"
+        )
+        prev_bytes = int("".join(c for c in self.prev if c.isdigit()))
+        total = 0
+        for root, _dirs, files in os.walk(src_dir):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        width = max(1, spark.sparkContext.defaultParallelism)
+        per = max(1 << 20, -(-total // max(1, n_batches) // width))
+        self.val = str(min(prev_bytes, per))
+
+    def __enter__(self):
+        self.spark.conf.set("spark.sql.files.maxPartitionBytes", self.val)
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.files.maxPartitionBytes", self.prev)
         return False
 
 
@@ -1282,10 +1347,22 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # mtime order (b0 < b1 < b2) pins the drain order, and the
         # stateful consumer sorts by doc_id within each band group, so
         # in-file row order is immaterial (see _write_mtime_batches).
-        src = _write_mtime_batches(corpus, F.col("doc_id") % 3, d, 3)
+        # Each batch lands as w files (not one): the per-row shingle +
+        # minhash fold — the dominant per-trigger cost — runs in the
+        # SCAN stage, and a single-file batch pins that whole stage to
+        # one task (see _stream_scan_split).
+        w = max(1, min(8, spark.sparkContext.defaultParallelism))
+        src = _write_mtime_batches(
+            corpus,
+            F.col("doc_id") % 3,
+            d,
+            3,
+            sub_col=F.expr(f"pmod(doc_id div 3, {w})"),
+            files_per_batch=w,
+        )
         stream = (
             spark.readStream.schema("doc_id bigint, text string")
-            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerTrigger", w)
             .parquet(src)
         )
         sigs = D.minhash_signatures(stream, num_hashes=8)
@@ -1298,16 +1375,19 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # frames per trigger instead of O(band vocabulary); verdicts
         # are computed per band value inside the bucket, so results
         # are bucket-count-invariant (see streaming.stateful).
-        q = (
-            band_first_seen(bands.select("doc_id", "band_idx", "band_val"))
-            .writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{d}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _drain(q)
+        with _stream_scan_split(spark, src, 3), _stream_shuffle_width(
+            spark, src
+        ):
+            q = (
+                band_first_seen(bands.select("doc_id", "band_idx", "band_val"))
+                .writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{d}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain(q)
         # one emitted row per (doc, band); the doc's verdict is the sum
         # of its band hits.  Materialize before the tempdir teardown.
         return (
