@@ -878,6 +878,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(w).alias("dl"),
         *[_tf(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)],
     )
+    # r13 measured dead end, kept as a note so it isn't re-attempted: a
+    # lineage cut here (perdoc feeds the corpus broadcast build AND the
+    # scoring pass) re-measured SLOWER at sf0.1 (0.85s -> 1.04s noop
+    # median) — the doubled subtree is one split + three array filters,
+    # cheaper than the checkpoint round trip.  The CHUNK variant's cut
+    # (text_bm25_chunk_topk) wins because its duplicated subtree also
+    # carries the chunk explode + slice.
     corpus = perdoc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_dl"),
@@ -1095,6 +1102,12 @@ def text_bm25_chunk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.col("cw")).alias("dl"),
         *[_tf(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)],
     )
+    # r13: same cut as text_bm25_topk — scored_units feeds the corpus
+    # broadcast build AND the scoring pass, and here the duplicated
+    # subtree is the whole tokenize + chunk explode + slice pipeline.
+    from .lineage import truncate_lineage
+
+    scored_units = truncate_lineage(scored_units, None, eager=False)
     corpus = scored_units.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_dl"),
