@@ -1109,33 +1109,28 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         thirds = ev.withColumn(
             "b", F.ntile(3).over(W.orderBy("ts", "user_id"))
         )
-        os.makedirs(f"{d}/src", exist_ok=True)
-        for b in (1, 2, 3):
-            tmp = f"{d}/tmp{b}"
-            thirds.filter(F.col("b") == b).select("user_id", "ts").coalesce(
-                1
-            ).write.parquet(tmp)
-            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
-            dst = f"{d}/src/b{b}.parquet"
-            shutil.move(f"{tmp}/{part}", dst)
-            os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
-        # flush batch: one sentinel far past the data range closes all
-        # real sessions via the global watermark
-        tmp = f"{d}/tmp4"
-        ev.agg(
-            F.lit(-1).cast("bigint").alias("user_id"),
-            F.date_add(F.max("ts").cast("date"), 100)
-            .cast("timestamp")
-            .alias("ts"),
-        ).coalesce(1).write.parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
-        dst = f"{d}/src/b4.parquet"
-        shutil.move(f"{tmp}/{part}", dst)
-        os.utime(dst, (1_000_000_400, 1_000_000_400))
+        # one partitioned write for the 3 time-ordered thirds PLUS the
+        # flush sentinel (batch 3, far past the data range: closes all
+        # real sessions via the global watermark).  Session-window
+        # membership and watermark advance depend only on each batch's
+        # event times, never on in-file row order.
+        batched = thirds.select(
+            "user_id", "ts", (F.col("b") - 1).cast("int").alias("batch")
+        ).unionByName(
+            ev.agg(
+                F.lit(-1).cast("bigint").alias("user_id"),
+                F.date_add(F.max("ts").cast("date"), 100)
+                .cast("timestamp")
+                .alias("ts"),
+            ).select("user_id", "ts", F.lit(3).cast("int").alias("batch"))
+        )
+        src = _write_mtime_batches(
+            batched, F.col("batch"), d, 4, payload=["user_id", "ts"]
+        )
         stream = (
             spark.readStream.schema("user_id bigint, ts timestamp")
             .option("maxFilesPerTrigger", 1)
-            .parquet(f"{d}/src")
+            .parquet(src)
         )
         agg = (
             stream.withWatermark("ts", "1 minute")
@@ -1156,15 +1151,19 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         name = f"sess_{uuid.uuid4().hex[:12]}"
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{d}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _drain(q)
+        # JVM-stateful session-window aggregate: per-partition
+        # store-commit overhead dominates at micro-batch scale, so the
+        # width derives from source bytes (see _stream_shuffle_width)
+        with _stream_shuffle_width(spark, src):
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{d}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain(q)
         # append emits each closed session exactly once; drop the sentinel
         return spark.table(name).filter(F.col("user_id") >= 0)
     finally:
@@ -1205,29 +1204,29 @@ def streaming_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="stream_hll_")
     try:
         ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-        os.makedirs(f"{d}/src", exist_ok=True)
-        batches = [
-            ev.filter(F.col("user_id") % 3 == b).select("user_id", "ts")
-            for b in (0, 1, 2)
-        ]
-        # sentinel far past every real window end + the 2000h watermark
-        # delta: closes all real windows under append mode
-        sentinel = spark.range(1).select(
-            F.lit(-1).cast("bigint").alias("user_id"),
-            F.lit("2025-06-01 00:00:00").cast("timestamp").alias("ts"),
+        # one partitioned write for the 3 data batches PLUS the sentinel
+        # (batch 3): the sentinel rides the same frame with a literal
+        # batch key, so the pre-r13 four filtered scans + four
+        # single-task writes become one job.  The HLL window aggregate
+        # is commutative, so in-file row order is immaterial.
+        batched = ev.select(
+            "user_id", "ts", (F.col("user_id") % 3).cast("int").alias("batch")
+        ).unionByName(
+            spark.range(1).select(
+                F.lit(-1).cast("bigint").alias("user_id"),
+                # sentinel far past every real window end + the 2000h
+                # watermark delta: closes all real windows under append
+                F.lit("2025-06-01 00:00:00").cast("timestamp").alias("ts"),
+                F.lit(3).cast("int").alias("batch"),
+            )
         )
-        batches.append(sentinel)
-        for b, df in enumerate(batches):
-            tmp = f"{d}/tmp{b}"
-            df.coalesce(1).write.parquet(tmp)
-            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
-            dst = f"{d}/src/b{b}.parquet"
-            shutil.move(f"{tmp}/{part}", dst)
-            os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
+        src = _write_mtime_batches(
+            batched, F.col("batch"), d, 4, payload=["user_id", "ts"]
+        )
         stream = (
             spark.readStream.schema("user_id bigint, ts timestamp")
             .option("maxFilesPerTrigger", 1)
-            .parquet(f"{d}/src")
+            .parquet(src)
         )
         agg = (
             stream.withWatermark("ts", "2000 hours")
@@ -1235,15 +1234,21 @@ def streaming_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.approx_count_distinct("user_id", 0.005).alias("n_users"))
         )
         name = f"hll_{uuid.uuid4().hex[:12]}"
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{d}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _drain(q)
+        # JVM-stateful window aggregate with ~50 KB HLL buffers per
+        # window key: per-partition state-store commit overhead scales
+        # with width x sketch bytes (measured at sf0.1: width 32 drain
+        # 143s vs width 1 36s at rsd=0.005), so derive the width from
+        # the micro-batch byte mass.
+        with _stream_shuffle_width(spark, src):
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{d}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain(q)
         streamed = (
             spark.table(name)
             .filter(F.col("w.start") < F.lit("2025-01-01").cast("timestamp"))
