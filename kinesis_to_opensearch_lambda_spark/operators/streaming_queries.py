@@ -439,6 +439,12 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # keeping the drained result exactly equal to the batch join.
         # Only `its` is spooled: it is the only column the aggregate
         # reads, and at sf10 the 1-column spool is ~4x fewer bytes.
+        # r13 measured dead end, kept as a note so it isn't
+        # re-attempted: narrowing this drain's shuffle width via
+        # _stream_shuffle_width re-measured SLOWER (width 1 = 9.8s vs
+        # session width = 8.1s at sf0.1) — unlike the window/HLL
+        # aggregates, the stream-stream join's cost is the 1.8M-row
+        # join output generation, which wants the full session width.
         q = (
             joined.select("its")
             .writeStream.outputMode("append")
@@ -999,14 +1005,33 @@ def streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(f"{d}/env", exist_ok=True)
         # 3 single-file batches, named part-* for the reader's listing;
         # the envelope carries only the payload column, so split by a
-        # deterministic hash of it
+        # deterministic hash of it.  ONE partitioned text write (r13):
+        # the pre-r13 loop re-ran the envelope subtree (JSON encode +
+        # base64 over every event) once per batch; in-file row order is
+        # immaterial (the consumer is a complete-mode count aggregate).
+        tmp = f"{d}/tmp_parts"
+        (
+            env.select(
+                (F.crc32(F.col("kinesis_data")) % 3).cast("int").alias("_b"),
+                "value",
+            )
+            .repartition(3, "_b")
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .text(tmp)
+        )
         for b in (0, 1, 2):
-            tmp = f"{d}/tmp{b}"
-            env.filter(F.crc32(F.col("kinesis_data")) % 3 == b).select(
-                "value"
-            ).coalesce(1).write.mode("overwrite").text(tmp)
-            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
-            shutil.move(f"{tmp}/{part}", f"{d}/env/part-{b:03d}.jsonl")
+            pdir = f"{tmp}/_b={b}"
+            parts = (
+                [f for f in os.listdir(pdir) if f.startswith("part-")]
+                if os.path.isdir(pdir)
+                else []
+            )
+            if parts:
+                shutil.move(f"{pdir}/{parts[0]}", f"{d}/env/part-{b:03d}.jsonl")
+            else:  # empty batch: keep a placeholder file for the walk
+                with open(f"{d}/env/part-{b:03d}.jsonl", "w"):
+                    pass
         stream = (
             spark.readStream.format("kinesis_envelope_jsonl")
             .option("path", f"{d}/env")
