@@ -1586,6 +1586,27 @@ def directed_knn_topk(
         for df in per_table[1:]:
             scored = scored.unionAll(df)
         w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+        # r13b (guide §2.3 — shuffle fewer rows): a rank() pre-filter
+        # BELOW the dedup makes the optimizer push a Partial
+        # WindowGroupLimit under the pair-mass exchange, so each map
+        # task ships only its local top-cap rows per src instead of
+        # the full L*target*n candidate mass (the lag guard alone
+        # blocked that pushdown; SCALING_r13's 1->10 decade was paying
+        # a ~L*target/cap-times-larger shuffle for rows the top-k then
+        # discarded).  cap = (k-1)*L + 1 is exact, not heuristic: the
+        # j-th DISTINCT pair has at most (j-1)*L strictly-better rows
+        # (each better distinct pair appears at most once per table),
+        # so every copy of every final top-k pair carries rank <= cap;
+        # duplicate copies share identical (cos, dst) keys and thus
+        # identical rank() values, so the filter keeps or drops all
+        # copies together and the adjacency the lag guard relies on is
+        # preserved.  Bit-identical final rows (oracle-checked).
+        cap = (_KNN_K - 1) * n_tables + 1
+        scored = (
+            scored.withColumn("_r", F.rank().over(w))
+            .filter(F.col("_r") <= cap)
+            .drop("_r")
+        )
         # two rows with equal (src, dst) are the same pair (one cosine
         # per vector pair), and duplicates sort adjacent — the lag
         # guard is exactly DISTINCT, evaluated inside the window sort
