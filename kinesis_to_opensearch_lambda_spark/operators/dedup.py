@@ -162,28 +162,66 @@ def simhash_bits(
     # 1.46s) but 54% SLOWER at sf10 (149s -> 230s Spark-side for
     # dedup_simhash_near) — every interpreted step allocates two fresh
     # 60-int arrays per token, and at 500k docs the allocation rate is
-    # GC-bound.  The n_bits separate int-accumulator folds below stay
-    # allocation-lean and win at the scale that matters.
+    # GC-bound.  Likewise (r13) a one-pass 20-long STRUCT accumulator
+    # re-creates a 20-field row per token — the same allocation trap.
+    #
+    # r13 packed-counter fold: ArrayAggregate is interpreted (HOFs sit
+    # outside whole-stage codegen), so per-bit folds pay the lambda
+    # machinery once per token per BIT.  Packing 3 bit-counters into
+    # one 64-bit accumulator (21-bit fields; carries cannot cross
+    # because each count <= n_tokens, guarded < 2^21 below) cuts the
+    # array traversals 3x while keeping the accumulator a primitive
+    # long — allocation-lean, the property the r9 sf10 sweep showed is
+    # the one that matters at scale.  The per-bit sign rule is
+    # unchanged: sum(2*bit - 1) > 0  <=>  2*count_of_ones > n_tokens,
+    # exact integers on both sides.
+    n_groups = (n_bits + 2) // 3
+    field = 21
+    mask = (1 << field) - 1
 
     # Strictly two-parameter merge lambdas via a factory (see
     # functions.minhash_values for why default-arg closures are unsafe
     # with PySpark higher-order functions).
-    def _bit_fold(b: int):
-        return lambda acc, h: acc + (
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
-        ).cast("int")
+    def _packed_fold(bits: tuple[int, ...]):
+        def step(acc, h):
+            t = None
+            for lvl, b in enumerate(bits):
+                one = F.shiftright(h, b).bitwiseAND(F.lit(1))
+                piece = F.shiftleft(one, lvl * field) if lvl else one
+                t = piece if t is None else t + piece
+            return acc + t
 
-    bit_sums = [
-        F.aggregate(F.col(hash_expr_col), F.lit(0), _bit_fold(b)).alias(f"_bs_{b}")
-        for b in range(n_bits)
+        return step
+
+    group_bits = [
+        tuple(b for b in (g, g + n_groups, g + 2 * n_groups) if b < n_bits)
+        for g in range(n_groups)
     ]
-    df = df.select("*", *bit_sums)
+    packed_sums = [
+        F.aggregate(
+            F.col(hash_expr_col), F.lit(0).cast("long"), _packed_fold(bits)
+        ).alias(f"_ps_{g}")
+        for g, bits in enumerate(group_bits)
+    ]
+    df = df.select("*", F.size(F.col(hash_expr_col)).alias("_nt"), *packed_sums)
     fingerprint = None
     for b in range(n_bits):
-        term = F.when(F.col(f"_bs_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        g, lvl = b % n_groups, b // n_groups
+        cnt = F.shiftright(F.col(f"_ps_{g}"), lvl * field).bitwiseAND(F.lit(mask))
+        term = F.when(cnt * 2 > F.col("_nt"), F.lit(1 << b)).otherwise(F.lit(0))
         fingerprint = term if fingerprint is None else fingerprint + term
-    return df.withColumn("simhash", fingerprint.cast("long")).drop(
-        hash_expr_col, *[f"_bs_{b}" for b in range(n_bits)]
+    # Overflow guard INSIDE the projection (a .filter(assert_true) gets
+    # predicate-pushed below this Project and re-evaluates the token-hash
+    # transform per row — plan-verified): a doc longer than the packed
+    # field errors loudly instead of silently wrapping a counter.
+    guarded = F.when(F.col("_nt") <= F.lit(mask), fingerprint.cast("long")).otherwise(
+        F.assert_true(
+            F.col("_nt") <= F.lit(mask),
+            F.lit(f"simhash_bits: doc exceeds {mask} tokens (packed-counter width)"),
+        ).cast("long")
+    )
+    return df.withColumn("simhash", guarded).drop(
+        hash_expr_col, "_nt", *[f"_ps_{g}" for g in range(n_groups)]
     )
 
 

@@ -238,3 +238,59 @@ def test_exhaustive_bucket_cap_guard(spark):
         fp, band_bits=15, window=None, exhaustive_bucket_cap=8
     )
     assert ok.count() == 28
+
+
+def test_packed_counter_fold_matches_per_bit_reference(spark):
+    """r13 rewrote simhash_bits' n_bits per-bit sign folds as packed
+    21-bit counter folds (3 bit positions per 64-bit accumulator).  Pin
+    the rewrite to the original semantics: an independent per-bit
+    formulation (count ones at bit b; set iff 2*count > n_tokens, the
+    exact sign rule) must agree on every fingerprint — including docs
+    with repeated tokens, a single token, and bit-count ties (the
+    strict > boundary)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_to_opensearch_lambda_spark.functions import md5_long
+    from kinesis_to_opensearch_lambda_spark.operators.dedup import (
+        simhash_bits,
+        words,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha alpha alpha beta"),  # repeated tokens
+            (3, "solo"),  # n=1: every bit is the token's bit
+            (4, "x y"),  # n=2: ties (count=1) must NOT set the bit
+            (5, "the quick brown fox jumps over the lazy dog again"),
+        ],
+        "doc_id int, text string",
+    )
+    for n_bits in (16, 60):
+        got = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash_bits(docs, n_bits).select("doc_id", "simhash").collect()
+        }
+        hs = F.transform(words(F.col("text")), lambda w: md5_long(w))
+
+        def _cnt(b: int):
+            # strictly two-parameter merge lambda via a factory (the
+            # default-arg form is read as a 3-arg (acc, elem, index)
+            # lambda by PySpark's HOF binding)
+            return lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(
+                F.lit(1)
+            ).cast("int")
+
+        ref_df = docs.select(
+            "doc_id",
+            F.size(hs).alias("n"),
+            *[
+                F.aggregate(hs, F.lit(0), _cnt(b)).alias(f"c{b}")
+                for b in range(n_bits)
+            ],
+        ).collect()
+        for r in ref_df:
+            ref = sum(
+                (1 << b) for b in range(n_bits) if 2 * r[f"c{b}"] > r["n"]
+            )
+            assert got[r["doc_id"]] == ref, (n_bits, r["doc_id"])
