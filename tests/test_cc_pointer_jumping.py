@@ -245,3 +245,46 @@ def test_clique_chain_like_lsh_bridges():
     history = _pointer_jump_rounds(nodes, edges, ROUNDS)
     assert _converged(history)
     assert all(v == 0 for v in history[-1].values())
+
+
+def test_cc_loop_width_invariant_and_conf_restored(spark):
+    """r13 scoped the propagation loop's shuffle width to the edge mass
+    (SPARK_GRAFT_CC_SHUFFLE overrides).  Labels must be identical at
+    width 1 and the session width (min-label algebra is per-key), and
+    the session conf must be restored afterward — including on the
+    unconverged-RuntimeError exit path."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kinesis_to_opensearch_lambda_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    for w in ("1", "4"):
+        os.environ["SPARK_GRAFT_CC_SHUFFLE"] = w
+        try:
+            results[w] = sorted(
+                tuple(r) for r in connected_components(pairs).collect()
+            )
+        finally:
+            del os.environ["SPARK_GRAFT_CC_SHUFFLE"]
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    assert results["1"] == results["4"]
+    assert {c for _, c in results["1"]} == {1, 10, 20}
+
+    # conf restored on the error exit too: a 4-chain cannot converge in
+    # one round even with the jump term (the tail is 3 hops from the min)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
