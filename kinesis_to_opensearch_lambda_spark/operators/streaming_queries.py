@@ -178,6 +178,61 @@ class _stream_shuffle_width:
         return False
 
 
+class _stream_codegen_mode:
+    """Scope ``spark.sql.codegen.factoryMode`` to NO_CODEGEN for a
+    micro-batch drain whose aggregation buffer is very wide and whose
+    per-trigger row mass is small (guide §1.2 step 2 — per-task work).
+
+    approx_count_distinct(rsd=0.005) carries a 4,330-word HLL++ buffer,
+    i.e. a 4,330-attribute aggregation schema.  Under the default
+    FALLBACK mode every projection over that schema REGENERATES its
+    Java source per task per trigger — Janino compilation is cached on
+    the source string, but building and regex-formatting the megabytes
+    of source is not (thread dump: the lone RUNNABLE executor thread
+    sits in ``CodeFormatter.stripExtraNewLinesAndComments`` for ~5 s
+    per trigger while state-store commits take 40 ms).  Interpreted
+    projections skip source generation entirely; for a kilobyte-scale
+    micro-batch the per-row interpretation penalty is noise next to
+    the fixed codegen cost (measured at sf0.1: drain 27 s -> 11 s).
+
+    The flip is byte-derived like ``_stream_shuffle_width``: only a
+    source below 64 MB per the whole drain gets NO_CODEGEN — a 100 TB
+    firehose batch keeps codegen, whose per-row wins then dominate the
+    fixed source-generation cost.  ``$SPARK_GRAFT_STREAM_CODEGEN``
+    (``FALLBACK`` / ``NO_CODEGEN`` / ``CODEGEN_ONLY``) pins deployments
+    that want their own.  Restored after the drain; projection mode is
+    pure execution strategy (results bit-identical — the HLL++ update
+    and merge are the same imperative algorithm either way)."""
+
+    def __init__(self, spark: SparkSession, src_dir: str):
+        import os
+
+        self.spark = spark
+        self.prev = spark.conf.get(
+            "spark.sql.codegen.factoryMode", "FALLBACK"
+        )
+        env = os.environ.get("SPARK_GRAFT_STREAM_CODEGEN")
+        if env:
+            self.mode = env
+            return
+        total = 0
+        for root, _dirs, files in os.walk(src_dir):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        self.mode = "NO_CODEGEN" if total < (64 << 20) else self.prev
+
+    def __enter__(self):
+        self.spark.conf.set("spark.sql.codegen.factoryMode", self.mode)
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.codegen.factoryMode", self.prev)
+        return False
+
+
 class _stream_scan_split:
     """Scope ``spark.sql.files.maxPartitionBytes`` so ONE micro-batch's
     source files spread across the session's cores (guide §6: input
@@ -1268,8 +1323,13 @@ def streaming_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         # window key: per-partition state-store commit overhead scales
         # with width x sketch bytes (measured at sf0.1: width 32 drain
         # 143s vs width 1 36s at rsd=0.005), so derive the width from
-        # the micro-batch byte mass.
-        with _stream_shuffle_width(spark, src):
+        # the micro-batch byte mass.  The 4,330-attribute buffer schema
+        # additionally makes FALLBACK-mode projection codegen regenerate
+        # megabytes of Java source per task per trigger (~5 s/trigger of
+        # pure source formatting at any row count — see
+        # _stream_codegen_mode); interpreted projections cut the drain
+        # 27 s -> 11 s at sf0.1 with bit-identical results.
+        with _stream_shuffle_width(spark, src), _stream_codegen_mode(spark, src):
             q = (
                 agg.writeStream.outputMode("append")
                 .format("memory")

@@ -331,3 +331,43 @@ def test_streaming_dedup_minhash_semantics(spark):
     # backwards in arrival order — spot-check the planted family)
     twins = [d for d in flagged if d >= SYNTH_ID_OFFSET]
     assert twins, "no mutated twin was suppressed"
+
+
+def test_stream_codegen_mode_scoping_and_invariance(spark, tmp_path, monkeypatch):
+    """r13: _stream_codegen_mode flips factoryMode to NO_CODEGEN only
+    for a sub-64MB micro-batch source (the 4,330-word HLL buffer's
+    projection-source regeneration dominates small drains), honors the
+    env pin, restores the session value on exit — and the HLL drain's
+    rows are identical in both modes (projection mode is execution
+    strategy, never semantics)."""
+    from kinesis_to_opensearch_lambda_spark.queries import REGISTRY
+    from kinesis_to_opensearch_lambda_spark.operators.streaming_queries import (
+        _stream_codegen_mode,
+    )
+
+    prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    small = tmp_path / "src"
+    small.mkdir()
+    (small / "b0.parquet").write_bytes(b"x" * 1024)
+    with _stream_codegen_mode(spark, str(small)) as m:
+        assert m.mode == "NO_CODEGEN"
+        assert spark.conf.get("spark.sql.codegen.factoryMode") == "NO_CODEGEN"
+    assert spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK") == prev
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_CODEGEN", "CODEGEN_ONLY")
+    with _stream_codegen_mode(spark, str(small)) as m:
+        assert m.mode == "CODEGEN_ONLY"
+    assert spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK") == prev
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_CODEGEN")
+
+    sf_dir = "/root/testdata/sf0.001"
+    build = REGISTRY["streaming_sketch_distinct"].spark
+
+    def rows(mode: str):
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_CODEGEN", mode)
+        try:
+            return sorted(map(tuple, build(spark, sf_dir).collect()))
+        finally:
+            monkeypatch.delenv("SPARK_GRAFT_STREAM_CODEGEN")
+
+    assert rows("NO_CODEGEN") == rows("FALLBACK")
