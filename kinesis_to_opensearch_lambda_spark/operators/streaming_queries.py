@@ -151,7 +151,7 @@ class _stream_shuffle_width:
     r13 width sweep on streaming_dedup_minhash reads 32/16/8/4 ->
     5.9/4.2/4.0/3.9 s at sf0.1 — store commits dominate)."""
 
-    def __init__(self, spark: SparkSession, src_dir: str):
+    def __init__(self, spark: SparkSession, src_dir: str, width: int | None = None):
         import os
 
         self.spark = spark
@@ -159,6 +159,13 @@ class _stream_shuffle_width:
         self.prev = spark.conf.get("spark.sql.shuffle.partitions")
         if env is not None:
             self.width = max(1, int(env))
+            return
+        if width is not None:
+            # caller-derived width (e.g. the stream-stream join derives
+            # it from the candidate-pair mass, not the source bytes —
+            # its dominant cost is join-output generation); still
+            # clamped to the session width and env-overridable above
+            self.width = max(1, min(int(self.prev), int(width)))
             return
         total = 0
         for root, _dirs, files in os.walk(src_dir):
@@ -454,7 +461,8 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = load_table(spark, sf_dir, "events").select("event_id")
         # key_mod mirrors the oracle's km CTE exactly (same count, same
         # formula); .count() here is a cheap parquet-metadata action
-        key_mod = 200 * max(1, ids.count() // 100_000)
+        n_events = ids.count()
+        key_mod = 200 * max(1, n_events // 100_000)
         base = "timestamp '2026-02-01 00:00:00'"
         imp = ids.filter(F.col("event_id") % 3 == 0).select(
             F.expr(f"(event_id div 3) % {key_mod}").alias("k"),
@@ -494,22 +502,30 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # keeping the drained result exactly equal to the batch join.
         # Only `its` is spooled: it is the only column the aggregate
         # reads, and at sf10 the 1-column spool is ~4x fewer bytes.
-        # r13 measured dead end, kept as a note so it isn't
-        # re-attempted: narrowing this drain's shuffle width via
-        # _stream_shuffle_width re-measured SLOWER (width 1 = 9.8s vs
-        # session width = 8.1s at sf0.1) — unlike the window/HLL
-        # aggregates, the stream-stream join's cost is the 1.8M-row
-        # join output generation, which wants the full session width.
-        q = (
-            joined.select("its")
-            .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", f"{d}/out")
-            .option("checkpointLocation", f"{d}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _drain(q)
+        # Shuffle width derives from the CANDIDATE-PAIR MASS, not the
+        # source bytes (r13): this drain's cost is two-sided — join
+        # output generation wants parallelism (the r13 session-1 probe
+        # showed width 1 = 9.8s vs 32 = 8.1s at sf0.1), while each
+        # extra partition pays 4 state-store commits x 2 triggers of
+        # fixed overhead (cumulative commitTimeMs 29-58s across the 128
+        # stores at width 32).  ceil(pairs / 1M) balances the two:
+        # sf0.1 -> 6 (measured drain 6.0s @32, 4.0-4.6s @8, 3.1-3.4s
+        # @4), sf0.01 -> 1, sf10 -> session width (the 100 TB shape —
+        # output mass keeps the full fleet busy).  Exact counts both
+        # sides are known from the already-materialized ids.count().
+        pair_mass = (n_events // 3) ** 2 // key_mod
+        ssj_width = -(-pair_mass // 1_000_000)
+        with _stream_shuffle_width(spark, d, width=ssj_width):
+            q = (
+                joined.select("its")
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", f"{d}/out")
+                .option("checkpointLocation", f"{d}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain(q)
         agg = (
             spark.read.schema("its timestamp")
             .parquet(f"{d}/out")

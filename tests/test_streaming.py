@@ -371,3 +371,29 @@ def test_stream_codegen_mode_scoping_and_invariance(spark, tmp_path, monkeypatch
             monkeypatch.delenv("SPARK_GRAFT_STREAM_CODEGEN")
 
     assert rows("NO_CODEGEN") == rows("FALLBACK")
+
+
+def test_stream_shuffle_width_explicit_width(spark, tmp_path, monkeypatch):
+    """r13: the stream-stream join derives its width from candidate-pair
+    mass and passes it explicitly; the scope must clamp it to [1,
+    session width], let the env pin win, and restore the session conf."""
+    # registry first: importing streaming_queries directly would
+    # re-enter the queries<->operators import cycle half-initialized
+    from kinesis_to_opensearch_lambda_spark.queries import REGISTRY  # noqa: F401
+    from kinesis_to_opensearch_lambda_spark.operators.streaming_queries import (
+        _stream_shuffle_width,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with _stream_shuffle_width(spark, str(tmp_path), width=6) as w:
+        assert w.width == min(6, int(prev))
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(w.width)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    with _stream_shuffle_width(spark, str(tmp_path), width=10**9) as w:
+        assert w.width == int(prev)  # clamped to the session width
+    with _stream_shuffle_width(spark, str(tmp_path), width=0) as w:
+        assert w.width == 1  # floor
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE", "3")
+    with _stream_shuffle_width(spark, str(tmp_path), width=7) as w:
+        assert w.width == 3  # env pin beats the derived width
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
