@@ -216,6 +216,39 @@ def maintenance_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rewrite_victim_days(
+    spark: SparkSession, table_root: str, hit_days: list[str], rw_dir: str
+) -> None:
+    """Copy-on-write delete of `event_id % 977 == 0` rows from exactly
+    the ``hit_days`` partitions of a day-partitioned table — as ONE
+    partition-pruned read + ONE partitionBy write (r13, guide §2.4/§6):
+    the pre-r13 per-day Python loop ran 2 tiny single-task jobs per
+    victim day (~90 sequential jobs at sf0.1, 17.5 s of almost pure
+    scheduler latency).  The isin filter prunes the scan to exactly the
+    victim directories (PartitionFilters: day INSET ...), the write
+    emits one dir per rewritten day, and the swap stays driver-side
+    file moves — untouched partitions are never read, written, or even
+    stat'd.  A day whose rows were ALL victims yields no output dir and
+    its partition is dropped outright — same post-delete rows."""
+    import os
+
+    back = spark.read.parquet(table_root)
+    (
+        back.filter(F.col("day").isin(hit_days))
+        .filter(F.col("event_id") % 977 != 0)
+        .withColumn("day", F.col("day").cast("string"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(rw_dir)
+    )
+    for day in hit_days:
+        part_dir = f"{table_root}/day={day}"
+        shutil.rmtree(part_dir)
+        src_dir = f"{rw_dir}/day={day}"
+        if os.path.isdir(src_dir):
+            os.replace(src_dir, part_dir)
+
+
 @register(
     "maintenance_targeted_delete",
     oracle="""
@@ -245,13 +278,18 @@ def maintenance_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "post-delete state, not the plan.",
 )
 def maintenance_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     d = tempfile.mkdtemp(prefix="tdel_")
     try:
-        ev = fan_out(load_table(spark, sf_dir, "events")).select(
-            "event_id",
-            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        # cluster the setup write by the partition key (guide §6: a
+        # round-robin-fed partitionBy write emits one file per task per
+        # day — ~2,900 tiny files at sf0.1 — and every later step of
+        # the delete pays the listing + open cost; hash-distributing by
+        # day first yields exactly one file per partition, the
+        # write.distribution-mode=hash shape of a real lake write)
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .repartition("day")
         )
         ev.write.mode("overwrite").partitionBy("day").parquet(f"{d}/t")
         back = spark.read.parquet(f"{d}/t")
@@ -259,18 +297,9 @@ def maintenance_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_partitions = back.select("day").distinct().count()
         victims = back.filter(F.col("event_id") % 977 == 0)
         hit_days = [
-            r["day"] for r in victims.select("day").distinct().collect()
+            str(r["day"]) for r in victims.select("day").distinct().collect()
         ]
-        # rewrite ONLY the victim partitions (partition-pruned read)
-        for day in hit_days:
-            part_dir = f"{d}/t/day={day}"
-            kept = spark.read.parquet(part_dir).filter(
-                F.col("event_id") % 977 != 0
-            )
-            tmp_dir = f"{d}/rw_{day}"
-            kept.write.mode("overwrite").parquet(tmp_dir)
-            shutil.rmtree(part_dir)
-            os.replace(tmp_dir, part_dir)
+        _rewrite_victim_days(spark, f"{d}/t", hit_days, f"{d}/rw")
         after = spark.read.parquet(f"{d}/t")
         rows_after = after.count()
         rows = [

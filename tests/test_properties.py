@@ -805,3 +805,56 @@ def test_cms_width_derivation():
     # tighter contract -> wider sketch, monotonically
     assert _cms_width(0.1, 0.01) >= _cms_width(0.5, 0.01)
     assert _cms_width(0.5, 0.001) >= _cms_width(0.5, 0.01)
+
+
+# --- targeted delete rewrite (maintenance_targeted_delete) --------------
+
+
+def test_rewrite_victim_days_touches_only_victim_partitions(spark, tmp_path):
+    """r13: the one-job copy-on-write rewrite must (a) remove exactly
+    the victim rows from the hit partitions, (b) leave non-hit
+    partition FILES untouched on disk (same path, same mtime — the
+    'untouched partitions are never rewritten' claim), and (c) drop a
+    partition whose rows were all victims."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kinesis_to_opensearch_lambda_spark.operators.maintenance_queries import (
+        _rewrite_victim_days,
+    )
+
+    root = str(tmp_path / "t")
+    rows = [
+        # day A: one victim (977 % 977 == 0) among keepers
+        (977, "2024-01-01"), (1, "2024-01-01"), (2, "2024-01-01"),
+        # day B: no victims — must not be rewritten
+        (3, "2024-01-02"), (4, "2024-01-02"),
+        # day C: all victims — partition must disappear
+        (1954, "2024-01-03"),
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, day string")
+    df.repartition("day").write.partitionBy("day").parquet(root)
+
+    def snapshot(day):
+        p = f"{root}/day={day}"
+        if not os.path.isdir(p):
+            return None
+        return sorted(
+            (f, os.path.getmtime(os.path.join(p, f)))
+            for f in os.listdir(p)
+            if f.startswith("part-")
+        )
+
+    b_before = snapshot("2024-01-02")
+    _rewrite_victim_days(
+        spark, root, ["2024-01-01", "2024-01-03"], str(tmp_path / "rw")
+    )
+    after = spark.read.parquet(root)
+    got = sorted(
+        (r["event_id"], str(r["day"])) for r in after.collect()
+    )
+    assert got == [(1, "2024-01-01"), (2, "2024-01-01"),
+                   (3, "2024-01-02"), (4, "2024-01-02")]
+    assert snapshot("2024-01-02") == b_before  # byte-untouched files
+    assert snapshot("2024-01-03") is None  # all-victim partition dropped
