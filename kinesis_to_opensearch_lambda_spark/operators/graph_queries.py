@@ -515,7 +515,15 @@ def _kcore_oracle(k: int, rounds: int) -> str:
     "does (bounded rounds keep the oracle finite here).",
 )
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _co_order_edges(spark, sf_dir)
+    from .lineage import truncate_lineage
+
+    # Lineage cuts (r13, guide §2.4 — the graph_triangle_count lesson):
+    # without them every per-round aggregate row embeds the FULL
+    # edge-build + all prior rounds as its own subtree (the union of 3
+    # rounds re-derived the lineitem co-order join up to 9 times);
+    # lazy localCheckpoints make each round's frame compute exactly
+    # once while the query stays one action.
+    e = truncate_lineage(_co_order_edges(spark, sf_dir), None, eager=False)
     rows = []
     cur = e
     for rnd in range(1, _KCORE_ROUNDS + 1):
@@ -524,11 +532,17 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
-        cur = (
+        # keep feeds three subtrees (both semi-joins + the node count)
+        keep = truncate_lineage(
+            deg.filter(F.col("deg") >= _KCORE_K).select("node"), None, eager=False
+        )
+        # cur feeds two (the edge count + the next round)
+        cur = truncate_lineage(
             cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
-            .select("u", "v")
+            .select("u", "v"),
+            None,
+            eager=False,
         )
         rows.append(
             keep.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
@@ -589,12 +603,28 @@ _BFS_SEEDS = 20
     "hops keep the oracle finite here.",
 )
 def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .lineage import truncate_lineage
+
+    # Lineage cuts (r13, guide §2.4 — the graph_triangle_count lesson):
+    # the undirected edge frame feeds every hop's semi-join and each
+    # hop's frontier/visited feed three subtrees (count, expansion,
+    # visited union) — uncut, the 3-hop union re-derived the lineitem
+    # co-order edge build once per reference.  Lazy localCheckpoints
+    # keep the query one action while every frame computes once.
     e = _co_order_edges(spark, sf_dir)
-    und = e.select("u", "v").unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    und = truncate_lineage(
+        e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ),
+        None,
+        eager=False,
     )
-    frontier = (
-        und.filter(F.col("u") < _BFS_SEEDS).select(F.col("u").alias("node")).distinct()
+    frontier = truncate_lineage(
+        und.filter(F.col("u") < _BFS_SEEDS)
+        .select(F.col("u").alias("node"))
+        .distinct(),
+        None,
+        eager=False,
     )
     visited = frontier
     rows = [
@@ -611,8 +641,12 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("v").alias("node"))
             .distinct()
         )
-        frontier = reached.join(visited, "node", "left_anti")
-        visited = visited.unionByName(frontier).distinct()
+        frontier = truncate_lineage(
+            reached.join(visited, "node", "left_anti"), None, eager=False
+        )
+        visited = truncate_lineage(
+            visited.unionByName(frontier).distinct(), None, eager=False
+        )
         rows.append(
             frontier.agg(
                 F.lit(hop).cast("bigint").alias("hop"),
