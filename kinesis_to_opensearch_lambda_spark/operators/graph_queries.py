@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries import register
-from ..sources.batch import fan_out, load_table
+from ..sources.batch import load_table
 from . import graph as G
 
 _PR_ITERS = 5
@@ -70,7 +70,11 @@ def _pagerank_oracle(iters: int) -> str:
     "fixed-width node keys and rounds are O(E) each, O(iters) total.",
 )
 def graph_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = fan_out(load_table(spark, sf_dir, "events"))
+    # r13 fan_out audit: the JSON extract is cheap enough that the
+    # pairs-distinct exchange (which redistributes anyway) dominates;
+    # the widening shuffle measured pure overhead (A/B 5.16->4.48s at
+    # sf0.1, sweeps/FANOUT_AB_r13.json).
+    ev = load_table(spark, sf_dir, "events")
     item = F.get_json_object("props", "$.k")
     pairs = (
         ev.filter(item.isNotNull())
@@ -141,7 +145,10 @@ def _lpa_oracle(iters: int) -> str:
     "(operators.graph.label_propagation).",
 )
 def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = fan_out(load_table(spark, sf_dir, "events"))
+    # r13 fan_out audit: same shape as graph_pagerank_items — the
+    # pairs-distinct exchange redistributes anyway (A/B 3.02->2.79s,
+    # sweeps/FANOUT_AB_r13.json).
+    ev = load_table(spark, sf_dir, "events")
     item = F.get_json_object("props", "$.k")
     pairs = (
         ev.filter(item.isNotNull())
@@ -425,7 +432,9 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stay broadcast-sized regardless of event volume.",
 )
 def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = fan_out(load_table(spark, sf_dir, "events"))
+    # r13 fan_out audit: the ui-distinct exchange redistributes anyway
+    # (A/B 1.74->1.44s at sf0.1, sweeps/FANOUT_AB_r13.json).
+    ev = load_table(spark, sf_dir, "events")
     item = F.get_json_object("props", "$.k")
     ui = (
         ev.filter(item.isNotNull())

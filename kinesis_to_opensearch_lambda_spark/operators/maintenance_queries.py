@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..queries import register
-from ..sources.batch import fan_out, load_table
+from ..sources.batch import load_table
 
 _COMPACT_TARGET = 4
 _SMALL_FILES = 40
@@ -158,7 +158,11 @@ def _sql_interleave(x: str, y: str, bits: int = _Z_BITS) -> str:
     "Partitions at write time and the skipping is free at read time.",
 )
 def maintenance_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = fan_out(load_table(spark, sf_dir, "orders"))
+    # r13 fan_out audit: the md5 sample feeds TakeOrdered (per-partition
+    # heads merged on the driver) — widening the scan shuffles the whole
+    # table to speed a 20k-row head selection (A/B 0.85->0.68s at sf0.1,
+    # sweeps/FANOUT_AB_r13.json).
+    orders = load_table(spark, sf_dir, "orders")
     # md5-ordered deterministic sample: TakeOrdered (per-partition heads
     # merged on the driver, no full sort shuffle) bounds the planner
     # input at 20k rows regardless of table size — the single-partition

@@ -26,11 +26,21 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..queries import register
-from ..sources.batch import fan_out, load_table
+from ..sources.batch import load_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return fan_out(load_table(spark, sf_dir, name))
+    # r13 fan_out audit: every consumer in this module feeds the scan
+    # into an aggregate or a join whose own exchange redistributes, and
+    # the pre-exchange per-row work is cheap column arithmetic — the
+    # round-robin widening shuffle was pure waste.  Interleaved
+    # same-session A/B at sf0.1 (5 iters, noop sink): diag_key_skew
+    # 0.96->0.26s, join_scd2_point_in_time 1.24->0.77s,
+    # incremental_agg_merge 0.92->0.40s, quality_ks_two_sample
+    # 0.65->0.34s, scd2_customer_history 1.02->0.60s, snapshot_diff
+    # 1.23->0.85s, diag_observe_metrics 0.83->0.66s — all winners
+    # (sweeps/FANOUT_AB_r13.json).
+    return load_table(spark, sf_dir, name)
 
 
 @register(

@@ -604,7 +604,14 @@ def sample_bottom_k_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on appended data never reassigns old rows (hash, not RNG).",
 )
 def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = fan_out(load_table(spark, sf_dir, "orders"))
+    # r13 fan_out audit: one md5 per row then a ~5-group aggregate — the
+    # map-side partial agg rides the scan and the widening shuffle
+    # measured pure overhead (A/B 0.48->0.36s at sf0.1,
+    # sweeps/FANOUT_AB_r13.json).  Contrast sample_poisson_bootstrap
+    # below, where the 20x explode makes fan_out a 3.5x WIN — the dial
+    # is per-row work downstream of the scan, and these two entries are
+    # its measured endpoints.
+    orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     h = md5_long(F.concat(F.col("o_orderkey").cast("string"), F.lit(":wb")))
     kept = orders.filter(
