@@ -1634,7 +1634,14 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cut each side re-runs the bw window, the SRP bucket md5 math and
     # the nbits broadcast build (duplicated Window/Generate subtrees in
     # the before-plan).  The cut materializes 2n slim integer rows.
-    slim = truncate_lineage(slim, None, eager=False)
+    # Byte-guarded (session 4): 2n rows are corpus-scale, so the
+    # executor-local cut lapses when the embeddings scan outgrows the
+    # storage budget (the sf10 graph-cut OOM lesson, applied
+    # preemptively; sf10 itself is measured fine — 23.7s warm,
+    # SCALING_r13).
+    from .lineage import truncate_lineage_scaled
+
+    slim = truncate_lineage_scaled(slim, None, source=emb)
     a = slim.select(
         F.col("cluster").alias("cluster_a"),
         F.col("t").alias("t_a"),

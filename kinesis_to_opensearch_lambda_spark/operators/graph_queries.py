@@ -286,7 +286,7 @@ _SQL_CO_ORDER_EDGES = """
     "iteration, no driver state.",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .lineage import truncate_lineage
+    from .lineage import truncate_lineage_scaled
 
     # Lineage cuts (r13 optimization): the logical graph references the
     # edge set / oriented edge set / adjacency MULTIPLE times (e feeds
@@ -300,9 +300,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every stage run exactly once: measured 6.94s -> 2.26s median at
     # sf0.1/local[32] (interleaved A/B), with far lower variance.
     # Results are identical (a cut only materializes; no expression
-    # changes) and the cut respects SPARK_GRAFT_CHECKPOINT_DIR for
-    # cluster-durable checkpoints, per the established semdedup pattern.
-    e = truncate_lineage(_co_order_edges(spark, sf_dir), None, eager=False)
+    # changes).  BYTE-GUARDED (r13 session 4): the three cut frames are
+    # edge-scale, and at sf10 their deserialized row-object mass
+    # hard-OOMed a fresh 16 GiB JVM while the UNCUT form ran 224s
+    # (SCALING_r13 note) — truncate_lineage_scaled cuts only while the
+    # lineitem scan fits the executor-local budget, and always cuts
+    # when SPARK_GRAFT_CHECKPOINT_DIR points at a reliable FS.
+    src = load_table(spark, sf_dir, "lineitem")
+    e = truncate_lineage_scaled(_co_order_edges(spark, sf_dir), None, source=src)
     deg = (
         e.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
@@ -315,22 +320,22 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = truncate_lineage(
+    oriented = truncate_lineage_scaled(
         ed.select(
             F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         ),
         None,
-        eager=False,
+        source=src,
     )
     # Sorted out-adjacency per source; out_deg <= O(sqrt(E)) under the
     # degree orientation, so each list is small and bounded.
-    adj = truncate_lineage(
+    adj = truncate_lineage_scaled(
         oriented.groupBy("src").agg(
             F.array_sort(F.collect_list("dst")).alias("nbrs")
         ),
         None,
-        eager=False,
+        source=src,
     )
     tri = (
         oriented.join(
@@ -524,15 +529,25 @@ def _kcore_oracle(k: int, rounds: int) -> str:
     "does (bounded rounds keep the oracle finite here).",
 )
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .lineage import truncate_lineage
+    from .lineage import truncate_lineage_scaled
 
     # Lineage cuts (r13, guide §2.4 — the graph_triangle_count lesson):
     # without them every per-round aggregate row embeds the FULL
     # edge-build + all prior rounds as its own subtree (the union of 3
     # rounds re-derived the lineitem co-order join up to 9 times);
     # lazy localCheckpoints make each round's frame compute exactly
-    # once while the query stays one action.
-    e = truncate_lineage(_co_order_edges(spark, sf_dir), None, eager=False)
+    # once while the query stays one action.  Byte-guarded like
+    # graph_triangle_count (r13 session 4): the edge/keep/cur frames
+    # are edge-scale, so executor-local cuts apply only while the
+    # lineitem scan fits the storage budget (reliable checkpoint dirs
+    # always cut).
+    src = load_table(spark, sf_dir, "lineitem")
+    # node-scale frames (keep) are bounded by the part dictionary, so
+    # their guard keys on the part scan — at a scale where the
+    # edge-scale cuts must lapse, the cheap node-scale cuts still fire
+    # and keep the round-over-round plan depth bounded.
+    node_src = load_table(spark, sf_dir, "part")
+    e = truncate_lineage_scaled(_co_order_edges(spark, sf_dir), None, source=src)
     rows = []
     cur = e
     for rnd in range(1, _KCORE_ROUNDS + 1):
@@ -542,16 +557,18 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         # keep feeds three subtrees (both semi-joins + the node count)
-        keep = truncate_lineage(
-            deg.filter(F.col("deg") >= _KCORE_K).select("node"), None, eager=False
+        keep = truncate_lineage_scaled(
+            deg.filter(F.col("deg") >= _KCORE_K).select("node"),
+            None,
+            source=node_src,
         )
         # cur feeds two (the edge count + the next round)
-        cur = truncate_lineage(
+        cur = truncate_lineage_scaled(
             cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v"),
             None,
-            eager=False,
+            source=src,
         )
         rows.append(
             keep.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
@@ -612,7 +629,7 @@ _BFS_SEEDS = 20
     "hops keep the oracle finite here.",
 )
 def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .lineage import truncate_lineage
+    from .lineage import truncate_lineage_scaled
 
     # Lineage cuts (r13, guide §2.4 — the graph_triangle_count lesson):
     # the undirected edge frame feeds every hop's semi-join and each
@@ -620,20 +637,28 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # visited union) — uncut, the 3-hop union re-derived the lineitem
     # co-order edge build once per reference.  Lazy localCheckpoints
     # keep the query one action while every frame computes once.
+    # Byte-guarded like graph_triangle_count (r13 session 4): the
+    # undirected edge frame is edge-scale, so executor-local cuts apply
+    # only while the lineitem scan fits the storage budget.
+    src = load_table(spark, sf_dir, "lineitem")
+    # frontier/visited are node-scale (bounded by the part dictionary):
+    # guard them on the part scan so the hop loop's plan depth stays
+    # bounded even when the edge-scale cut lapses (see kcore).
+    node_src = load_table(spark, sf_dir, "part")
     e = _co_order_edges(spark, sf_dir)
-    und = truncate_lineage(
+    und = truncate_lineage_scaled(
         e.select("u", "v").unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ),
         None,
-        eager=False,
+        source=src,
     )
-    frontier = truncate_lineage(
+    frontier = truncate_lineage_scaled(
         und.filter(F.col("u") < _BFS_SEEDS)
         .select(F.col("u").alias("node"))
         .distinct(),
         None,
-        eager=False,
+        source=node_src,
     )
     visited = frontier
     rows = [
@@ -650,11 +675,11 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("v").alias("node"))
             .distinct()
         )
-        frontier = truncate_lineage(
-            reached.join(visited, "node", "left_anti"), None, eager=False
+        frontier = truncate_lineage_scaled(
+            reached.join(visited, "node", "left_anti"), None, source=node_src
         )
-        visited = truncate_lineage(
-            visited.unionByName(frontier).distinct(), None, eager=False
+        visited = truncate_lineage_scaled(
+            visited.unionByName(frontier).distinct(), None, source=node_src
         )
         rows.append(
             frontier.agg(

@@ -58,3 +58,83 @@ def truncate_lineage(
     sc = df.sparkSession.sparkContext
     sc.setCheckpointDir(checkpoint_dir)
     return df.checkpoint(eager=eager)
+
+
+# Byte budget for executor-local cuts, as a fraction of executor heap.
+# localCheckpoint stores the materialized partitions as DESERIALIZED
+# row objects in executor storage memory (MEMORY_AND_DISK unrolls in
+# heap first); a frame whose row-object mass approaches the heap turns
+# the cut from a planning-dedup win into an allocation storm — measured
+# r13 at sf10: graph_triangle_count's three edge-scale cuts (~100M+
+# two-long rows each) hard-OOMed a fresh 16 GiB local[32] JVM, while
+# the UNCUT r9 form of the same query ran 224s there (runtime exchange
+# reuse already dedups the physical work; the cut only removes
+# duplicated planning/broadcast overhead, which AMORTIZES at scale).
+# heap/64 with the measured ~6-12x deserialized-object blowup over
+# source parquet bytes and up to 3 live cuts per query keeps the
+# materialized mass comfortably under half the heap.
+_CUT_BUDGET_ENV = "SPARK_GRAFT_LINEAGE_CUT_MAX_MB"
+_CUT_HEAP_FRACTION = 64
+
+
+def _heap_bytes(df: DataFrame) -> int:
+    conf = df.sparkSession.sparkContext.getConf()
+    raw = conf.get("spark.executor.memory", None) or conf.get(
+        "spark.driver.memory", "1g"
+    )
+    units = {"k": 10, "m": 20, "g": 30, "t": 40}
+    raw = raw.strip().lower()
+    if raw[-1] in units:
+        return int(float(raw[:-1]) * (1 << units[raw[-1]]))
+    return int(raw)
+
+
+def _scan_bytes(source: DataFrame) -> int:
+    """Bytes of ``source``'s file scan; 'huge' when unknowable (a
+    derived/in-memory source gives no files — treat as over budget so
+    the guard fails safe toward NOT materializing)."""
+    files = source.inputFiles()
+    if not files:
+        return 1 << 62
+    total = 0
+    for uri in files:
+        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return 1 << 62
+    return total
+
+
+def truncate_lineage_scaled(
+    df: DataFrame,
+    checkpoint_dir: str | None,
+    source: DataFrame,
+    eager: bool = False,
+) -> DataFrame:
+    """Cut ``df``'s lineage only when materializing it is safe here.
+
+    - A reliable checkpoint dir (argument or $SPARK_GRAFT_CHECKPOINT_DIR)
+      always cuts: the blocks land on a fault-tolerant FS, not in
+      executor heap — the cluster deployment path.
+    - Executor-local cuts are byte-guarded: cut only while ``source``'s
+      scan is under heap/64 (override: $SPARK_GRAFT_LINEAGE_CUT_MAX_MB).
+      Above budget ``df`` is returned UNCUT — results are identical
+      either way (a cut never changes expressions), the duplicated
+      subtrees are deduped physically by runtime exchange reuse, and
+      the fixed planning overhead the cut saves is amortized by the
+      very scale that made the cut unsafe.
+    """
+    if checkpoint_dir is None:
+        checkpoint_dir = os.environ.get(CHECKPOINT_DIR_ENV) or None
+    if checkpoint_dir is not None:
+        return truncate_lineage(df, checkpoint_dir, eager=eager)
+    env = os.environ.get(_CUT_BUDGET_ENV)
+    budget = (
+        int(float(env) * (1 << 20))
+        if env
+        else _heap_bytes(df) // _CUT_HEAP_FRACTION
+    )
+    if _scan_bytes(source) <= budget:
+        return truncate_lineage(df, None, eager=eager)
+    return df

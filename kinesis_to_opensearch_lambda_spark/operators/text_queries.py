@@ -200,9 +200,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from .lineage import truncate_lineage
+    from .lineage import truncate_lineage_scaled
 
-    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    raw = load_table(spark, sf_dir, "documents")
+    docs = fan_out(raw.select("doc_id", "text"))
     # split ONCE into an array column (r13 optimization: the old
     # explode(split)/size(split) pair re-tokenized every row twice —
     # Generate and Project evaluate their expressions independently,
@@ -220,7 +221,11 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build and the scoring join, and a broadcast build is not
     # exchange-reusable — without the cut the tokenize+groupBy subtree
     # executed twice (the r10 winnowing lesson, same fix as semdedup).
-    tf = truncate_lineage(tf, None, eager=False)
+    # Byte-guarded (session 4): tf is corpus-scale (one row per
+    # doc x distinct term), so the executor-local cut applies only
+    # while the documents scan fits the storage budget — the sf10
+    # graph-cut OOM lesson applied preemptively.
+    tf = truncate_lineage_scaled(tf, None, source=raw)
     # tf already holds one row per (doc, word): document frequency is a
     # plain count over it — no second explode, no count_distinct shuffle.
     dfreq = tf.groupBy("word").agg(F.count("*").alias("dfreq"))
@@ -1105,9 +1110,12 @@ def text_bm25_chunk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13: same cut as text_bm25_topk — scored_units feeds the corpus
     # broadcast build AND the scoring pass, and here the duplicated
     # subtree is the whole tokenize + chunk explode + slice pipeline.
-    from .lineage import truncate_lineage
+    # Byte-guarded (session 4): the chunk-unit frame is corpus-scale
+    # (~4x doc count), so the executor-local cut lapses when the
+    # documents scan outgrows the storage budget.
+    from .lineage import truncate_lineage_scaled
 
-    scored_units = truncate_lineage(scored_units, None, eager=False)
+    scored_units = truncate_lineage_scaled(scored_units, None, source=docs)
     corpus = scored_units.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_dl"),

@@ -55,3 +55,68 @@ def test_empty_env_var_means_local(spark, monkeypatch):
     monkeypatch.setenv(CHECKPOINT_DIR_ENV, "")
     out = truncate_lineage(spark.range(10), None, eager=True)
     assert out.count() == 10
+
+
+# --- truncate_lineage_scaled (r13): byte-guarded executor-local cuts ---
+#
+# At sf10 the triangle/k-core/BFS edge-scale cuts hard-OOMed a fresh
+# 16 GiB JVM (deserialized localCheckpoint blocks), while the UNCUT
+# form of the same query ran to completion — so executor-local cuts
+# are now guarded by the source scan's bytes vs an executor-heap
+# budget, and a reliable checkpoint dir (disk, not heap) always cuts.
+
+from kinesis_to_opensearch_lambda_spark.operators.lineage import (  # noqa: E402
+    _CUT_BUDGET_ENV,
+    truncate_lineage_scaled,
+)
+
+
+def _parquet_df(spark, tmp_path):
+    p = str(tmp_path / "src")
+    spark.range(1000).write.mode("overwrite").parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_scaled_cut_fires_under_budget(spark, tmp_path, monkeypatch):
+    monkeypatch.delenv(CHECKPOINT_DIR_ENV, raising=False)
+    monkeypatch.setenv(_CUT_BUDGET_ENV, "10240")  # 10 GiB: tiny file fits
+    src = _parquet_df(spark, tmp_path)
+    out = truncate_lineage_scaled(src.selectExpr("id * 2 AS v"), None, source=src)
+    assert out is not src
+    # a cut plan no longer references the parquet scan
+    assert "Scan parquet" not in out._jdf.queryExecution().toString()
+    assert out.count() == 1000
+
+
+def test_scaled_cut_lapses_over_budget(spark, tmp_path, monkeypatch):
+    monkeypatch.delenv(CHECKPOINT_DIR_ENV, raising=False)
+    monkeypatch.setenv(_CUT_BUDGET_ENV, "0.000001")  # ~1 byte: nothing fits
+    src = _parquet_df(spark, tmp_path)
+    derived = src.selectExpr("id * 2 AS v")
+    out = truncate_lineage_scaled(derived, None, source=src)
+    assert out is derived  # returned UNCUT — results identical by construction
+    assert out.count() == 1000
+
+
+def test_scaled_cut_unknown_source_fails_safe(spark, monkeypatch):
+    # a derived/in-memory source exposes no files: treat as over budget
+    monkeypatch.delenv(CHECKPOINT_DIR_ENV, raising=False)
+    monkeypatch.delenv(_CUT_BUDGET_ENV, raising=False)
+    src = spark.range(10)
+    derived = src.selectExpr("id + 1 AS v")
+    out = truncate_lineage_scaled(derived, None, source=src)
+    assert out is derived
+
+
+def test_scaled_cut_reliable_dir_always_cuts(spark, tmp_path, monkeypatch):
+    # over-budget locally, but a reliable dir stores blocks on disk,
+    # not executor heap — the cluster deployment path always cuts
+    monkeypatch.setenv(_CUT_BUDGET_ENV, "0.000001")
+    ckpt = str(tmp_path / "reliable")
+    monkeypatch.setenv(CHECKPOINT_DIR_ENV, ckpt)
+    src = _parquet_df(spark, tmp_path)
+    out = truncate_lineage_scaled(
+        src.selectExpr("id * 2 AS v"), None, source=src, eager=True
+    )
+    assert out.count() == 1000
+    assert _n_files(ckpt) > 0, "reliable checkpoint wrote no files"

@@ -1,16 +1,27 @@
 #!/usr/bin/env python
 """SCALING_r13: spark-side scaling exponents after the r13 rewrites.
 
-Usage: python tools/scaling_r13.py [OUT] [QUERIES] [SFS] [RUNS]
+Usage: python tools/scaling_r13.py [OUT] [GROUPS] [SFS] [RUNS]
 
 Mirrors SCALING_r12's methodology (noop sink, best-of-N warm runs,
 local[32]) and additionally records the COLD first pass per query —
 for the kNN family that first pass pays the session-scoped bucketed
 SRP index build, so cold-vs-warm separates index amortization from
 per-query plan cost (the r12 verdict's open question was the WARM
-1->10 decade exponent).  One fresh session per scale factor; within a
-session emb_knn_loo_label_eval runs first so it pays the shared index
-build, exactly like the r12 run.
+1->10 decade exponent).
+
+Isolation: one fresh interpreter+JVM per QUERY GROUP per scale factor.
+Groups (';'-separated, ','-joined within a group) share one session —
+the kNN pair is a group so ann_knn_graph_mutual_multitable reuses the
+index emb_knn_loo_label_eval built, exactly like a production session
+over a shared bucketed index table.  Everything else runs alone: the
+first sf10 attempt ran all five queries in one 16g JVM and the
+ACCUMULATED localCheckpoint blocks of four queries' repeated runs blew
+the heap during the fifth (graph_triangle_count) — a harness artifact
+(a cluster frees per-query executor storage at session scale-down; one
+shared local JVM cannot), not a plan property, so the harness now
+matches the per-query lifecycle.  A System.gc() nudge between runs
+releases the driver-side RDD references that pin checkpoint blocks.
 """
 
 from __future__ import annotations
@@ -24,22 +35,28 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-DEFAULT_QUERIES = [
-    "emb_knn_loo_label_eval",
-    "ann_knn_graph_mutual_multitable",
+DEFAULT_GROUPS = [
+    "emb_knn_loo_label_eval,ann_knn_graph_mutual_multitable",
     "dedup_semdedup_prune",
     "corpus_dsir_selection",
     "graph_triangle_count",
 ]
 
 
-def run_sf(sf: str, names: list[str], runs: int) -> dict[str, dict]:
-    """Run in a subprocess-fresh session via spawn? Simpler: caller
-    invokes this script once per sf; here we just build one session."""
+def _sf_dir(sf: str) -> str:
+    d = f"/root/testdata/sf{sf}"
+    if not os.path.isdir(d):
+        # sf1/sf10 are the regenerable tiled sets under .scratch
+        # (tools/gen_sf.py), matching the r9-r12 sweep convention.
+        d = os.path.join(REPO, ".scratch", f"sf{sf}")
+    return d
+
+
+def run_group(sf: str, names: list[str], runs: int) -> dict[str, dict]:
     from kinesis_to_opensearch_lambda_spark.queries import REGISTRY
     from kinesis_to_opensearch_lambda_spark.session import get_session
 
-    sf_dir = f"/root/testdata/sf{sf}"
+    sf_dir = _sf_dir(sf)
     spark = get_session(app_name=f"scaling-r13-sf{sf}", cpus="32")
     out: dict[str, dict] = {}
     for name in names:
@@ -50,6 +67,10 @@ def run_sf(sf: str, names: list[str], runs: int) -> dict[str, dict]:
         cold = time.perf_counter() - t0
         warm = []
         for r in range(runs):
+            import gc
+
+            gc.collect()  # drop py4j refs so ContextCleaner can free
+            spark.sparkContext._jvm.System.gc()  # prior runs' checkpoint blocks
             spark.sparkContext.setJobDescription(f"warm:{name}:sf{sf}:{r}")
             t0 = time.perf_counter()
             q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -62,52 +83,54 @@ def run_sf(sf: str, names: list[str], runs: int) -> dict[str, dict]:
 
 
 def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "--one-sf":
-        # internal: run one sf and print its JSON line
+    if len(sys.argv) > 1 and sys.argv[1] == "--one-group":
         sf = sys.argv[2]
         names = sys.argv[3].split(",")
         runs = int(sys.argv[4])
-        print(json.dumps({sf: run_sf(sf, names, runs)}))
+        print(json.dumps(run_group(sf, names, runs)))
         return
 
     out_path = sys.argv[1] if len(sys.argv) > 1 else "sweeps/SCALING_r13.json"
-    names = (
-        sys.argv[2].split(",") if len(sys.argv) > 2 else DEFAULT_QUERIES
+    groups = (
+        [g.split(",") for g in sys.argv[2].split(";")]
+        if len(sys.argv) > 2
+        else [g.split(",") for g in DEFAULT_GROUPS]
     )
     sfs = sys.argv[3].split(",") if len(sys.argv) > 3 else ["0.1", "1", "10"]
     runs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 
     import subprocess
 
-    per_sf: dict[str, dict] = {}
+    per_sf: dict[str, dict] = {sf: {} for sf in sfs}
     for sf in sfs:
-        # fresh interpreter + JVM per scale factor: no cross-sf cache,
-        # GC state or index reuse.
-        proc = subprocess.run(
-            [
-                sys.executable,
-                os.path.abspath(__file__),
-                "--one-sf",
-                sf,
-                ",".join(names),
-                str(runs),
-            ],
-            capture_output=True,
-            text=True,
-            cwd=REPO,
-        )
-        sys.stderr.write(proc.stderr)
-        if proc.returncode != 0:
-            print(f"sf{sf} FAILED rc={proc.returncode}", file=sys.stderr)
-            continue
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        per_sf.update(json.loads(line))
+        for group in groups:
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--one-group",
+                    sf,
+                    ",".join(group),
+                    str(runs),
+                ],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+            )
+            sys.stderr.write(proc.stderr)
+            if proc.returncode != 0:
+                print(f"sf{sf} group {group} FAILED rc={proc.returncode}",
+                      file=sys.stderr)
+                continue
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            per_sf[sf].update(json.loads(line))
 
+    names = [n for g in groups for n in g]
     queries: dict[str, dict] = {}
     for name in names:
         entry: dict = {}
         for sf in sfs:
-            if sf in per_sf and name in per_sf[sf]:
+            if name in per_sf.get(sf, {}):
                 entry[sf] = per_sf[sf][name]
         pairs = [(a, b) for a, b in zip(sfs, sfs[1:]) if a in entry and b in entry]
         exps = {}
@@ -122,11 +145,12 @@ def main() -> None:
         "metric": "spark_side_scaling_r13",
         "note": (
             "noop sink, best-of-%d WARM runs after one recorded COLD pass, "
-            "local[32], fresh session per sf; exponent = log(t_b/t_a)/log(sf_b/sf_a); "
-            "kNN entries share the session-scoped bucketed SRP index, "
-            "emb_knn_loo_label_eval runs first and pays the build (its cold "
-            "number includes index construction; warm numbers are the "
-            "index-amortized leg the r12 verdict asked to pin)." % runs
+            "local[32], fresh session per query group per sf (kNN pair shares "
+            "one session: emb_knn_loo_label_eval runs first and pays the "
+            "shared bucketed-SRP-index build, ann_knn_graph_mutual_multitable "
+            "reuses it — the index-amortized leg the r12 verdict asked to "
+            "pin); exponent = log(t_b/t_a)/log(sf_b/sf_a), 1.0 = linear in "
+            "data." % runs
         ),
         "queries": queries,
     }
