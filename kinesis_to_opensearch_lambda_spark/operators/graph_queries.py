@@ -742,7 +742,7 @@ def graph_random_walk_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
     from pyspark.sql import Window
 
     from ..functions import md5_long
-    from .lineage import truncate_lineage
+    from .lineage import truncate_lineage_scaled
 
     e = _co_order_edges(spark, sf_dir)
     edges = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
@@ -752,8 +752,13 @@ def graph_random_walk_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
     wd = Window.partitionBy("src")
     # materialize the indexed adjacency ONCE: all 3 hop joins reuse it
     # instead of re-deriving the edge build per step (same lineage
-    # discipline as the other iterative graph ops)
-    indexed = truncate_lineage(
+    # discipline as the other iterative graph ops).  Byte-guarded (r13
+    # session 4): the indexed frame is edge-scale (2x co-order edges),
+    # and an UNGUARDED eager localCheckpoint of it hard-OOMed a fresh
+    # 16 GiB JVM at sf10 (the old sf10 sweeps masked this by running
+    # with --checkpoint-dir, i.e. reliable disk checkpoints) — same
+    # class and same fix as graph_triangle_count.
+    indexed = truncate_lineage_scaled(
         edges.select(
             "src",
             "dst",
@@ -761,6 +766,8 @@ def graph_random_walk_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
             F.count(F.lit(1)).over(wd).alias("deg"),
         ),
         None,
+        source=load_table(spark, sf_dir, "lineitem"),
+        eager=True,
     )
     walk = (
         edges.select("src")
