@@ -158,19 +158,45 @@ def main() -> None:
         "stat": "median",
         "frontier": f_timings,
         "frontier_total": round(sum(f_timings.values()), 3),
-        # r10 verdict task 3: per-run sample lists for BOTH tiers.  The
-        # r10 artifact recorded only medians, so a frontier number
-        # inflated by end-of-round sandbox load (mutual_multitable's
-        # committed 13.55s vs 8.87s on a quiet re-run) was
-        # indistinguishable from a plan regression, and `regressed: {}`
-        # read as "no regressions" while a 2.2x raw frontier slowdown
-        # sat beside it.  Samples make load spikes visible (spread >>
-        # median) and sample COUNTS make partial medians visible.
-        "samples": {n: [round(s, 3) for s in v] for n, v in samples.items()},
-        "frontier_samples": {
-            n: [round(s, 3) for s in v] for n, v in f_samples.items()
-        },
+        # r13 verdict task 2: the one-line contract must be
+        # driver-VERIFIABLE — echo the effective parallelism (so
+        # "honored but overhead-bound" is distinguishable from
+        # "$SPARK_GRAFT_CPUS ignored") and the data directory.
+        "cpus_effective": spark.sparkContext.defaultParallelism,
+        "sf_dir": SF_DIR,
     }
+    # r10 verdict task 3 / r13 verdict task 2: per-run sample lists for
+    # BOTH tiers make load spikes visible (spread >> median) and sample
+    # COUNTS make partial medians visible — but inlining them made the
+    # one-line JSON bulky enough that the driver's stdout tail-capture
+    # truncated it (BENCH_r12 stored `parsed: null`; PERF_r13 lost all
+    # round-over-round data as a result).  They now go to a SIDECAR
+    # file; the line carries its path.  (Medians — the comparison
+    # surface — stay inline in "queries"/"frontier".)
+    samples_file = os.environ.get(
+        "SPARK_GRAFT_BENCH_SAMPLES_FILE",
+        os.path.join(REPO, "BENCH_SAMPLES_LAST.json"),
+    )
+    try:
+        with open(samples_file, "w") as f:
+            json.dump(
+                {
+                    "samples": {
+                        n: [round(s, 3) for s in v] for n, v in samples.items()
+                    },
+                    "frontier_samples": {
+                        n: [round(s, 3) for s in v]
+                        for n, v in f_samples.items()
+                    },
+                    "sf": sf_val,
+                    "runs": RUNS,
+                    "cpus_effective": out["cpus_effective"],
+                },
+                f,
+            )
+        out["samples_file"] = os.path.basename(samples_file)
+    except OSError as exc:  # read-only checkout: keep the bench green
+        print(f"# samples sidecar not written: {exc}", file=sys.stderr)
     if errors:
         out["errors"] = errors
     if f_errors:

@@ -547,7 +547,13 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge-scale cuts must lapse, the cheap node-scale cuts still fire
     # and keep the round-over-round plan depth bounded.
     node_src = load_table(spark, sf_dir, "part")
-    e = truncate_lineage_scaled(_co_order_edges(spark, sf_dir), None, source=src)
+    # live_cuts=4: the initial edge frame plus one cut `cur` per round
+    # stay referenced (each round's aggregate row pins its `cur`), so
+    # up to 4 edge-scale cuts are live at once — derate the per-cut
+    # deserialized budget accordingly (r13 ADVICE).
+    e = truncate_lineage_scaled(
+        _co_order_edges(spark, sf_dir), None, source=src, live_cuts=4
+    )
     rows = []
     cur = e
     for rnd in range(1, _KCORE_ROUNDS + 1):
@@ -569,6 +575,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("u", "v"),
             None,
             source=src,
+            live_cuts=4,
         )
         rows.append(
             keep.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
@@ -653,12 +660,17 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         None,
         source=src,
     )
+    # live_cuts=7 on the node-scale frames: the seed frontier plus one
+    # frontier + one visited cut per hop stay referenced (each hop's
+    # aggregate row pins its frontier), so up to 7 node-scale cuts are
+    # live at once (r13 ADVICE derating).
     frontier = truncate_lineage_scaled(
         und.filter(F.col("u") < _BFS_SEEDS)
         .select(F.col("u").alias("node"))
         .distinct(),
         None,
         source=node_src,
+        live_cuts=7,
     )
     visited = frontier
     rows = [
@@ -676,10 +688,16 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         frontier = truncate_lineage_scaled(
-            reached.join(visited, "node", "left_anti"), None, source=node_src
+            reached.join(visited, "node", "left_anti"),
+            None,
+            source=node_src,
+            live_cuts=7,
         )
         visited = truncate_lineage_scaled(
-            visited.unionByName(frontier).distinct(), None, source=node_src
+            visited.unionByName(frontier).distinct(),
+            None,
+            source=node_src,
+            live_cuts=7,
         )
         rows.append(
             frontier.agg(

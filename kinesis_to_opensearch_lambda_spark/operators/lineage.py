@@ -22,6 +22,7 @@ parameter, not a docstring promise.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame
 
@@ -78,21 +79,60 @@ _CUT_HEAP_FRACTION = 64
 
 
 def _heap_bytes(df: DataFrame) -> int:
+    """Heap of the JVM that will hold localCheckpoint blocks.
+
+    Under a ``local[*]`` master the executor IS the driver JVM, so the
+    budget must come from ``spark.driver.memory`` even when a
+    cluster-style conf also sets ``spark.executor.memory`` (r13 ADVICE:
+    preferring the executor value unconditionally would size the budget
+    from the wrong — typically larger — heap and re-admit the sf10 OOM
+    this guard exists to prevent).  Spark memory strings allow an
+    optional trailing 'b' ('512mb', '16gb'); any unparseable value
+    degrades to the conservative 1g default instead of raising.
+    """
     conf = df.sparkSession.sparkContext.getConf()
-    raw = conf.get("spark.executor.memory", None) or conf.get(
-        "spark.driver.memory", "1g"
-    )
-    units = {"k": 10, "m": 20, "g": 30, "t": 40}
-    raw = raw.strip().lower()
-    if raw[-1] in units:
-        return int(float(raw[:-1]) * (1 << units[raw[-1]]))
-    return int(raw)
+    if conf.get("spark.master", "").startswith("local"):
+        raw = conf.get("spark.driver.memory", None) or "1g"
+    else:
+        raw = conf.get("spark.executor.memory", None) or conf.get(
+            "spark.driver.memory", "1g"
+        )
+    parsed = _parse_mem(raw)
+    return parsed if parsed is not None else 1 << 30
+
+
+def _parse_mem(raw: str) -> int | None:
+    """Spark memory string → bytes, or None when unparseable.  Accepts
+    the JVM forms Spark does: bare bytes ('1073741824'), single-letter
+    suffixes ('16g'), and two-letter suffixes ('512mb', '16gb')."""
+    m = re.fullmatch(r"([\d.]+)([kmgt]?)b?", raw.strip().lower())
+    if m is None:
+        return None
+    units = {"": 0, "k": 10, "m": 20, "g": 30, "t": 40}
+    try:
+        return int(float(m.group(1)) * (1 << units[m.group(2)]))
+    except ValueError:
+        return None
 
 
 def _scan_bytes(source: DataFrame) -> int:
     """Bytes of ``source``'s file scan; 'huge' when unknowable (a
     derived/in-memory source gives no files — treat as over budget so
-    the guard fails safe toward NOT materializing)."""
+    the guard fails safe toward NOT materializing).
+
+    Deployment seam: only ``file:`` URIs are resolvable here — on a
+    cluster whose inputs live on ``hdfs:``/``s3a:`` the ``os.path``
+    probe hits OSError and every frame reads as 'huge', so
+    DESERIALIZED executor-local cuts never fire there.  That is the
+    intended safe direction, and the serialized tier below still
+    applies only when bytes are known; real cluster deployments should
+    set ``$SPARK_GRAFT_CHECKPOINT_DIR`` (reliable checkpoints always
+    cut, blocks on a fault-tolerant FS) or pin an explicit budget via
+    ``$SPARK_GRAFT_LINEAGE_CUT_MAX_MB`` after sizing their executors.
+    Resolving non-file schemes through the Hadoop FileSystem API is
+    possible but adds a py4j round-trip per file to a path whose
+    cluster story is the checkpoint dir anyway.
+    """
     files = source.inputFiles()
     if not files:
         return 1 << 62
@@ -106,35 +146,75 @@ def _scan_bytes(source: DataFrame) -> int:
     return total
 
 
+# Second-tier budget for SERIALIZED executor-local cuts
+# (MEMORY_AND_DISK_SER): serialized row blocks are ~1-2x the source
+# parquet bytes (vs the 6-12x deserialized-object blowup above), unroll
+# incrementally through compact byte buffers instead of an object
+# allocation storm, and evict to local disk under pressure — so frames
+# too big for a deserialized cut can still be cut without the sf10 heap
+# OOM that motivated the guard (r13 session 4).  Budget: source scan
+# bytes up to the full heap per cut (the blocks mostly live on disk at
+# that size; what must fit transiently is one partition's serialized
+# buffer).  Above it — or when the scan mass is unknowable — the frame
+# stays UNCUT, failing safe exactly as before: a 100 TB input must not
+# be copied onto executor-local disks as a side effect of planning
+# hygiene.
+_SER_BUDGET_ENV = "SPARK_GRAFT_LINEAGE_SER_MAX_MB"
+
+
 def truncate_lineage_scaled(
     df: DataFrame,
     checkpoint_dir: str | None,
     source: DataFrame,
     eager: bool = False,
+    live_cuts: int = 3,
 ) -> DataFrame:
-    """Cut ``df``'s lineage only when materializing it is safe here.
+    """Cut ``df``'s lineage with storage matched to the frame's scale.
 
     - A reliable checkpoint dir (argument or $SPARK_GRAFT_CHECKPOINT_DIR)
       always cuts: the blocks land on a fault-tolerant FS, not in
       executor heap — the cluster deployment path.
-    - Executor-local cuts are byte-guarded: cut only while ``source``'s
-      scan is under heap/64 (override: $SPARK_GRAFT_LINEAGE_CUT_MAX_MB).
-      Above budget ``df`` is returned UNCUT — results are identical
-      either way (a cut never changes expressions), the duplicated
-      subtrees are deduped physically by runtime exchange reuse, and
-      the fixed planning overhead the cut saves is amortized by the
-      very scale that made the cut unsafe.
+    - DESERIALIZED executor-local cuts (fast: rows are consumed as-is)
+      fire while ``source``'s scan is under heap/64 derated by
+      ``live_cuts`` (the number of concurrently-live cuts in the
+      calling query; default 3, the budget's original assumption —
+      r13 ADVICE: k-core holds 4 live edge-scale cuts, BFS up to 8
+      node-scale ones, so a flat divisor overshot the margin).
+      Override: $SPARK_GRAFT_LINEAGE_CUT_MAX_MB (absolute, per cut).
+    - Over that but under the serialized budget (source scan <= heap,
+      override $SPARK_GRAFT_LINEAGE_SER_MAX_MB): cut with
+      MEMORY_AND_DISK_SER storage — compact serialized blocks that
+      spill to disk, keeping the planning/broadcast dedup the cut buys
+      without the deserialized-row heap storm (r13's sf10 OOM).
+    - Above both (or unknowable mass): ``df`` is returned UNCUT —
+      results are identical either way (a cut never changes
+      expressions), duplicated subtrees are deduped physically by
+      runtime exchange reuse, and the fixed planning overhead the cut
+      saves is amortized by the very scale that made it unsafe.
     """
     if checkpoint_dir is None:
         checkpoint_dir = os.environ.get(CHECKPOINT_DIR_ENV) or None
     if checkpoint_dir is not None:
         return truncate_lineage(df, checkpoint_dir, eager=eager)
     env = os.environ.get(_CUT_BUDGET_ENV)
+    heap = _heap_bytes(df)
     budget = (
         int(float(env) * (1 << 20))
         if env
-        else _heap_bytes(df) // _CUT_HEAP_FRACTION
+        else heap * 3 // (_CUT_HEAP_FRACTION * max(1, live_cuts))
     )
-    if _scan_bytes(source) <= budget:
+    scan = _scan_bytes(source)
+    if scan <= budget:
         return truncate_lineage(df, None, eager=eager)
+    ser_env = os.environ.get(_SER_BUDGET_ENV)
+    ser_budget = int(float(ser_env) * (1 << 20)) if ser_env else heap
+    if scan <= ser_budget:
+        from pyspark import StorageLevel
+
+        # PySpark's MEMORY_AND_DISK is the SERIALIZED level (JVM
+        # MEMORY_AND_DISK_SER; deserialized=False) — the deserialized
+        # variant is spelled MEMORY_AND_DISK_DESER in Python.
+        return df.localCheckpoint(
+            eager=eager, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
     return df

@@ -67,6 +67,8 @@ def test_empty_env_var_means_local(spark, monkeypatch):
 
 from kinesis_to_opensearch_lambda_spark.operators.lineage import (  # noqa: E402
     _CUT_BUDGET_ENV,
+    _SER_BUDGET_ENV,
+    _parse_mem,
     truncate_lineage_scaled,
 )
 
@@ -88,14 +90,65 @@ def test_scaled_cut_fires_under_budget(spark, tmp_path, monkeypatch):
     assert out.count() == 1000
 
 
-def test_scaled_cut_lapses_over_budget(spark, tmp_path, monkeypatch):
+def test_scaled_cut_over_deser_budget_cuts_serialized(spark, tmp_path, monkeypatch):
+    # r14: over the deserialized budget but under the serialized one,
+    # the cut still fires — with MEMORY_AND_DISK_SER blocks (compact,
+    # disk-spilling) instead of deserialized row objects.
+    monkeypatch.delenv(CHECKPOINT_DIR_ENV, raising=False)
+    monkeypatch.setenv(_CUT_BUDGET_ENV, "0.000001")  # ~1 byte: deser never fits
+    monkeypatch.delenv(_SER_BUDGET_ENV, raising=False)  # default: heap
+    src = _parquet_df(spark, tmp_path)
+    derived = src.selectExpr("id * 2 AS v")
+    out = truncate_lineage_scaled(derived, None, source=src, eager=True)
+    assert out is not derived
+    assert "Scan parquet" not in out._jdf.queryExecution().toString()
+    assert out.count() == 1000
+    descs = [
+        i.storageLevel().description()
+        for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    ]
+    assert any("Serialized" in d for d in descs), descs
+
+
+def test_scaled_cut_lapses_over_both_budgets(spark, tmp_path, monkeypatch):
     monkeypatch.delenv(CHECKPOINT_DIR_ENV, raising=False)
     monkeypatch.setenv(_CUT_BUDGET_ENV, "0.000001")  # ~1 byte: nothing fits
+    monkeypatch.setenv(_SER_BUDGET_ENV, "0.000001")
     src = _parquet_df(spark, tmp_path)
     derived = src.selectExpr("id * 2 AS v")
     out = truncate_lineage_scaled(derived, None, source=src)
     assert out is derived  # returned UNCUT — results identical by construction
     assert out.count() == 1000
+
+
+def test_scaled_cut_live_cuts_derates_budget(spark, tmp_path, monkeypatch):
+    # With the serialized tier pinned shut, an absurd live-cut count
+    # shrinks the per-cut deserialized budget to ~0 → uncut; the
+    # default count keeps the tiny file well under budget → cut.
+    monkeypatch.delenv(CHECKPOINT_DIR_ENV, raising=False)
+    monkeypatch.delenv(_CUT_BUDGET_ENV, raising=False)
+    monkeypatch.setenv(_SER_BUDGET_ENV, "0.000001")
+    src = _parquet_df(spark, tmp_path)
+    derived = src.selectExpr("id * 2 AS v")
+    assert (
+        truncate_lineage_scaled(derived, None, source=src, live_cuts=10**9)
+        is derived
+    )
+    assert (
+        truncate_lineage_scaled(derived, None, source=src, live_cuts=3)
+        is not derived
+    )
+
+
+def test_parse_mem_accepts_spark_forms_and_degrades():
+    assert _parse_mem("16g") == 16 * (1 << 30)
+    assert _parse_mem("512mb") == 512 * (1 << 20)
+    assert _parse_mem("16GB") == 16 * (1 << 30)
+    assert _parse_mem("1tb") == 1 << 40
+    assert _parse_mem("1073741824") == 1 << 30
+    assert _parse_mem("2.5g") == int(2.5 * (1 << 30))
+    assert _parse_mem("watermelon") is None
+    assert _parse_mem("") is None
 
 
 def test_scaled_cut_unknown_source_fails_safe(spark, monkeypatch):
