@@ -554,6 +554,52 @@ def connected_components(
     return labels
 
 
+def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation round: ``least(label, lbl(lbl(n)),
+    min(neighbor labels))`` per node, plus a ``_changed`` flag."""
+    neighbor_min = (
+        edges.join(labels, edges.dst == labels.node)
+        .groupBy("src")
+        .agg(F.min("cluster_id").alias("nbr_min"))
+    )
+    # pointer-jump term: lbl(lbl(n)).  Every label value is itself a
+    # node id present in `labels` (labels start as the node itself and
+    # only ever become mins of existing labels), so the lookup is a
+    # plain equi-join; left + coalesce guards the invariant anyway.
+    jump = (
+        labels.alias("l")
+        .join(
+            labels.alias("j"),
+            F.col("l.cluster_id") == F.col("j.node"),
+            "left",
+        )
+        .select(
+            F.col("l.node").alias("node"),
+            F.col("l.cluster_id").alias("cluster_id"),
+            F.coalesce(F.col("j.cluster_id"), F.col("l.cluster_id")).alias(
+                "jump_min"
+            ),
+        )
+    )
+    return jump.join(
+        neighbor_min, jump.node == neighbor_min.src, "left"
+    ).select(
+        "node",
+        F.least(
+            F.col("cluster_id"),
+            F.col("jump_min"),
+            F.coalesce("nbr_min", F.col("cluster_id")),
+        ).alias("cluster_id"),
+        (
+            F.least(
+                F.col("jump_min"),
+                F.coalesce("nbr_min", F.col("cluster_id")),
+            )
+            < F.col("cluster_id")
+        ).alias("_changed"),
+    )
+
+
 def _cc_loop(
     edges: DataFrame,
     labels: DataFrame,
@@ -561,68 +607,60 @@ def _cc_loop(
     checkpoint_dir: str | None,
 ) -> DataFrame:
     """The min-label propagation rounds of :func:`connected_components`
-    (split out so the narrowed shuffle conf scopes exactly the loop)."""
+    (split out so the narrowed shuffle conf scopes exactly the loop).
+
+    r14 (guide §2.6 — don't serialize what can pipeline): rounds run
+    PAIRED — two propagation rounds build one lazy plan, each carrying
+    its own ``Observation``, and a single eager lineage cut
+    materializes both, so the loop pays one blocking job per TWO
+    rounds (LSH clusters settle in 3-4 rounds → 2 jobs instead of 4).
+    Soundness of checking only the trailing round's ``n_changed``: the
+    recurrence's fixed points are exactly the component-minimum
+    labelings (tests/test_cc_pointer_jumping.py), and a fixed point
+    stays fixed — if round k converged, round k+1 recomputes the same
+    labels and reports 0 changes, so the pair's verdict equals the
+    per-round verdict and the returned labels are row-identical to the
+    one-round-per-job loop's (the extra half-round is the idempotent
+    re-derivation of an already-fixed labeling).
+    """
     from pyspark.sql import Observation
 
     from .lineage import truncate_lineage
 
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        # pointer-jump term: lbl(lbl(n)).  Every label value is itself a
-        # node id present in `labels` (labels start as the node itself and
-        # only ever become mins of existing labels), so the lookup is a
-        # plain equi-join; left + coalesce guards the invariant anyway.
-        jump = (
-            labels.alias("l")
-            .join(
-                labels.alias("j"),
-                F.col("l.cluster_id") == F.col("j.node"),
-                "left",
-            )
-            .select(
-                F.col("l.node").alias("node"),
-                F.col("l.cluster_id").alias("cluster_id"),
-                F.coalesce(F.col("j.cluster_id"), F.col("l.cluster_id")).alias(
-                    "jump_min"
-                ),
-            )
-        )
-        updated = jump.join(
-            neighbor_min, jump.node == neighbor_min.src, "left"
-        ).select(
-            "node",
-            F.least(
-                F.col("cluster_id"),
-                F.col("jump_min"),
-                F.coalesce("nbr_min", F.col("cluster_id")),
-            ).alias("cluster_id"),
-            (
-                F.least(
-                    F.col("jump_min"),
-                    F.coalesce("nbr_min", F.col("cluster_id")),
-                )
-                < F.col("cluster_id")
-            ).alias("_changed"),
-        )
+    def _observed(df: DataFrame) -> tuple[DataFrame, Observation]:
         obs = Observation()
-        labels = truncate_lineage(
-            updated.observe(
+        return (
+            df.observe(
                 obs, F.sum(F.col("_changed").cast("long")).alias("n_changed")
             ).drop("_changed"),
-            checkpoint_dir,
-            eager=True,
+            obs,
         )
+
+    rounds_left = max_iter
+    while rounds_left > 0:
+        head = _cc_round(edges, labels)
+        rounds_left -= 1
+        if rounds_left > 0:  # pipeline a second round into the same job
+            # LAZY cut between the paired rounds: round 2 references
+            # round 1's labels three times (neighbor join + both sides
+            # of the jump self-join) — uncut, each reference re-expands
+            # round 1's whole subtree (measured 2.4s → 18s at sf0.1);
+            # the lazy localCheckpoint makes them share one RDD that
+            # materializes inside the pair's single blocking job.
+            head = _cc_round(
+                edges,
+                truncate_lineage(
+                    head.drop("_changed"), checkpoint_dir, eager=False
+                ),
+            )
+            rounds_left -= 1
+        head, obs = _observed(head)
+        labels = truncate_lineage(head, checkpoint_dir, eager=True)
         if obs.get["n_changed"] == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge within max_iter={max_iter} "
-            f"rounds (last round still changed {obs.get['n_changed']} labels); "
-            "a component's effective diameter exceeds the budget — raise "
-            "max_iter rather than trusting these labels"
-        )
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within max_iter={max_iter} "
+        f"rounds (last round still changed {obs.get['n_changed']} labels); "
+        "a component's effective diameter exceeds the budget — raise "
+        "max_iter rather than trusting these labels"
+    )

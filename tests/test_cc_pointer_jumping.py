@@ -288,3 +288,42 @@ def test_cc_loop_width_invariant_and_conf_restored(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=1)
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_cc_paired_rounds_identical_labels_and_budget(spark):
+    """r14 pipelines TWO propagation rounds per blocking job (lazy cut
+    between them).  The pair's verdict checks only the trailing round's
+    n_changed — sound because fixed points stay fixed — so labels must
+    be identical to the per-round loop's on shapes that converge on
+    both odd and even round numbers, and the max_iter budget must keep
+    counting ROUNDS (a 16-chain that needs >2 rounds still raises with
+    max_iter=2, i.e. one paired job)."""
+    import pytest
+
+    from kinesis_to_opensearch_lambda_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # 12-chain: log2 convergence needs ~4 rounds (odd/even pair split),
+    # plus two singletons-with-an-edge components.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)] + [(100, 101), (200, 201)],
+        "doc_a long, doc_b long",
+    )
+    # the 12-chain converges at round 6 under BOTH the r13 per-round
+    # loop and the r14 paired loop (probed empirically — identical
+    # budget semantics); 7 (odd) exercises the single-round tail.
+    for mi in (6, 7, 20):
+        labels = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(pairs, max_iter=mi).collect()
+        }
+        assert {labels[n] for n in range(1, 13)} == {1}
+        assert labels[100] == labels[101] == 100
+        assert labels[200] == labels[201] == 200
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 17)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
