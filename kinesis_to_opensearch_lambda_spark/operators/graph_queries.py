@@ -653,12 +653,18 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded even when the edge-scale cut lapses (see kcore).
     node_src = load_table(spark, sf_dir, "part")
     e = _co_order_edges(spark, sf_dir)
+    # serialized_tier=False (r14): und feeds only one semi-join per hop
+    # and runtime exchange reuse already dedups those physically — the
+    # serialized materialization of the 2x-edge frame measured 136.6 s
+    # vs 65.2 s uncut at sf10 (isolated A/B), so over-budget lapses to
+    # uncut here exactly as in r13.
     und = truncate_lineage_scaled(
         e.select("u", "v").unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ),
         None,
         source=src,
+        serialized_tier=False,
     )
     # live_cuts=7 on the node-scale frames: the seed frontier plus one
     # frontier + one visited cut per hop stay referenced (each hop's
@@ -776,6 +782,11 @@ def graph_random_walk_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
     # 16 GiB JVM at sf10 (the old sf10 sweeps masked this by running
     # with --checkpoint-dir, i.e. reliable disk checkpoints) — same
     # class and same fix as graph_triangle_count.
+    # serialized_tier=False (r14): like BFS's und, the indexed frame is
+    # consumed by only 3 hop joins (exchange reuse dedups them) — the
+    # eager serialized materialization of the 2x-edge frame measured
+    # 119.7 s vs 51.3 s uncut at sf10 (isolated A/B), so over-budget
+    # lapses to uncut exactly as in r13.
     indexed = truncate_lineage_scaled(
         edges.select(
             "src",
@@ -786,6 +797,7 @@ def graph_random_walk_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
         None,
         source=load_table(spark, sf_dir, "lineitem"),
         eager=True,
+        serialized_tier=False,
     )
     walk = (
         edges.select("src")

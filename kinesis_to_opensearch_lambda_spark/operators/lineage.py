@@ -168,6 +168,7 @@ def truncate_lineage_scaled(
     source: DataFrame,
     eager: bool = False,
     live_cuts: int = 3,
+    serialized_tier: bool = True,
 ) -> DataFrame:
     """Cut ``df``'s lineage with storage matched to the frame's scale.
 
@@ -191,6 +192,16 @@ def truncate_lineage_scaled(
       expressions), duplicated subtrees are deduped physically by
       runtime exchange reuse, and the fixed planning overhead the cut
       saves is amortized by the very scale that made it unsafe.
+
+    ``serialized_tier=False`` opts a call site out of the middle tier
+    (over-deser-budget frames lapse to uncut, the r13 behavior).  The
+    serialized materialization only pays when the cut frame feeds MANY
+    duplicated downstream subtrees; a frame consumed a few times whose
+    physical dedup already comes free from runtime exchange reuse
+    loses outright — measured at sf10: graph_bfs_reachability's
+    undirected edge frame read 136.6 s serialized vs 65.2 s uncut
+    (isolated fresh sessions), while kcore/triangle won 197.6→160.6 /
+    372.0→357.6 s.
     """
     if checkpoint_dir is None:
         checkpoint_dir = os.environ.get(CHECKPOINT_DIR_ENV) or None
@@ -206,6 +217,8 @@ def truncate_lineage_scaled(
     scan = _scan_bytes(source)
     if scan <= budget:
         return truncate_lineage(df, None, eager=eager)
+    if not serialized_tier:
+        return df
     ser_env = os.environ.get(_SER_BUDGET_ENV)
     ser_budget = int(float(ser_env) * (1 << 20)) if ser_env else heap
     if scan <= ser_budget:

@@ -233,7 +233,17 @@ def _rewrite_victim_days(
     emits one dir per rewritten day, and the swap stays driver-side
     file moves — untouched partitions are never read, written, or even
     stat'd.  A day whose rows were ALL victims yields no output dir and
-    its partition is dropped outright — same post-delete rows."""
+    its partition is dropped outright — same post-delete rows.
+
+    Deployment seam (r13 verdict): the driver-side ``os.replace`` swap
+    is correct here because the table root is this operator's own
+    local tempdir lake (single writer, POSIX rename).  A real
+    deployment replaces exactly this step with its table format's
+    commit protocol — Iceberg/Delta ``overwritePartitions`` /
+    ``replaceWhere`` (an atomic metadata swap), or an HDFS
+    rename-based output committer — and keeps the read/write shape
+    above unchanged; object stores without atomic rename must not use
+    bare directory swaps."""
     import os
 
     back = spark.read.parquet(table_root)

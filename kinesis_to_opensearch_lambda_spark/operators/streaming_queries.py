@@ -149,7 +149,15 @@ class _stream_shuffle_width:
     invocation no longer forces the full session width (pre-bucketing,
     per-band-value grouping measured 4x slower at width 1; post, the
     r13 width sweep on streaming_dedup_minhash reads 32/16/8/4 ->
-    5.9/4.2/4.0/3.9 s at sf0.1 — store commits dominate)."""
+    5.9/4.2/4.0/3.9 s at sf0.1 — store commits dominate).
+
+    Deployment seam (r13 verdict): the byte probe ``os.walk``s the
+    source dir, which is always a builder-owned LOCAL tempdir here (the
+    streaming operators fabricate their own micro-batch sources).  A
+    deployment whose stream source is remote (Kafka, a cloud bucket)
+    cannot stat it this way — pin ``$SPARK_GRAFT_STREAM_SHUFFLE`` (or
+    pass ``width=``) from its own throughput knowledge instead; the
+    env pin is checked first precisely so that path never walks."""
 
     def __init__(self, spark: SparkSession, src_dir: str, width: int | None = None):
         import os
@@ -478,13 +486,59 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " (event_id div 3) % 30, 0)"
             ).alias("cts"),
         )
-        imp.coalesce(1).write.parquet(f"{d}/imp")
-        clk.coalesce(1).write.parquet(f"{d}/clk")
+        # ONE write job for both sides (r14): the two per-side
+        # coalesce(1) writes each re-scanned events; a union tagged by
+        # side + one 2-task partitioned write lands one file per side
+        # (the join and the post-hoc aggregate are row-order-
+        # insensitive, so in-file order is immaterial).  Generic
+        # (key, ts) column names in the files; each side renames on
+        # read, keeping the join/oracle shapes byte-identical.
+        import os as _os
+
+        both = imp.select(
+            F.lit(0).alias("_side"), F.col("k").alias("key"), F.col("its").alias("ts")
+        ).unionByName(
+            clk.select(
+                F.lit(1).alias("_side"),
+                F.col("ck").alias("key"),
+                F.col("cts").alias("ts"),
+            )
+        )
+        tmp = f"{d}/tmp_sides"
+        (
+            both.repartition(2, "_side")
+            .write.partitionBy("_side")
+            .parquet(tmp)
+        )
+        for side, sub in ((0, "imp"), (1, "clk")):
+            pdir = f"{tmp}/_side={side}"
+            _os.makedirs(f"{d}/{sub}", exist_ok=True)
+            parts = (
+                [f for f in _os.listdir(pdir) if f.startswith("part-")]
+                if _os.path.isdir(pdir)
+                else []
+            )
+            if parts:
+                shutil.move(f"{pdir}/{parts[0]}", f"{d}/{sub}/data.parquet")
+            else:  # empty side: keep a schema-bearing empty file
+                both.select("key", "ts").limit(0).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(f"{tmp}/empty{side}")
+                part = next(
+                    f
+                    for f in _os.listdir(f"{tmp}/empty{side}")
+                    if f.startswith("part-")
+                )
+                shutil.move(f"{tmp}/empty{side}/{part}", f"{d}/{sub}/data.parquet")
         imp_s = (
-            spark.readStream.schema("k bigint, its timestamp").parquet(f"{d}/imp")
+            spark.readStream.schema("key bigint, ts timestamp")
+            .parquet(f"{d}/imp")
+            .select(F.col("key").alias("k"), F.col("ts").alias("its"))
         ).withWatermark("its", "1 hour")
         clk_s = (
-            spark.readStream.schema("ck bigint, cts timestamp").parquet(f"{d}/clk")
+            spark.readStream.schema("key bigint, ts timestamp")
+            .parquet(f"{d}/clk")
+            .select(F.col("key").alias("ck"), F.col("ts").alias("cts"))
         ).withWatermark("cts", "1 hour")
         joined = imp_s.join(
             clk_s,
@@ -1714,20 +1768,22 @@ def streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + 0.01 * (x.cast("double") * x.cast("double") - 1.0),
             ).alias("p_embedding"),
         )
-        os.makedirs(f"{d}/src", exist_ok=True)
-        for b in (0, 1, 2):
-            tmp = f"{d}/tmp{b}"
-            probes_src.filter(F.col("vec_id") % 3 == b).drop("vec_id").coalesce(
-                1
-            ).write.parquet(tmp)
-            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
-            dst = f"{d}/src/b{b}.parquet"
-            shutil.move(f"{tmp}/{part}", dst)
-            os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
+        # one partitioned write (see _write_mtime_batches); the pre-r14
+        # loop ran the probe-perturbation subtree once per batch.  The
+        # consumer is row-order-insensitive within a micro-batch: the
+        # final window ranks by (cos desc, orig_id) per dup_id and
+        # batch membership is deterministic (vec_id % 3).
+        src = _write_mtime_batches(
+            probes_src,
+            F.col("vec_id") % 3,
+            d,
+            3,
+            payload=["dup_id", "p_embedding"],
+        )
         stream = (
             spark.readStream.schema("dup_id bigint, p_embedding array<double>")
             .option("maxFilesPerTrigger", 1)
-            .parquet(f"{d}/src")
+            .parquet(src)
         )
         multi = stream.withColumn(
             "p_bucket", S.srp_bucket(F.col("p_embedding"))

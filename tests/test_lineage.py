@@ -121,6 +121,22 @@ def test_scaled_cut_lapses_over_both_budgets(spark, tmp_path, monkeypatch):
     assert out.count() == 1000
 
 
+def test_scaled_cut_serialized_tier_opt_out(spark, tmp_path, monkeypatch):
+    # serialized_tier=False lapses over-deser-budget frames to UNCUT
+    # (the r13 behavior) — for call sites whose few downstream
+    # references are already deduped by runtime exchange reuse (BFS
+    # und / random-walk indexed, measured 2x slower serialized at sf10).
+    monkeypatch.delenv(CHECKPOINT_DIR_ENV, raising=False)
+    monkeypatch.setenv(_CUT_BUDGET_ENV, "0.000001")
+    monkeypatch.delenv(_SER_BUDGET_ENV, raising=False)
+    src = _parquet_df(spark, tmp_path)
+    derived = src.selectExpr("id * 2 AS v")
+    out = truncate_lineage_scaled(
+        derived, None, source=src, serialized_tier=False
+    )
+    assert out is derived
+
+
 def test_scaled_cut_live_cuts_derates_budget(spark, tmp_path, monkeypatch):
     # With the serialized tier pinned shut, an absurd live-cut count
     # shrinks the per-cut deserialized budget to ~0 → uncut; the
