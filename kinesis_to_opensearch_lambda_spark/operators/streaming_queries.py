@@ -1364,19 +1364,50 @@ def streaming_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         # batch key, so the pre-r13 four filtered scans + four
         # single-task writes become one job.  The HLL window aggregate
         # is commutative, so in-file row order is immaterial.
+        #
+        # Batch key = HOUR SLICE, not user slice (r14, guide §2.3 —
+        # shuffle/commit fewer bytes): with batch = user_id % 3 every
+        # trigger touched ALL ~720 open windows, so each paid the full
+        # 720 x 35 KB HLL-buffer state restore+save and shipped 720
+        # partial sketches through the merge exchange (profiled:
+        # addBatch 2.2-2.7 s per trigger).  Keying by hour % 3 makes
+        # the 3 data batches partition the WINDOWS instead — each
+        # trigger restores/saves only its ~240 windows and each
+        # window's buffer is written exactly once across the drain.
+        # Final sketches are bit-identical: HLL++ registers are
+        # max-merged (associative + commutative), so grouping a
+        # window's rows into one batch instead of three yields the
+        # same dense register array; the oracle never sees the batch
+        # key (it checks per-window exact counts + tolerance flags).
         batched = ev.select(
-            "user_id", "ts", (F.col("user_id") % 3).cast("int").alias("batch")
+            "user_id",
+            "ts",
+            (
+                (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+                .cast("bigint")
+                % 3
+            )
+            .cast("int")
+            .alias("batch"),
         ).unionByName(
             spark.range(1).select(
                 F.lit(-1).cast("bigint").alias("user_id"),
                 # sentinel far past every real window end + the 2000h
-                # watermark delta: closes all real windows under append
+                # watermark delta: closes all real windows under append.
+                # r14: the sentinel RIDES the last data batch instead of
+                # being a 4th file — the watermark only advances AFTER a
+                # batch completes, so every real row still lands before
+                # any eviction, the availableNow no-data flush batch
+                # then emits all windows, and the drain pays 4 triggers
+                # instead of 5 (profiled: ~1.2 s of fixed machinery per
+                # trigger even at 0 input rows).  Emitted rows are
+                # identical (same sketches, same append flush).
                 F.lit("2025-06-01 00:00:00").cast("timestamp").alias("ts"),
-                F.lit(3).cast("int").alias("batch"),
+                F.lit(2).cast("int").alias("batch"),
             )
         )
         src = _write_mtime_batches(
-            batched, F.col("batch"), d, 4, payload=["user_id", "ts"]
+            batched, F.col("batch"), d, 3, payload=["user_id", "ts"]
         )
         stream = (
             spark.readStream.schema("user_id bigint, ts timestamp")
